@@ -1,0 +1,402 @@
+"""K2: multi-way mer merge and multi-MUM enumeration.
+
+TPU-native replacement for the libMems MatchFinder/MemHash hierarchy
+(MaskedMemHash at src/mauveAligner.cpp:523-530, PairwiseMatchFinder /
+UniqueMatchFinder at src/progressiveMauve.cpp:489-502, RepeatHash at
+src/mauveAligner.cpp:481-483, SeedMatchEnumerator at
+src/SeedMatchEnumerator.h:59-141).
+
+Redesign: instead of a streaming k-way merge with a hash table of match
+extensions, everything is expressed as sorts + segmented scans:
+
+  1. concatenate every genome's (canonical key, position) list, tagged with
+     the genome id, and sort by (mer, genome, position) on device;
+  2. group identical mers (a "seed group"); within a group classify each
+     occurrence as genome-unique or repeated;
+  3. build seed matches from groups (unique-MUM mode keeps only the
+     genome-unique occurrences; repeat mode keeps all);
+  4. merge *runs* of diagonal-consistent consecutive seed matches into one
+     match (the seed windows inside a maximal match all hit the same group
+     structure), then
+  5. extend matches base-by-base to maximality and deduplicate.
+
+Strand handling follows the reference parity rule
+(SeedMatchEnumerator::SetDirection, src/SeedMatchEnumerator.h:127-141): the
+first participating genome is the reference component (always forward); any
+component whose canonical-strand bit differs from the reference's is
+reverse, i.e. gets a negative start.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mauvealigner_tpu.core.match import NO_MATCH, MatchList
+from mauvealigner_tpu.core.sml import SortedMerList
+from mauvealigner_tpu.genome.sequence import Genome
+from mauvealigner_tpu.ops.merops import INVALID_KEY
+
+_INT64_MAX = np.iinfo(np.int64).max
+
+
+@jax.jit
+def _global_sort(keys: jnp.ndarray, seq_ids: jnp.ndarray, positions: jnp.ndarray):
+    """Sort concatenated SML entries by (mer, genome, position) on device.
+
+    keys carry the strand bit in the LSB; sorting by the strand-free mer
+    requires dropping it, so the sort keys are (mer_hi, mer_lo, seq, pos).
+    """
+    mer = keys >> 1
+    strand = (keys & 1).astype(jnp.int32)
+    hi = (mer >> 31).astype(jnp.int32)          # mer <= 62 bits
+    lo = (mer & jnp.int64(0x7FFFFFFF)).astype(jnp.int32)
+    hi_s, lo_s, seq_s, pos_s, strand_s = jax.lax.sort(
+        (hi, lo, seq_ids, positions, strand), num_keys=4
+    )
+    mer_s = (hi_s.astype(jnp.int64) << 31) | lo_s.astype(jnp.int64)
+    return mer_s, seq_s, pos_s, strand_s
+
+
+def _device_sorted_entries(smls: Sequence[SortedMerList]):
+    """Concatenate per-genome SMLs and sort globally on device."""
+    keys = np.concatenate([s.keys for s in smls]) if smls else np.zeros(0, np.int64)
+    seq_ids = np.concatenate(
+        [np.full(len(s.keys), i, np.int32) for i, s in enumerate(smls)]
+    ) if smls else np.zeros(0, np.int32)
+    pos = np.concatenate([s.positions for s in smls]) if smls else np.zeros(0, np.int32)
+    if len(keys) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0, np.int32))
+    # pad to a bucketed size to bound recompiles
+    n = len(keys)
+    bucket = 1 << 12
+    while bucket < n:
+        bucket *= 2
+    pad = bucket - n
+    # padding must sort after every real entry: INVALID_KEY's mer (2^61)
+    # exceeds any valid mer (weight <= 30 -> < 2^60)
+    keys_p = np.concatenate([keys, np.full(pad, INVALID_KEY, np.int64)])
+    seq_p = np.concatenate([seq_ids, np.full(pad, 0, np.int32)])
+    pos_p = np.concatenate([pos, np.full(pad, 0, np.int32)])
+    mer_s, seq_s, pos_s, strand_s = _global_sort(
+        jnp.asarray(keys_p), jnp.asarray(seq_p), jnp.asarray(pos_p)
+    )
+    mer_np = np.asarray(mer_s)[:n]  # padding sorts to the tail
+    return mer_np, np.asarray(seq_s)[:n], np.asarray(pos_s)[:n], np.asarray(strand_s)[:n]
+
+
+@dataclasses.dataclass
+class SeedGroups:
+    """Sorted seed-group representation (ragged, host side)."""
+
+    mer: np.ndarray       # int64 [N] sorted strand-free mers
+    seq: np.ndarray       # int32 [N]
+    pos: np.ndarray       # int32 [N] 0-based window starts
+    strand: np.ndarray    # int32 [N] canonical-strand bit per window
+    seg_id: np.ndarray    # int64 [N] group index
+    occ_unique: np.ndarray  # bool [N] occurrence is unique within its genome
+    n_segs: int
+
+
+def build_seed_groups(smls: Sequence[SortedMerList]) -> SeedGroups:
+    mer, seq, pos, strand = _device_sorted_entries(smls)
+    n = len(mer)
+    if n == 0:
+        return SeedGroups(mer, seq, pos, strand, np.zeros(0, np.int64), np.zeros(0, bool), 0)
+    new_seg = np.empty(n, dtype=bool)
+    new_seg[0] = True
+    np.not_equal(mer[1:], mer[:-1], out=new_seg[1:])
+    seg_id = np.cumsum(new_seg) - 1
+    same_ms = np.zeros(n, dtype=bool)
+    same_ms[1:] = (~new_seg[1:]) & (seq[1:] == seq[:-1])
+    occ_unique = ~same_ms
+    occ_unique[:-1] &= ~same_ms[1:]
+    return SeedGroups(mer, seq, pos, strand, seg_id, occ_unique, int(seg_id[-1]) + 1)
+
+
+def seed_matches_from_groups(
+    groups: SeedGroups,
+    n_seqs: int,
+    seed_length: int,
+    unique: bool = True,
+    min_multi: int = 2,
+    max_multi: Optional[int] = None,
+    seq_mask: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Build dense seed-match rows from seed groups.
+
+    unique=True reproduces unique-MUM semantics: a genome participates in a
+    group's match only if its occurrence count in the group is exactly one
+    (UniqueMatchFinder, src/UniqueMatchFinder.cpp:36-60).  Groups with fewer
+    than min_multi participating genomes are dropped; max_multi bounds
+    repeat-mode multiplicity (rmin/rmax of SeedMatchEnumerator::FindMatches,
+    src/SeedMatchEnumerator.h:19-23).
+
+    Returns (pos0 int64 [m, n_seqs] 0-based leftmost window starts with -1
+    for absent, rel_strand int8 [m, n_seqs], ref_seq int32 [m]) for
+    unique mode.  Repeat mode is handled by repeat_matches_from_groups.
+    """
+    if not unique:
+        raise ValueError("use repeat_matches_from_groups for repeat mode")
+    g = groups
+    comp = g.occ_unique.copy()
+    if seq_mask is not None:
+        comp &= np.asarray(seq_mask, dtype=bool)[g.seq]
+    counts = np.bincount(g.seg_id[comp], minlength=g.n_segs)
+    ok_seg = counts >= min_multi
+    if max_multi is not None:
+        ok_seg &= counts <= max_multi
+    keep = comp & ok_seg[g.seg_id]
+    if not keep.any():
+        return (
+            np.full((0, n_seqs), -1, np.int64),
+            np.zeros((0, n_seqs), np.int8),
+            np.zeros(0, np.int32),
+        )
+    seg_sel = np.unique(g.seg_id[keep])
+    remap = np.full(g.n_segs, -1, np.int64)
+    remap[seg_sel] = np.arange(len(seg_sel))
+    rows = remap[g.seg_id[keep]]
+    cols = g.seq[keep]
+    m = len(seg_sel)
+    pos0 = np.full((m, n_seqs), -1, np.int64)
+    strand = np.zeros((m, n_seqs), np.int8)
+    pos0[rows, cols] = g.pos[keep]
+    strand[rows, cols] = g.strand[keep]
+    # reference component: first participating genome; rel strand via parity
+    present = pos0 >= 0
+    ref_seq = np.argmax(present, axis=1).astype(np.int32)
+    ref_strand = strand[np.arange(m), ref_seq]
+    rel_strand = np.where(present, strand ^ ref_strand[:, None], 0).astype(np.int8)
+    return pos0, rel_strand, ref_seq
+
+
+def merge_collinear_runs(
+    pos0: np.ndarray, rel_strand: np.ndarray, ref_seq: np.ndarray, seed_length: int
+) -> MatchList:
+    """Merge diagonal-consistent consecutive seed windows into single matches.
+
+    Every window fully inside a maximal match produces its own seed group;
+    consecutive reference positions with identical component structure
+    (same genomes, same relative strands, same diagonal invariants) belong
+    to the same match.  The diagonal invariant of component j at reference
+    window position p0 is pos_j - p0 for relatively-forward components and
+    pos_j + p0 for relatively-reverse ones (whose window slides left as the
+    reference window slides right).
+    """
+    m, n_seqs = pos0.shape
+    if m == 0:
+        return MatchList.empty(n_seqs)
+    present = pos0 >= 0
+    p0 = pos0[np.arange(m), ref_seq].astype(np.int64)
+    inv = np.where(
+        present,
+        np.where(rel_strand == 0, pos0 - p0[:, None], pos0 + p0[:, None]),
+        _INT64_MAX,
+    )
+    sig_strand = np.where(present, rel_strand, -1)
+    # lexsort: last key is primary; order by signature columns then p0
+    sort_keys = [p0]
+    for j in range(n_seqs - 1, -1, -1):
+        sort_keys.append(sig_strand[:, j])
+        sort_keys.append(inv[:, j])
+    order = np.lexsort(sort_keys[::-1])
+    inv_s, strand_s, p0_s = inv[order], sig_strand[order], p0[order]
+    same_sig = np.all(inv_s[1:] == inv_s[:-1], axis=1) & np.all(
+        strand_s[1:] == strand_s[:-1], axis=1
+    )
+    run_continue = same_sig & (p0_s[1:] == p0_s[:-1] + 1)
+    run_start = np.concatenate([[True], ~run_continue])
+    run_id = np.cumsum(run_start) - 1
+    n_runs = run_id[-1] + 1
+    first_idx = np.nonzero(run_start)[0]
+    run_len = np.diff(np.concatenate([first_idx, [m]]))
+    p0_min = p0_s[first_idx]
+    p0_max = p0_min + run_len - 1
+    inv_r = inv_s[first_idx]
+    strand_r = strand_s[first_idx]
+    lengths = (p0_max - p0_min) + seed_length
+    present_r = strand_r >= 0
+    left0 = np.where(
+        strand_r == 0,
+        inv_r + p0_min[:, None],
+        inv_r - p0_max[:, None],
+    )
+    starts = np.where(
+        present_r,
+        np.where(strand_r == 0, left0 + 1, -(left0 + 1)),
+        NO_MATCH,
+    )
+    return MatchList(starts, lengths)
+
+
+def extend_matches_maximal(
+    match_list: MatchList, genome_codes: Sequence[np.ndarray], chunk: int = 64
+) -> MatchList:
+    """Extend every match to base-level maximality and deduplicate.
+
+    Mirrors MemHash's seed extension: grow left/right in match space while
+    every participating genome agrees on the next column's base (ambiguity
+    codes never match).  Vectorized host pass over all matches at once,
+    `chunk` columns per iteration.
+    """
+    if len(match_list) == 0:
+        return match_list
+    starts = match_list.starts.copy()
+    lengths = match_list.lengths.copy()
+    n, n_seqs = starts.shape
+    seq_lens = np.array([len(c) for c in genome_codes], dtype=np.int64)
+
+    def gather_col(offsets_from_end: np.ndarray, side: str) -> np.ndarray:
+        """Base value per (match, seq) at `offsets_from_end` columns beyond
+        the current match boundary; 255 = out of bounds / absent."""
+        vals = np.full((n, n_seqs), 255, np.uint8)
+        for j in range(n_seqs):
+            s = starts[:, j]
+            pres = s != NO_MATCH
+            fwd = s > 0
+            left0 = np.abs(s) - 1
+            if side == "right":
+                # match-space right: fwd reads left0+len-1+d; rev reads left0-d
+                idx = np.where(fwd, left0 + lengths - 1 + offsets_from_end, left0 - offsets_from_end)
+            else:
+                # match-space left: fwd reads left0-d; rev reads left0+len-1+d
+                idx = np.where(fwd, left0 - offsets_from_end, left0 + lengths - 1 + offsets_from_end)
+            ok = pres & (idx >= 0) & (idx < seq_lens[j])
+            v = np.full(n, 255, np.uint8)
+            codes_j = genome_codes[j]
+            v[ok] = codes_j[idx[ok]]
+            flip = ok & ~fwd
+            v[flip & (v < 4)] = 3 - v[flip & (v < 4)]
+            vals[:, j] = v
+        return vals
+
+    for side in ("right", "left"):
+        active = np.ones(n, dtype=bool)
+        guard = 0
+        while active.any() and guard < 10**6:
+            guard += 1
+            ext = np.zeros(n, dtype=np.int64)
+            full = np.zeros(n, dtype=bool)
+            # agreement run length within the next `chunk` columns
+            agree_so_far = active.copy()
+            for d in range(1, chunk + 1):
+                col = gather_col(np.full(n, d, np.int64), side)
+                pres = starts != NO_MATCH
+                ref = col[np.arange(n), np.argmax(pres, axis=1)]
+                match_col = (
+                    (ref < 4)
+                    & np.all((col == ref[:, None]) | ~pres, axis=1)
+                )
+                agree_so_far &= match_col
+                ext = np.where(agree_so_far, d, ext)
+                full = agree_so_far & (d == chunk)
+                if not agree_so_far.any():
+                    break
+            grow = ext > 0
+            if grow.any():
+                fwd = starts > 0
+                rev = starts < 0
+                if side == "right":
+                    starts[rev & grow[:, None]] -= np.broadcast_to(ext[:, None], starts.shape)[rev & grow[:, None]]
+                else:
+                    starts[fwd & grow[:, None]] -= np.broadcast_to(ext[:, None], starts.shape)[fwd & grow[:, None]]
+                lengths += ext
+            active = full
+    out = MatchList(starts, lengths)
+    return out.dedup()
+
+
+def find_multi_mums(
+    genomes: Sequence[Genome],
+    smls: Sequence[SortedMerList],
+    min_multi: int = 2,
+    max_multi: Optional[int] = None,
+    nway: bool = False,
+    seq_mask: Optional[np.ndarray] = None,
+    extend: bool = True,
+) -> MatchList:
+    """End-to-end unique multi-MUM search (the MaskedMemHash /
+    UniqueMatchFinder pipeline, src/mauveAligner.cpp:523-590)."""
+    seed_length = smls[0].seed_length if smls else 0
+    groups = build_seed_groups(smls)
+    pos0, rel_strand, ref_seq = seed_matches_from_groups(
+        groups,
+        n_seqs=len(genomes),
+        seed_length=seed_length,
+        unique=True,
+        min_multi=min_multi,
+        max_multi=max_multi,
+        seq_mask=seq_mask,
+    )
+    ml = merge_collinear_runs(pos0, rel_strand, ref_seq, seed_length)
+    if extend and len(ml):
+        ml = extend_matches_maximal(ml, [g.codes for g in genomes])
+    if nway:
+        ml = ml.multiplicity_filter(len(genomes))
+    return ml
+
+
+def repeat_matches_from_groups(
+    groups: SeedGroups,
+    seed_length: int,
+    min_multi: int = 2,
+    max_multi: int = 1000,
+    only_direct: bool = False,
+) -> MatchList:
+    """Seed matches for repeat finding: every occurrence participates
+    (RepeatHash / SeedMatchEnumerator semantics, src/SeedMatchEnumerator.h:59-141,
+    incl. the only_direct projection to forward-strand components).
+
+    Single-genome oriented but supports multi-genome input; components are
+    laid out in a dense [m, max_multi] table per match (the repeat data model
+    keeps components of one match in one genome).
+    """
+    g = groups
+    if len(g.mer) == 0:
+        return MatchList.empty(1)
+    counts = np.bincount(g.seg_id, minlength=g.n_segs)
+    ok = (counts >= min_multi) & (counts <= max_multi)
+    keep = ok[g.seg_id]
+    if not keep.any():
+        return MatchList.empty(int(counts.max(initial=1)))
+    seg = g.seg_id[keep]
+    pos = g.pos[keep].astype(np.int64)
+    strand = g.strand[keep]
+    seg_sel, seg_start = np.unique(seg, return_index=True)
+    m = len(seg_sel)
+    width = int(counts[ok].max())
+    remap = np.full(g.n_segs, -1, np.int64)
+    remap[seg_sel] = np.arange(m)
+    rows = remap[seg]
+    ref_strand = strand[seg_start[rows]]
+    rel = strand ^ ref_strand
+    signed = np.where(rel == 0, pos + 1, -(pos + 1))
+    if only_direct:
+        # project to forward-strand components only (only_direct semantics,
+        # src/SeedMatchEnumerator.h:88-117)
+        keep_comp = rel == 0
+        rows, signed = rows[keep_comp], signed[keep_comp]
+    # left-compact components into dense columns per row
+    if len(rows):
+        order = np.argsort(rows, kind="stable")
+        rows, signed = rows[order], signed[order]
+        row_first = np.zeros(len(rows), np.int64)
+        is_first = np.concatenate([[True], rows[1:] != rows[:-1]])
+        idx_first = np.nonzero(is_first)[0]
+        row_first[idx_first] = idx_first
+        np.maximum.accumulate(row_first, out=row_first)
+        cols = np.arange(len(rows)) - row_first
+        width = int(cols.max()) + 1
+    else:
+        cols = rows
+        width = 1
+    starts = np.zeros((m, max(width, 1)), np.int64)
+    starts[rows, cols] = signed
+    lengths = np.full(m, seed_length, np.int64)
+    ml = MatchList(starts, lengths)
+    return ml.select(ml.multiplicity() >= min_multi)

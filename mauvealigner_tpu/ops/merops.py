@@ -1,0 +1,119 @@
+"""K1: spaced-mer packing, strand canonicalization, and device sort.
+
+TPU-native replacement for libMems SortedMerList/DNAFileSML construction
+(reference call sites src/mauveAligner.cpp:365, src/progressiveMauve.cpp:447,
+src/uniqueMerCount.cpp:30-39).
+
+Semantics reproduced:
+  * a mer is the concatenation of the 2-bit codes at the seed's care
+    positions within an L-wide window;
+  * each window is strand-canonicalized: the lexicographically smaller of
+    (forward mer, reverse-complement mer) is stored, shifted left one bit,
+    with the LSB set iff the reverse-complement orientation won — the
+    ``GetMer(pos) & 0x1`` strand-bit contract of the reference
+    (src/SeedMatchEnumerator.h:133).  This requires palindromic seed
+    patterns (see seeds.py).
+  * windows containing ambiguity codes at care positions are invalid and
+    sorted to the tail (FileSML skips ambiguous mers).
+
+For a palindromic pattern with care offsets o_0<...<o_{w-1} (length L,
+o_{w-1-j} == L-1-o_j):
+  fwd(i) = sum_j code[i+o_j] << 2(w-1-j)
+  rc(i)  = sum_j (3 - code[i+o_j]) << 2j
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mauvealigner_tpu.genome.sequence import CODE_N
+
+INVALID_KEY = np.int64(2**62)  # sorts after every valid (2w+1 <= 63 bit) key
+
+
+def pad_codes(codes: np.ndarray, pattern_len: int, pad_to_multiple: int = 1 << 16) -> np.ndarray:
+    """Pad a host code array with CODE_N to a bucketed static length.
+
+    Bucketing by powers of two of `pad_to_multiple` keeps XLA recompiles
+    bounded while supporting arbitrary genome sizes.
+    """
+    n = len(codes) + pattern_len  # ensure full final windows are representable
+    padded = pad_to_multiple
+    while padded < n:
+        padded *= 2
+    out = np.full(padded, CODE_N, dtype=np.int32)
+    out[: len(codes)] = codes
+    return out
+
+
+@partial(jax.jit, static_argnames=("offsets", "pattern_len"))
+def pack_canonical_mers(codes: jnp.ndarray, offsets: Tuple[int, ...], pattern_len: int) -> jnp.ndarray:
+    """codes: int32[P] (2-bit codes, CODE_N padded) -> canonical keys int64[P-L+1].
+
+    Key layout: (min(fwd, rc) << 1) | (1 if rc < fwd else 0); invalid windows
+    get INVALID_KEY.
+    """
+    n_pos = codes.shape[0] - pattern_len + 1
+    w = len(offsets)
+    fwd = jnp.zeros(n_pos, dtype=jnp.int64)
+    rc = jnp.zeros(n_pos, dtype=jnp.int64)
+    invalid = jnp.zeros(n_pos, dtype=bool)
+    for j, off in enumerate(offsets):
+        c = codes[off : off + n_pos]
+        invalid = invalid | (c >= CODE_N)
+        c64 = c.astype(jnp.int64)
+        fwd = fwd + (c64 << (2 * (w - 1 - j)))
+        rc = rc + ((3 - c64) << (2 * j))
+    use_rc = rc < fwd
+    canonical = jnp.where(use_rc, rc, fwd)
+    key = (canonical << 1) | use_rc.astype(jnp.int64)
+    return jnp.where(invalid, INVALID_KEY, key)
+
+
+@jax.jit
+def sort_key_pos(keys: jnp.ndarray, positions: jnp.ndarray):
+    """Sort (key, position) pairs by key then position.
+
+    int64 keys are split into 32-bit halves so the XLA TPU sort runs on
+    32-bit lanes (TPU's sweet spot) instead of emulated s64 comparisons.
+    """
+    hi = (keys >> 32).astype(jnp.int32)
+    lo = keys.astype(jnp.uint32)  # wraps mod 2^32: fine as a secondary key
+    hi_s, lo_s, pos_s = jax.lax.sort((hi, lo, positions), num_keys=3)
+    keys_s = (hi_s.astype(jnp.int64) << 32) | lo_s.astype(jnp.int64)
+    return keys_s, pos_s
+
+
+@partial(jax.jit, static_argnames=("offsets", "pattern_len"))
+def build_sorted_mer_list(codes: jnp.ndarray, offsets: Tuple[int, ...], pattern_len: int):
+    """Full K1 pipeline: pack + canonicalize + sort.
+
+    Returns (sorted_keys int64[n_pos], sorted_positions int32[n_pos],
+    n_valid int32) — positions are 0-based window starts; entries with
+    INVALID_KEY are sorted to the tail and counted out by n_valid.
+    """
+    keys = pack_canonical_mers(codes, offsets, pattern_len)
+    n_pos = keys.shape[0]
+    positions = jax.lax.broadcasted_iota(jnp.int32, (n_pos, 1), 0).reshape(n_pos)
+    keys_s, pos_s = sort_key_pos(keys, positions)
+    n_valid = jnp.sum((keys_s != INVALID_KEY).astype(jnp.int32))
+    return keys_s, pos_s, n_valid
+
+
+def unique_mer_count(sorted_keys: np.ndarray, n_valid: int) -> int:
+    """Number of distinct strand-free mers that occur exactly once
+    (UniqueMerCount; reference tool src/uniqueMerCount.cpp:30-39)."""
+    mers = np.asarray(sorted_keys[:n_valid]) >> 1
+    if len(mers) == 0:
+        return 0
+    # mers sorted up to the strand bit; strand bit cannot reorder distinct mers
+    mers = np.sort(mers)
+    new_run = np.concatenate([[True], mers[1:] != mers[:-1]])
+    run_ids = np.cumsum(new_run) - 1
+    counts = np.bincount(run_ids)
+    return int(np.sum(counts == 1))
