@@ -115,6 +115,10 @@ class Genome:
     def from_string(cls, s: str, name: str = "seq0", **kw) -> "Genome":
         return cls(np.frombuffer(s.encode(), dtype=np.uint8), name=name, **kw)
 
+    @classmethod
+    def from_codes(cls, codes: np.ndarray, name: str = "seq0", **kw) -> "Genome":
+        return cls(decode_codes(np.asarray(codes, dtype=np.int64)), name=name, **kw)
+
     # -- basics -------------------------------------------------------------
     def __len__(self) -> int:
         return len(self.seq)

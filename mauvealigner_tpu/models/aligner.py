@@ -1,0 +1,247 @@
+"""MauveAligner: the original Mauve algorithm, TPU-first.
+
+Pipeline parity with Aligner::align + doAlignment
+(src/mauveAligner.cpp:70,668-744):
+
+  1. unique multi-MUM anchors (K1 sort + K2 enumeration on device);
+  2. overlap elimination + n-way filter;
+  3. LCB determination via greedy breakpoint elimination
+     (weight threshold default seed_weight*3*seq_count,
+      src/mauveAligner.cpp:648-656; collinear mode -> single LCB,
+      src/mauveAligner.cpp:664-666);
+  4. recursive anchoring inside inter-anchor gaps with lighter seeds
+     (min gap 200, src/mauveAligner.cpp:899);
+  5. gapped closure of the remaining gaps via batched profile DP
+     (replaces the MUSCLE subprocess);
+  6. Interval assembly per LCB -> IntervalList (XMFA-ready).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mauvealigner_tpu.core.interval import Interval, IntervalList
+from mauvealigner_tpu.core.match import NO_MATCH, MatchList
+from mauvealigner_tpu.core.sml import build_sml, load_sml
+from mauvealigner_tpu.genome.sequence import Genome
+from mauvealigner_tpu.models import closure
+from mauvealigner_tpu.models.lcb import LCB, build_lcbs, compute_lcb_boundaries, greedy_breakpoint_elimination
+from mauvealigner_tpu.ops import dp, matchops
+from mauvealigner_tpu.seeds import default_mer_size, get_seed
+
+
+@dataclasses.dataclass
+class AlignerOptions:
+    seed_size: int = 0            # 0 = default log2(avg len)
+    seed_rank: int = 0
+    lcb_weight: Optional[int] = None  # None = seed_weight*3*n_seqs
+    collinear: bool = False
+    recursive: bool = True
+    min_recursion_gap: int = 200      # src/mauveAligner.cpp:899
+    max_recursion_rounds: int = 3
+    gapped: bool = True
+    max_gapped_len: int = 4096        # --max-gapped-aligner-length analog
+    eliminate_overlaps: bool = True
+    nway_filter: bool = True
+    gap_open: float = dp.DEFAULT_GAP_OPEN
+    gap_extend: float = dp.DEFAULT_GAP_EXTEND
+    use_sml_cache: bool = True
+
+
+@dataclasses.dataclass
+class AlignmentResult:
+    interval_list: IntervalList
+    lcbs: List[LCB]
+    mums: MatchList
+
+
+class MauveAligner:
+    def __init__(self, options: Optional[AlignerOptions] = None):
+        self.options = options or AlignerOptions()
+
+    # -- phase 1: anchoring -------------------------------------------------
+    def find_mums(self, genomes: Sequence[Genome]) -> MatchList:
+        o = self.options
+        avg = int(np.mean([len(g) for g in genomes]))
+        weight = o.seed_size or default_mer_size(avg)
+        seed = get_seed(weight, o.seed_rank)
+        smls = [
+            load_sml(g, seed) if o.use_sml_cache and g.filename else build_sml(g, seed)
+            for g in genomes
+        ]
+        ml = matchops.find_multi_mums(genomes, smls)
+        self._seed_weight = weight
+        return ml
+
+    # -- phase 3: LCBs ------------------------------------------------------
+    def determine_lcbs(
+        self, genomes: Sequence[Genome], ml: MatchList
+    ) -> Tuple[MatchList, List[LCB]]:
+        o = self.options
+        if o.nway_filter:
+            ml = ml.multiplicity_filter(len(genomes))
+        if o.eliminate_overlaps:
+            ml = ml.eliminate_overlaps()
+            ml = ml.multiplicity_filter(len(genomes))
+        weight = o.lcb_weight
+        if weight is None:
+            weight = getattr(self, "_seed_weight", 15) * 3 * len(genomes)
+        if o.collinear:
+            weight = -1
+        return greedy_breakpoint_elimination(ml, weight)
+
+    # -- phase 4: recursive anchoring ---------------------------------------
+    def _gap_regions(
+        self, genomes: Sequence[Genome], lcb_matches: MatchList, a: int, b: int
+    ) -> List[Tuple[int, int, int]]:
+        """Per-seq (left, right, strand) of the gap between anchors a and b
+        (indices into lcb_matches, consecutive in match-space); left>right
+        means empty."""
+        out = []
+        for g in range(lcb_matches.n_seqs):
+            sa = int(lcb_matches.starts[a, g])
+            sb = int(lcb_matches.starts[b, g])
+            la = int(lcb_matches.lengths[a])
+            lb = int(lcb_matches.lengths[b])
+            if sa == NO_MATCH or sb == NO_MATCH:
+                out.append((1, 0, 0))
+                continue
+            if sa > 0:
+                left, right, strand = abs(sa) + la, abs(sb) - 1, 1
+            else:
+                left, right, strand = abs(sb) + lb, abs(sa) - 1, -1
+            out.append((left, right, strand))
+        return out
+
+    def _extract_region(self, genome: Genome, left: int, right: int, strand: int) -> np.ndarray:
+        if right < left:
+            return np.zeros(0, np.int64)
+        length = right - left + 1
+        return genome.sub_codes_signed(strand * left, length).astype(np.int64)
+
+    def recursive_anchor(
+        self, genomes: Sequence[Genome], ml: MatchList, lcbs: List[LCB]
+    ) -> Tuple[MatchList, List[LCB]]:
+        """Search inter-anchor gaps with lighter seeds and fold new anchors in
+        (recursion phase, SetMinRecursionGapLength default 200)."""
+        o = self.options
+        n = len(genomes)
+        for _ in range(o.max_recursion_rounds):
+            new_rows = []
+            for lcb in lcbs:
+                sub = ml.select(lcb.match_indices)
+                for a in range(len(sub) - 1):
+                    specs = self._gap_regions(genomes, sub, a, a + 1)
+                    lens = [max(0, r - l + 1) for l, r, s in specs]
+                    if max(lens, default=0) < o.min_recursion_gap:
+                        continue
+                    if min(lens) <= 0:
+                        continue
+                    regions = [
+                        Genome.from_codes(
+                            self._extract_region(genomes[g], *specs[g]), name=f"sub{g}"
+                        )
+                        for g in range(n)
+                    ]
+                    avg = int(np.mean([len(r) for r in regions]))
+                    w = max(5, min(default_mer_size(max(avg, 4)), getattr(self, "_seed_weight", 15) - 2))
+                    seed = get_seed(w, 0)
+                    if any(len(r) < seed.length for r in regions):
+                        continue
+                    smls = [build_sml(r, seed) for r in regions]
+                    sub_ml = matchops.find_multi_mums(regions, smls)
+                    sub_ml = sub_ml.multiplicity_filter(n)
+                    if len(sub_ml) == 0:
+                        continue
+                    # keep the best collinear chain within the gap
+                    sub_ml, _ = greedy_breakpoint_elimination(sub_ml, -1)
+                    # map back to global coordinates
+                    rows = np.zeros((len(sub_ml), n), np.int64)
+                    ok = np.ones(len(sub_ml), bool)
+                    for g in range(n):
+                        l_g, r_g, s_g = specs[g]
+                        q = sub_ml.starts[:, g]
+                        ln = sub_ml.lengths
+                        if s_g > 0:
+                            glob = np.where(q > 0, l_g - 1 + np.abs(q), -(l_g - 1 + np.abs(q)))
+                        else:
+                            left_global = r_g - np.abs(q) - ln + 2
+                            glob = np.where(q > 0, -left_global, left_global)
+                        rows[:, g] = glob
+                        ok &= q != 0
+                    if ok.any():
+                        new_rows.append(MatchList(rows[ok], sub_ml.lengths[ok]))
+            if not new_rows:
+                break
+            add = new_rows[0]
+            for extra in new_rows[1:]:
+                add = add.concat(extra)
+            ml = ml.concat(add).dedup()
+            ml, lcbs = greedy_breakpoint_elimination(
+                ml, -1 if o.collinear else (self.options.lcb_weight or getattr(self, "_seed_weight", 15) * 3 * n)
+            )
+        return ml, lcbs
+
+    # -- phase 5+6: gapped closure and interval assembly --------------------
+    def build_intervals(
+        self, genomes: Sequence[Genome], ml: MatchList, lcbs: List[LCB]
+    ) -> IntervalList:
+        o = self.options
+        n = len(genomes)
+        # collect all gap groups over all LCBs for one batched closure pass
+        gap_groups: List[List[np.ndarray]] = []
+        gap_ref: List[Tuple[int, int]] = []  # (lcb index, position between a,a+1)
+        per_lcb_matches: List[MatchList] = []
+        for li, lcb in enumerate(lcbs):
+            sub = ml.select(lcb.match_indices)
+            per_lcb_matches.append(sub)
+            for a in range(len(sub) - 1):
+                specs = self._gap_regions(genomes, sub, a, a + 1)
+                regions = [self._extract_region(genomes[g], *specs[g]) for g in range(n)]
+                gap_groups.append(regions)
+                gap_ref.append((li, a))
+        if o.gapped and gap_groups:
+            gap_alns = closure.align_region_groups(
+                gap_groups,
+                gap_open=o.gap_open,
+                gap_extend=o.gap_extend,
+                max_len=o.max_gapped_len,
+            )
+        else:
+            gap_alns = [closure._unaligned_blocks(g) for g in gap_groups]
+        gap_table = {ref: aln for ref, aln in zip(gap_ref, gap_alns)}
+
+        intervals: List[Interval] = []
+        for li, lcb in enumerate(lcbs):
+            sub = per_lcb_matches[li]
+            if len(sub) == 0:
+                continue
+            blocks: List[np.ndarray] = []
+            blocks.append(np.ones((n, int(sub.lengths[0])), dtype=bool))
+            for a in range(len(sub) - 1):
+                aln = gap_table[(li, a)]
+                if aln.shape[1]:
+                    blocks.append(aln)
+                blocks.append(np.ones((n, int(sub.lengths[a + 1])), dtype=bool))
+            aln_full = np.concatenate(blocks, axis=1)
+            starts = np.zeros(n, np.int64)
+            for g in range(n):
+                comps = sub.starts[:, g]
+                lefts = np.abs(comps)
+                strand = 1 if comps[0] > 0 else -1
+                left_min = int(lefts.min())
+                starts[g] = strand * left_min
+            intervals.append(Interval(starts, aln_full))
+        return IntervalList(genomes=list(genomes), intervals=intervals)
+
+    # -- full pipeline ------------------------------------------------------
+    def align(self, genomes: Sequence[Genome]) -> AlignmentResult:
+        ml = self.find_mums(genomes)
+        ml, lcbs = self.determine_lcbs(genomes, ml)
+        if self.options.recursive:
+            ml, lcbs = self.recursive_anchor(genomes, ml, lcbs)
+        ivs = self.build_intervals(genomes, ml, lcbs)
+        return AlignmentResult(ivs, lcbs, ml)

@@ -1,0 +1,129 @@
+"""LCB determination by breakpoint analysis + greedy breakpoint elimination.
+
+Reproduces the libMems Aligner LCB machinery: `computeLCBAdjacencies_v2` and
+the `LCB` adjacency struct (reused by the reference at src/sortContigs.cpp:55-58)
+plus the greedy minimum-weight LCB removal loop of Aligner::align
+(src/mauveAligner.cpp:668-698); LCB weight = sum of member match lengths,
+threshold default seed_weight*3*seq_count (src/mauveAligner.cpp:648-656),
+collinear mode eliminates down to a single LCB (LCB_size=-1 hack,
+src/mauveAligner.cpp:664-666).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from mauvealigner_tpu.core.match import NO_MATCH, MatchList
+
+
+@dataclasses.dataclass
+class LCB:
+    """A located collinear block: an ordered run of anchors."""
+
+    match_indices: np.ndarray  # indices into the MatchList, in seq-0 order
+    weight: int
+    # per-sequence signed extents: left/right coordinates of the block
+    lefts: np.ndarray   # int64 [n_seqs] (0 where absent)
+    rights: np.ndarray  # int64 [n_seqs]
+    strands: np.ndarray  # int8 [n_seqs]: +1/-1/0
+
+
+def _ranks_and_signs(ml: MatchList) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-sequence order ranks (by |start|) and strand signs of each match."""
+    n, n_seqs = ml.starts.shape
+    ranks = np.zeros((n, n_seqs), np.int64)
+    for g in range(n_seqs):
+        order = np.argsort(np.abs(ml.starts[:, g]), kind="stable")
+        ranks[order, g] = np.arange(n)
+    signs = np.sign(ml.starts).astype(np.int8)
+    return ranks, signs
+
+
+def compute_lcb_boundaries(ml: MatchList) -> np.ndarray:
+    """Partition full-multiplicity matches into collinear runs.
+
+    Returns lcb_id per match (aligned with seq-0 order of ml; caller should
+    pass a MatchList already sorted by sequence 0).  Two consecutive matches
+    belong to the same LCB iff in every sequence they are directly adjacent
+    with consistent orientation (computeLCBAdjacencies_v2 semantics).
+    """
+    n, n_seqs = ml.starts.shape
+    if n == 0:
+        return np.zeros(0, np.int64)
+    ranks, signs = _ranks_and_signs(ml)
+    order0 = np.argsort(np.abs(ml.starts[:, 0]), kind="stable")
+    inv0 = np.empty(n, np.int64)
+    inv0[order0] = np.arange(n)
+    # work in seq-0 order
+    r = ranks[order0]
+    s = signs[order0]
+    brk = np.zeros(n, dtype=bool)
+    brk[0] = True
+    if n > 1:
+        same_sign = np.all(s[1:] == s[:-1], axis=1)
+        step = r[1:] - r[:-1]
+        expected = s[1:]  # +1 for forward comps, -1 for reverse
+        adjacent = np.all(step == expected, axis=1)
+        brk[1:] = ~(same_sign & adjacent)
+    lcb_in_order0 = np.cumsum(brk) - 1
+    return lcb_in_order0[inv0]
+
+
+def build_lcbs(ml: MatchList, lcb_ids: np.ndarray) -> List[LCB]:
+    n, n_seqs = ml.starts.shape
+    out: List[LCB] = []
+    if n == 0:
+        return out
+    for lid in range(int(lcb_ids.max()) + 1):
+        idx = np.nonzero(lcb_ids == lid)[0]
+        idx = idx[np.argsort(np.abs(ml.starts[idx, 0]), kind="stable")]
+        sub = ml.select(idx)
+        weight = int(sub.lengths.sum())
+        lefts = np.zeros(n_seqs, np.int64)
+        rights = np.zeros(n_seqs, np.int64)
+        strands = np.zeros(n_seqs, np.int8)
+        for g in range(n_seqs):
+            comp = sub.starts[:, g]
+            present = comp != NO_MATCH
+            if not present.any():
+                continue
+            l = np.abs(comp[present])
+            rr = l + sub.lengths[present] - 1
+            lefts[g] = l.min()
+            rights[g] = rr.max()
+            strands[g] = np.sign(comp[present][0])
+        out.append(LCB(idx, weight, lefts, rights, strands))
+    return out
+
+
+def greedy_breakpoint_elimination(
+    ml: MatchList, min_weight: float
+) -> Tuple[MatchList, List[LCB]]:
+    """Repeatedly drop the minimum-weight LCB until every LCB's weight meets
+    min_weight (min_weight < 0 = collinear mode: eliminate to a single LCB).
+
+    Returns (surviving matches sorted along seq 0, final LCBs).
+    """
+    cur = ml.sort_by_sequence(0)
+    while True:
+        if len(cur) == 0:
+            return cur, []
+        ids = compute_lcb_boundaries(cur)
+        lcbs = build_lcbs(cur, ids)
+        weights = np.array([l.weight for l in lcbs])
+        if min_weight < 0:
+            if len(lcbs) <= 1:
+                return cur, lcbs
+        elif weights.min() >= min_weight:
+            return cur, lcbs
+        victim = int(np.argmin(weights))  # first minimum: deterministic
+        drop = np.zeros(len(cur), dtype=bool)
+        drop[lcbs[victim].match_indices] = True
+        cur = cur.select(~drop)
+
+
+def lcb_list_summary(lcbs: List[LCB]) -> str:
+    return f"{len(lcbs)} LCBs, weights {[l.weight for l in lcbs]}"

@@ -1,0 +1,300 @@
+"""K3: batched affine-gap DP (Gotoh) with device traceback.
+
+TPU-native replacement for the libMUSCLE subprocess the reference forks per
+inter-anchor region (MuscleInterface::Align / CallMuscleFast, call sites
+src/MatchRecord.h:311, src/repeatoire.cpp:1262, src/mauveAligner.cpp:82-83).
+No subprocess: regions are bucketed by length, batched, and aligned on device.
+
+Design notes:
+  * Sequences enter as *profiles* (one-hot for plain sequences, column counts
+    for profile-profile alignment in the progressive aligner), so the per-cell
+    substitution score matrix S[b,i,j] = pA[b,i,:] @ SUBST @ pB[b,j,:]^T is a
+    single batched matmul — the MXU does the O(M*N) score work.
+  * The Gotoh recurrence runs as a `lax.scan` over anti-diagonals with the
+    whole diagonal as a vector lane (wavefront), storing 4 decision bits per
+    cell.
+  * Traceback is a vmapped `lax.while_loop` on device emitting an op string
+    (1=diag, 2=up/consume-A, 3=left/consume-B).
+
+Gap model: a gap of length k costs gap_open + k*gap_extend (both negative).
+Tie-breaking is deterministic: diagonal > up > left; gap-open wins ties over
+gap-extend.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.float32(-1e9)
+
+OP_NONE, OP_DIAG, OP_UP, OP_LEFT = 0, 1, 2, 3
+
+# HOXD70 substitution scores (Chiaromonte/Yap/Miller 2002), the matrix behind
+# the reference's hoxd scoring scheme (PairwiseScoringScheme / hoxd_matrix,
+# src/repeatoire.cpp:1994, src/evd.cpp:29-31).  Fifth row/col handles
+# ambiguity codes (never a good match).
+HOXD70 = np.array(
+    [
+        [91, -114, -31, -123, -44],
+        [-114, 100, -125, -31, -44],
+        [-31, -125, 100, -114, -44],
+        [-123, -31, -114, 91, -44],
+        [-44, -44, -44, -44, -44],
+    ],
+    dtype=np.float32,
+)
+
+DEFAULT_GAP_OPEN = -400.0
+DEFAULT_GAP_EXTEND = -30.0
+
+
+def one_hot_profile(codes: np.ndarray, length: int) -> np.ndarray:
+    """codes int array -> [length, 5] one-hot profile, zero-padded."""
+    out = np.zeros((length, 5), dtype=np.float32)
+    n = min(len(codes), length)
+    if n:
+        out[np.arange(n), np.minimum(codes[:n], 4)] = 1.0
+    return out
+
+
+@partial(jax.jit, static_argnames=("M", "N"))
+def gotoh_forward(
+    pA: jnp.ndarray,  # [B, M, 5] profiles (rows beyond mA are zero)
+    pB: jnp.ndarray,  # [B, N, 5]
+    subst: jnp.ndarray,  # [5, 5]
+    gap_open: jnp.ndarray,  # scalar f32 (negative)
+    gap_extend: jnp.ndarray,  # scalar f32 (negative)
+    M: int,
+    N: int,
+):
+    """Returns (H_all [B, n_diags, M+1] f32, dec [B, n_diags, M+1] uint8).
+
+    dec bit layout: bits0-1 H source (0 diag, 1 up/F, 2 left/E),
+    bit2 E opened from H, bit3 F opened from H.
+    """
+    B = pA.shape[0]
+    n_diags = M + N + 1
+    # MXU: full substitution score matrix, flattened for in-scan diag gathers
+    S = jnp.einsum("bik,kl,bjl->bij", pA, subst, pB, preferred_element_type=jnp.float32)
+    S_flat = S.reshape(B, M * N)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, M + 1), 1)  # [1, M+1]
+    go_ge = gap_open + gap_extend
+
+    H0 = jnp.where(iota == 0, 0.0, NEG) * jnp.ones((B, 1), jnp.float32)
+    init = (
+        H0,                                   # H_prev  (diag d-1)
+        jnp.full((B, M + 1), NEG),            # H_prev2 (diag d-2)
+        jnp.full((B, M + 1), NEG),            # E_prev
+        jnp.full((B, M + 1), NEG),            # F_prev
+    )
+
+    def shift_down(x):
+        return jnp.concatenate([jnp.full((B, 1), NEG), x[:, :-1]], axis=1)
+
+    def step(carry, d):
+        H_prev, H_prev2, E_prev, F_prev = carry
+        j = d - iota  # [1, M+1] column index per lane
+
+        e_from_h = H_prev + go_ge
+        e_from_e = E_prev + gap_extend
+        e_open = e_from_h >= e_from_e
+        E = jnp.where(j >= 1, jnp.maximum(e_from_h, e_from_e), NEG)
+
+        Hp1 = shift_down(H_prev)
+        Fp1 = shift_down(F_prev)
+        f_from_h = Hp1 + go_ge
+        f_from_f = Fp1 + gap_extend
+        f_open = f_from_h >= f_from_f
+        F = jnp.where(iota >= 1, jnp.maximum(f_from_h, f_from_f), NEG)
+
+        # diagonal: S[i-1, d-i-1] gathered from the flattened score matrix
+        flat_idx = jnp.clip((iota - 1) * N + (j - 1), 0, M * N - 1)
+        Sdiag = jnp.take_along_axis(S_flat, jnp.broadcast_to(flat_idx, (B, M + 1)), axis=1)
+        diag_ok = (iota >= 1) & (j >= 1) & (iota <= M) & (j <= N)
+        Hd = jnp.where(diag_ok, shift_down(H_prev2) + Sdiag, NEG)
+
+        stacked = jnp.stack([Hd, F, E], axis=0)          # priority order
+        h_choice = jnp.argmax(stacked, axis=0).astype(jnp.uint8)
+        H = jnp.max(stacked, axis=0)
+
+        dec = (
+            h_choice
+            | (e_open.astype(jnp.uint8) << 2)
+            | (f_open.astype(jnp.uint8) << 3)
+        )
+        return (H, H_prev, E, F), (H, dec)
+
+    ds = jnp.arange(1, n_diags, dtype=jnp.int32)
+    _, (H_stack, dec_stack) = jax.lax.scan(step, init, ds)
+    # prepend diag 0
+    H_all = jnp.concatenate([H0[:, None, :], jnp.moveaxis(H_stack, 0, 1)], axis=1)
+    dec0 = jnp.zeros((B, 1, M + 1), jnp.uint8)
+    dec_all = jnp.concatenate([dec0, jnp.moveaxis(dec_stack, 0, 1)], axis=1)
+    return H_all, dec_all
+
+
+@partial(jax.jit, static_argnames=("M", "N"))
+def gotoh_traceback(dec: jnp.ndarray, mA: jnp.ndarray, mB: jnp.ndarray, M: int, N: int):
+    """dec [B, n_diags, M+1]; mA/mB [B] actual lengths.
+
+    Returns ops [B, M+N] uint8 emitted end-of-alignment-first (reverse on
+    host), plus op counts [B].
+    """
+    B = dec.shape[0]
+    L = M + N
+    dec_flat = dec.reshape(B, -1)
+
+    def tb_one(dec_row, ma, mb):
+        def cond(state):
+            i, j, mode, n, ops = state
+            return (i > 0) | (j > 0)
+
+        def body(state):
+            i, j, mode, n, ops = state
+            byte = dec_row[(i + j) * (M + 1) + i]
+            h_choice = byte & 3
+            e_open = (byte >> 2) & 1
+            f_open = (byte >> 3) & 1
+
+            # boundary cells: only one legal move regardless of stored bits
+            on_top = i == 0
+            on_left = j == 0
+
+            def do_H():
+                # choose source; switching to E/F emits that move immediately
+                c = jnp.where(on_top, jnp.uint8(2), jnp.where(on_left, jnp.uint8(1), h_choice))
+                return c
+
+            c = jax.lax.cond(mode == 0, do_H, lambda: mode)
+            # c: 0 = diag (only from H), 1 = up, 2 = left
+            op = jnp.where(c == 0, OP_DIAG, jnp.where(c == 1, OP_UP, OP_LEFT)).astype(jnp.uint8)
+            ni = jnp.where(c == 2, i, i - 1)
+            nj = jnp.where(c == 1, j, j - 1)
+            # next mode: diag -> H; up -> H if f_open else F; left -> H if e_open else E
+            nmode = jnp.where(
+                c == 0,
+                jnp.uint8(0),
+                jnp.where(
+                    c == 1,
+                    jnp.where(f_open == 1, jnp.uint8(0), jnp.uint8(1)),
+                    jnp.where(e_open == 1, jnp.uint8(0), jnp.uint8(2)),
+                ),
+            )
+            ops = ops.at[n].set(op)
+            return (ni, nj, nmode, n + 1, ops)
+
+        init = (ma.astype(jnp.int32), mb.astype(jnp.int32), jnp.uint8(0), jnp.int32(0), jnp.zeros(L, jnp.uint8))
+        i, j, mode, n, ops = jax.lax.while_loop(cond, body, init)
+        return ops, n
+
+    return jax.vmap(tb_one)(dec_flat, mA, mB)
+
+
+def align_profiles_batch(
+    profiles_a: np.ndarray,
+    profiles_b: np.ndarray,
+    lens_a: np.ndarray,
+    lens_b: np.ndarray,
+    subst: np.ndarray = HOXD70,
+    gap_open: float = DEFAULT_GAP_OPEN,
+    gap_extend: float = DEFAULT_GAP_EXTEND,
+) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Align a batch of profile pairs; returns (list of op arrays in
+    start-to-end order, scores [B])."""
+    B, M, _ = profiles_a.shape
+    N = profiles_b.shape[1]
+    H_all, dec = gotoh_forward(
+        jnp.asarray(profiles_a),
+        jnp.asarray(profiles_b),
+        jnp.asarray(subst, dtype=jnp.float32),
+        jnp.float32(gap_open),
+        jnp.float32(gap_extend),
+        M,
+        N,
+    )
+    mA = jnp.asarray(lens_a, dtype=jnp.int32)
+    mB = jnp.asarray(lens_b, dtype=jnp.int32)
+    ops_rev, counts = gotoh_traceback(dec, mA, mB, M, N)
+    d_final = np.asarray(lens_a) + np.asarray(lens_b)
+    scores = np.asarray(H_all)[np.arange(B), d_final, np.asarray(lens_a)]
+    ops_rev = np.asarray(ops_rev)
+    counts = np.asarray(counts)
+    out = [ops_rev[b, : counts[b]][::-1].copy() for b in range(B)]
+    return out, scores
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def align_sequence_pairs(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    subst: np.ndarray = HOXD70,
+    gap_open: float = DEFAULT_GAP_OPEN,
+    gap_extend: float = DEFAULT_GAP_EXTEND,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+    max_batch: int = 128,
+    memory_budget_bytes: int = 1 << 29,
+) -> List[np.ndarray]:
+    """Globally align many (codesA, codesB) pairs, bucketing by length.
+
+    Returns per-pair op arrays.  Pairs longer than the largest bucket raise:
+    callers cap region size (--max-gapped-aligner-length semantics,
+    src/mauveAligner.cpp:675-676).
+    """
+    results: List[np.ndarray] = [None] * len(pairs)  # type: ignore[list-item]
+    groups: dict = {}
+    for idx, (a, b) in enumerate(pairs):
+        if len(a) == 0 or len(b) == 0:
+            # degenerate: pure gap alignment
+            ops = np.concatenate(
+                [np.full(len(a), OP_UP, np.uint8), np.full(len(b), OP_LEFT, np.uint8)]
+            )
+            results[idx] = ops
+            continue
+        if len(a) > buckets[-1] or len(b) > buckets[-1]:
+            raise ValueError(
+                f"region {idx} ({len(a)}x{len(b)}) exceeds the largest DP bucket {buckets[-1]}"
+            )
+        key = (_bucket(len(a), buckets), _bucket(len(b), buckets))
+        groups.setdefault(key, []).append(idx)
+    for (M, N), idxs in groups.items():
+        # per-element device footprint: H_all f32 + dec u8 ((M+N+1)*(M+1)*5B)
+        # plus the score matrix S f32 (4*M*N)
+        per_elt = 5 * (M + N + 1) * (M + 1) + 4 * M * N
+        bucket_batch = max(1, min(max_batch, memory_budget_bytes // per_elt))
+        for off in range(0, len(idxs), bucket_batch):
+            chunk = idxs[off : off + bucket_batch]
+            B = len(chunk)
+            pa = np.zeros((B, M, 5), np.float32)
+            pb = np.zeros((B, N, 5), np.float32)
+            la = np.zeros(B, np.int32)
+            lb = np.zeros(B, np.int32)
+            for k, idx in enumerate(chunk):
+                a, b = pairs[idx]
+                pa[k] = one_hot_profile(a, M)
+                pb[k] = one_hot_profile(b, N)
+                la[k], lb[k] = len(a), len(b)
+            ops_list, _ = align_profiles_batch(pa, pb, la, lb, subst, gap_open, gap_extend)
+            for k, idx in enumerate(chunk):
+                results[idx] = ops_list[k]
+    return results
+
+
+def ops_to_gap_rows(ops: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Op string -> (rowA, rowB) boolean arrays (True = base, False = gap)."""
+    row_a = (ops == OP_DIAG) | (ops == OP_UP)
+    row_b = (ops == OP_DIAG) | (ops == OP_LEFT)
+    return row_a, row_b
