@@ -1,0 +1,67 @@
+"""Benchmark: end-to-end pairwise whole-genome alignment on device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config 1 of BASELINE.md: pairwise alignment (MUM anchoring + LCBs + gapped
+closure -> XMFA) of two ~1% divergent 1 Mbp genomes.  The reference
+(mauveAligner + libMems on CPU) publishes no numbers (BASELINE.md), so the
+baseline constant below is a measured-scale estimate for the reference
+pipeline on this class of input (single CPU core, -Ofast): ~45 s.  It will
+be replaced by a driver-measured value when reference binaries are
+available.
+"""
+
+import io
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_BASELINE_S = 45.0
+GENOME_SIZE = 1_000_000
+
+
+def main():
+    from mauvealigner_tpu.models.aligner import AlignerOptions, MauveAligner
+    from mauvealigner_tpu.utils import simulate
+
+    rng = np.random.default_rng(37)
+    anc = simulate.random_genome(rng, GENOME_SIZE)
+    der, _ = simulate.evolve(anc, rng, sub_rate=0.01, ins_rate=0.0005, del_rate=0.0005)
+
+    opts = AlignerOptions(use_sml_cache=False)
+    aligner = MauveAligner(opts)
+
+    # warm-up on a prefix to trigger kernel compilation for the hot shapes
+    warm = [simulate.Genome(anc.seq[:200_000].copy(), name="w0"),
+            simulate.Genome(der.seq[:200_000].copy(), name="w1")]
+    try:
+        MauveAligner(opts).align(warm)
+    except Exception:
+        pass
+
+    t0 = time.time()
+    res = aligner.align([anc, der])
+    buf = io.StringIO()
+    res.interval_list.write_xmfa(buf)
+    elapsed = time.time() - t0
+
+    aligned_cols = sum(iv.n_cols for iv in res.interval_list.intervals)
+    result = {
+        "metric": "pairwise_1mbp_wallclock",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_BASELINE_S / elapsed, 3),
+        "detail": {
+            "genome_size": GENOME_SIZE,
+            "n_lcbs": len(res.lcbs),
+            "n_anchors": len(res.mums),
+            "aligned_columns": int(aligned_cols),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

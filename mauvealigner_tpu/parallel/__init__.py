@@ -1,0 +1,28 @@
+"""Distribution layer: mesh construction + sharded kernels.
+
+TPU-native replacement for the reference's distribution mechanisms (SURVEY.md
+§2 parallelism checklist): the file-based map-reduce over seed space
+(--match-log/--offset-log/--merge-match-log, src/mauveAligner.cpp:533-589),
+the per-LCB task split (--realign-lcb, src/mauveAligner.cpp:723-744) and the
+missing MPI variant are all subsumed by SPMD sharding over a device mesh:
+
+  * K1/K2: genome replicated, *seed space* sharded — each device packs and
+    sorts its block of window positions; match enumeration merges shards
+    with collectives instead of journal files;
+  * K3: inter-anchor DP tiles are batch-sharded across devices (the TPU
+    analog of --realign-lcb task parallelism).
+"""
+
+from mauvealigner_tpu.parallel.sharded import (
+    make_mesh,
+    sharded_pack_sort,
+    sharded_gotoh_scores,
+    multichip_pipeline_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "sharded_pack_sort",
+    "sharded_gotoh_scores",
+    "multichip_pipeline_step",
+]

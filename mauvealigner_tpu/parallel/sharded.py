@@ -1,0 +1,142 @@
+"""Sharded device kernels over a jax.sharding.Mesh.
+
+Strategy (SURVEY.md §5.8 / §7 step 8): genomes are replicated per host;
+the *work* is sharded —
+
+  * `sharded_pack_sort`: the seed/window space of a genome is split into
+    contiguous blocks (with a pattern-length halo); each device packs and
+    locally sorts its block; the shards are then merged by a final
+    all-gathered sort.  This is the distributed SML build.
+  * `sharded_gotoh_scores`: a batch of DP problems sharded over the batch
+    dimension (data parallelism over inter-anchor regions / LCBs).
+  * `multichip_pipeline_step`: one full anchoring+DP step under a single
+    jit over the mesh — the driver's multi-chip dry-run target.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mauvealigner_tpu.ops import dp as dp_ops
+from mauvealigner_tpu.ops import merops
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+def sharded_pack_sort(
+    codes: jnp.ndarray, offsets: Tuple[int, ...], pattern_len: int, mesh: Mesh
+):
+    """Distributed SML build: block-shard the window space.
+
+    codes: int32[Ppad] (replicated; Ppad - pattern_len + 1 window positions,
+    padded so the position count divides the mesh).  Returns globally sorted
+    (keys int64[n_pos], positions int32[n_pos]).
+    """
+    n_dev = mesh.devices.size
+    n_pos = codes.shape[0] - pattern_len + 1
+    block = -(-n_pos // n_dev)  # ceil
+    halo = pattern_len - 1
+
+    def local(codes_rep):
+        d = jax.lax.axis_index(AXIS)
+        start = d * block
+        # each device packs windows [start, start+block) using codes with halo
+        chunk = jax.lax.dynamic_slice(codes_rep, (start,), (block + halo,))
+        keys = merops.pack_canonical_mers(chunk, offsets, pattern_len)
+        pos = start + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0).reshape(block)
+        # windows past the true end were packed from pad codes -> INVALID
+        keys_s, pos_s = merops.sort_key_pos(keys, pos)
+        return keys_s[None], pos_s[None]
+
+    # pad codes so every device's dynamic_slice is in range
+    need = block * n_dev + halo
+    if codes.shape[0] < need:
+        codes = jnp.concatenate(
+            [codes, jnp.full(need - codes.shape[0], 4, codes.dtype)]
+        )
+    keys_sh, pos_sh = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )(codes)
+    # final merge: global sort of the gathered shards (replicated result)
+    keys_flat = keys_sh.reshape(-1)
+    pos_flat = pos_sh.reshape(-1)
+    return merops.sort_key_pos(keys_flat, pos_flat)
+
+
+def sharded_gotoh_scores(
+    pa: jnp.ndarray,  # [B, M, 5] profiles
+    pb: jnp.ndarray,  # [B, N, 5]
+    lens_a: jnp.ndarray,
+    lens_b: jnp.ndarray,
+    mesh: Mesh,
+    subst: Optional[jnp.ndarray] = None,
+    gap_open: float = dp_ops.DEFAULT_GAP_OPEN,
+    gap_extend: float = dp_ops.DEFAULT_GAP_EXTEND,
+):
+    """Batch-sharded Gotoh forward scores (B must divide by mesh size)."""
+    if subst is None:
+        subst = jnp.asarray(dp_ops.HOXD70)
+    M, N = pa.shape[1], pb.shape[1]
+
+    def local(pa_l, pb_l, la_l, lb_l):
+        H_all, _ = dp_ops.gotoh_forward(
+            pa_l, pb_l, subst, jnp.float32(gap_open), jnp.float32(gap_extend), M, N
+        )
+        b = pa_l.shape[0]
+        bi = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
+        return H_all[bi, la_l + lb_l, la_l]
+
+    spec = P(AXIS)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )(pa, pb, lens_a, lens_b)
+
+
+def multichip_pipeline_step(
+    mesh: Mesh,
+    codes_a: jnp.ndarray,
+    codes_b: jnp.ndarray,
+    offsets: Tuple[int, ...],
+    pattern_len: int,
+    dp_pa: jnp.ndarray,
+    dp_pb: jnp.ndarray,
+    dp_la: jnp.ndarray,
+    dp_lb: jnp.ndarray,
+):
+    """One full sharded anchoring + DP step (jit target for the dry run).
+
+    Returns (sml_a keys, sml_b keys, shared-mer count, dp scores).
+    """
+    ka, _ = sharded_pack_sort(codes_a, offsets, pattern_len, mesh)
+    kb, _ = sharded_pack_sort(codes_b, offsets, pattern_len, mesh)
+    # device-side shared-mer statistic (anchoring proxy): count of mers of A
+    # present in B via searchsorted on the sorted lists
+    mer_a = ka >> 1
+    mer_b = kb >> 1
+    idx = jnp.searchsorted(mer_b, mer_a)
+    idx = jnp.clip(idx, 0, mer_b.shape[0] - 1)
+    shared = jnp.sum((mer_b[idx] == mer_a) & (ka != merops.INVALID_KEY))
+    scores = sharded_gotoh_scores(dp_pa, dp_pb, dp_la, dp_lb, mesh)
+    return ka, kb, shared, scores

@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mauvealigner_tpu.core.sml import build_sml
+from mauvealigner_tpu.genome.sequence import Genome
+from mauvealigner_tpu.ops import dp, merops
+from mauvealigner_tpu.parallel import (
+    make_mesh,
+    multichip_pipeline_step,
+    sharded_gotoh_scores,
+    sharded_pack_sort,
+)
+from mauvealigner_tpu.seeds import get_seed
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_pack_sort_matches_single_device(make_dna):
+    seed = get_seed(9, 0)
+    seq = make_dna(3000)
+    g = Genome.from_string(seq)
+    reference = build_sml(g, seed)
+    mesh = make_mesh(8)
+    codes = merops.pad_codes(g.codes.astype(np.int32), seed.length, pad_to_multiple=1024)
+    keys, pos = sharded_pack_sort(
+        jnp.asarray(codes), tuple(int(o) for o in seed.offsets), seed.length, mesh
+    )
+    keys = np.asarray(keys)
+    n_valid = int((keys != merops.INVALID_KEY).sum())
+    assert n_valid == len(reference.keys)
+    assert np.array_equal(keys[:n_valid], reference.keys)
+
+
+def test_sharded_gotoh_matches_local(rng):
+    B, M, N = 8, 16, 16
+    pa = np.zeros((B, M, 5), np.float32)
+    pb = np.zeros((B, N, 5), np.float32)
+    la = np.zeros(B, np.int32)
+    lb = np.zeros(B, np.int32)
+    seqs = []
+    for b in range(B):
+        x = rng.integers(0, 4, size=rng.integers(4, M + 1))
+        y = rng.integers(0, 4, size=rng.integers(4, N + 1))
+        pa[b] = dp.one_hot_profile(x, M)
+        pb[b] = dp.one_hot_profile(y, N)
+        la[b], lb[b] = len(x), len(y)
+        seqs.append((x, y))
+    mesh = make_mesh(8)
+    scores = np.asarray(
+        sharded_gotoh_scores(
+            jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(la), jnp.asarray(lb), mesh
+        )
+    )
+    _, expected = dp.align_profiles_batch(pa, pb, la, lb)
+    assert np.allclose(scores, expected, atol=1e-3)
+
+
+def test_multichip_pipeline_step_runs(make_dna):
+    mesh = make_mesh(8)
+    seed = get_seed(7, 0)
+    ga = Genome.from_string(make_dna(800))
+    gb = Genome.from_string(make_dna(800))
+    ca = merops.pad_codes(ga.codes.astype(np.int32), seed.length, pad_to_multiple=512)
+    cb = merops.pad_codes(gb.codes.astype(np.int32), seed.length, pad_to_multiple=512)
+    B, M, N = 8, 16, 16
+    pa = np.tile(dp.one_hot_profile(np.arange(8) % 4, M)[None], (B, 1, 1))
+    pb = pa.copy()
+    la = np.full(B, 8, np.int32)
+    lb = np.full(B, 8, np.int32)
+    ka, kb, shared, scores = multichip_pipeline_step(
+        mesh,
+        jnp.asarray(ca),
+        jnp.asarray(cb),
+        tuple(int(o) for o in seed.offsets),
+        seed.length,
+        jnp.asarray(pa),
+        jnp.asarray(pb),
+        jnp.asarray(la),
+        jnp.asarray(lb),
+    )
+    assert int(shared) >= 0
+    assert np.asarray(scores).shape == (B,)
+    # identical profiles: perfect match score = 8 * HOXD70 diagonal min
+    assert (np.asarray(scores) > 0).all()
