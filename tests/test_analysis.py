@@ -1,0 +1,218 @@
+import io
+
+import numpy as np
+import pytest
+
+from mauvealigner_tpu.analysis import backbone as bb
+from mauvealigner_tpu.analysis import islands
+from mauvealigner_tpu.analysis.distance import (
+    coverage_distance_matrix,
+    identity_matrix,
+)
+from mauvealigner_tpu.analysis.tree import (
+    neighbor_joining,
+    parse_newick,
+    reroot_with_outgroup,
+    topologies_equal,
+    write_newick,
+)
+from mauvealigner_tpu.core.interval import Interval, IntervalList
+from mauvealigner_tpu.core.match import MatchList
+from mauvealigner_tpu.genome.sequence import Genome
+
+
+# ---------------- HMM ----------------
+
+def test_forward_backward_posteriors_sane():
+    import jax.numpy as jnp
+
+    from mauvealigner_tpu.ops import hmm
+
+    # 2-state chain, emissions strongly identify the state
+    log_emit = np.log(
+        np.array(
+            [[[0.9, 0.1]] * 5 + [[0.1, 0.9]] * 5],  # first 5 steps state0, last 5 state1
+        )
+    )
+    log_trans = np.log(np.array([[0.95, 0.05], [0.05, 0.95]]))
+    log_init = np.log(np.array([0.5, 0.5]))
+    post = np.asarray(
+        hmm.forward_backward(
+            jnp.asarray(log_emit), jnp.asarray(log_trans), jnp.asarray(log_init),
+            jnp.asarray(np.array([10])),
+        )
+    )
+    assert post.shape == (1, 10, 2)
+    assert np.allclose(post.sum(axis=2), 1.0, atol=1e-5)
+    assert (post[0, :4, 0] > 0.5).all()
+    assert (post[0, 6:, 1] > 0.5).all()
+
+
+def test_forward_backward_padding_ignored():
+    import jax.numpy as jnp
+
+    from mauvealigner_tpu.ops import hmm
+
+    le = np.zeros((1, 8, 2))
+    le[0, :4] = np.log(np.array([0.9, 0.1]))
+    le[0, 4:] = np.log(np.array([1e-9, 1.0]))  # padding says state1 loudly
+    log_trans = np.log(np.array([[0.99, 0.01], [0.01, 0.99]]))
+    log_init = np.log(np.array([0.5, 0.5]))
+    post = np.asarray(
+        hmm.forward_backward(
+            jnp.asarray(le), jnp.asarray(log_trans), jnp.asarray(log_init),
+            jnp.asarray(np.array([4])),
+        )
+    )
+    assert (post[0, :4, 0] > 0.5).all()  # padding did not leak backward
+
+
+# ---------------- islands / backbone (simple) ----------------
+
+def _iv_with_gap_island(gap_len=30):
+    g0 = Genome.from_string("A" * 200)
+    g1 = Genome.from_string("A" * (200 - gap_len))
+    aln0 = np.ones(200, bool)
+    aln1 = np.ones(200, bool)
+    aln1[100 : 100 + gap_len] = False
+    iv = Interval(np.array([1, 1], np.int64), np.stack([aln0, aln1]))
+    return IntervalList(genomes=[g0, g1], intervals=[iv])
+
+
+def test_simple_find_islands():
+    ivl = _iv_with_gap_island(30)
+    isl = islands.simple_find_islands(ivl, island_size=20)
+    assert len(isl) == 1
+    # seq_i is the gapped sequence (its island spans ~0 bases); seq_j carries
+    # the 30 island bases
+    assert isl[0].seq_i == 1 and isl[0].seq_j == 0
+    assert isl[0].right_j - isl[0].left_j == 29
+
+
+def test_simple_find_backbone_splits_on_big_gap():
+    ivl = _iv_with_gap_island(30)
+    segs = islands.simple_find_backbone(ivl, min_bb_length=10, max_gap_length=10)
+    assert len(segs) == 2
+
+
+def test_coverage_fraction():
+    ivl = _iv_with_gap_island(30)
+    cov = islands.coverage_fraction(ivl, [200, 170])
+    assert cov[0] == 1.0
+    assert cov[1] == 1.0
+
+
+# ---------------- distance ----------------
+
+def test_coverage_distance_matrix():
+    ml = MatchList(np.array([[1, 1], [300, 200]], np.int64), np.array([100, 50]))
+    d = coverage_distance_matrix(ml, [1000, 1000])
+    assert d[0, 0] == 0
+    assert d[0, 1] == pytest.approx(1 - 150 / 1000)
+
+
+def test_identity_matrix_identical():
+    g = Genome.from_string("ACGT" * 50)
+    iv = Interval(np.array([1, 1], np.int64), np.ones((2, 200), bool))
+    ivl = IntervalList(genomes=[g, g], intervals=[iv])
+    m = identity_matrix(ivl, [g, g])
+    assert m[0, 1] == pytest.approx(1.0)
+
+
+# ---------------- trees ----------------
+
+def test_newick_roundtrip():
+    t = parse_newick("((a:0.1,b:0.2):0.05,c:0.3);")
+    assert sorted(t.leaf_names()) == ["a", "b", "c"]
+    text = write_newick(t)
+    t2 = parse_newick(text)
+    assert topologies_equal(t, t2)
+
+
+def test_nj_recovers_clear_topology():
+    # a,b close; c,d close; the two pairs far apart
+    d = np.array(
+        [
+            [0.0, 0.1, 1.0, 1.1],
+            [0.1, 0.0, 1.1, 1.0],
+            [1.0, 1.1, 0.0, 0.1],
+            [1.1, 1.0, 0.1, 0.0],
+        ]
+    )
+    t = neighbor_joining(d, ["a", "b", "c", "d"])
+    expected = parse_newick("((a,b),(c,d));")
+    assert topologies_equal(t, expected)
+
+
+def test_reroot_with_outgroup():
+    t = parse_newick("((a:1,b:1):1,(c:1,(d:1,e:1):1):1);")
+    r = reroot_with_outgroup(t, {"d", "e"})
+    # one child of the new root is exactly {d,e}
+    kid_sets = [set(c.leaf_names()) for c in r.children]
+    assert {"d", "e"} in kid_sets
+    assert sorted(r.leaf_names()) == ["a", "b", "c", "d", "e"]
+
+
+# ---------------- homology HMM backbone ----------------
+
+def _diverged_pair_ivl(rng):
+    from mauvealigner_tpu.utils import simulate
+
+    # homologous 300bp + unrelated 150bp inserted + homologous 300bp
+    anc = simulate.random_genome(rng, 600)
+    der_seq = anc.seq.copy()
+    # mutate lightly
+    der = Genome(der_seq, name="der")
+    junkA = simulate.random_genome(rng, 150).seq
+    junkB = simulate.random_genome(rng, 150).seq
+    # column structure: 300 match, 150 junkA vs gaps, 150 gaps vs junkB, 300 match
+    g0 = Genome(np.concatenate([anc.seq[:300], junkA, anc.seq[300:]]), name="g0")
+    g1 = Genome(np.concatenate([der.seq[:300], junkB, der.seq[300:]]), name="g1")
+    aln0 = np.concatenate([np.ones(300, bool), np.ones(150, bool), np.zeros(150, bool), np.ones(300, bool)])
+    aln1 = np.concatenate([np.ones(300, bool), np.zeros(150, bool), np.ones(150, bool), np.ones(300, bool)])
+    iv = Interval(np.array([1, 1], np.int64), np.stack([aln0, aln1]))
+    return IntervalList(genomes=[g0, g1], intervals=[iv])
+
+
+def test_homology_posteriors_detect_junk(rng):
+    ivl = _diverged_pair_ivl(rng)
+    params = bb.adapted_params(0.5, identity=0.95)
+    posts = bb.pairwise_homology_posteriors(ivl)\
+        if False else bb.pairwise_homology_posteriors(ivl, params)
+    p = posts[(0, 0, 1)]
+    assert p[:250].mean() > 0.9          # homologous head
+    assert p[320:580].mean() < 0.3       # double-gap junk region
+    assert p[-250:].mean() > 0.9         # homologous tail
+
+
+def test_detect_and_apply_backbone(rng):
+    ivl = _diverged_pair_ivl(rng)
+    params = bb.adapted_params(0.5, identity=0.95)
+    segs = bb.detect_backbone(ivl, params, island_gap_size=20)
+    assert len(segs) >= 2
+    applied = bb.apply_backbone(ivl, segs)
+    # all bases still accounted for
+    for s, g in enumerate(applied.genomes):
+        total = sum(int(iv.aln[s].sum()) for iv in applied.intervals if iv.starts[s] != 0)
+        assert total == len(g)
+    multi = [iv for iv in applied.intervals if iv.multiplicity() >= 2]
+    singles = [iv for iv in applied.intervals if iv.multiplicity() == 1]
+    assert len(multi) >= 2
+    assert len(singles) >= 2
+
+
+def test_backbone_file_roundtrip(rng):
+    ivl = _diverged_pair_ivl(rng)
+    params = bb.adapted_params(0.5, identity=0.95)
+    segs = bb.detect_backbone(ivl, params, island_gap_size=20)
+    rows = bb.backbone_seq_coordinates(ivl, segs)
+    rows = bb.add_unique_segments(rows, ivl, [len(g) for g in ivl.genomes])
+    buf = io.StringIO()
+    bb.write_backbone_seq_file(rows, buf, ivl.n_seqs)
+    back = bb.read_backbone_seq_file(io.StringIO(buf.getvalue()))
+    assert len(back) == len(rows)
+    buf2 = io.StringIO()
+    bb.write_backbone_cols_file(segs, buf2)
+    segs2 = bb.read_backbone_cols_file(io.StringIO(buf2.getvalue()))
+    assert len(segs2) == len(segs)
+    assert segs2[0].seqs == segs[0].seqs
