@@ -18,6 +18,8 @@ Layer map (mirrors SURVEY.md §1):
   L8 analysis/tree.py  phylogenetic utilities
 """
 
+import os
+
 import jax
 
 # Genome coordinates and packed spaced-seed mers need 64-bit integers
@@ -25,6 +27,18 @@ import jax
 # array is created.  TPU emulates s64 with s32 pairs; the hot sort paths
 # split keys into 32-bit halves where it matters (ops/merops.py).
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the pipeline compiles a bounded family of
+# bucketed kernel shapes; caching them across processes keeps driver/bench
+# startup fast (first compile on the TPU tunnel is expensive).
+try:
+    _cache_dir = os.environ.get(
+        "MAUVE_TPU_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    )
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 
 __version__ = "0.1.0"
 

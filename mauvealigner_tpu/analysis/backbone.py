@@ -255,6 +255,30 @@ def merge_adjacent_segments(segments: List[BackboneColumnSegment]) -> List[Backb
     return out
 
 
+def merge_coordinate_rows(rows: List[np.ndarray]) -> List[np.ndarray]:
+    """Merge coordinate rows that are exactly adjacent in every member
+    sequence with the same membership (mergeAdjacentSegments over
+    bb_seqentry_t rows)."""
+    if not rows:
+        return rows
+    rows = sorted(rows, key=lambda r: (tuple(r[::2] == 0), abs(int(r[0])), abs(int(r[2] if len(r) > 2 else 0))))
+    out: List[np.ndarray] = [rows[0].copy()]
+    for r in rows[1:]:
+        prev = out[-1]
+        members_prev = prev[::2] != 0
+        members_r = r[::2] != 0
+        if np.array_equal(members_prev, members_r) and all(
+            abs(int(r[2 * s])) == abs(int(prev[2 * s + 1])) + 1
+            and np.sign(r[2 * s]) == np.sign(prev[2 * s])
+            for s in np.nonzero(members_r)[0]
+        ):
+            for s in np.nonzero(members_r)[0]:
+                prev[2 * s + 1] = r[2 * s + 1]
+        else:
+            out.append(r.copy())
+    return out
+
+
 def backbone_seq_coordinates(
     ivs: IntervalList, segments: List[BackboneColumnSegment]
 ) -> List[np.ndarray]:

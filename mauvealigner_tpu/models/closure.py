@@ -1,15 +1,24 @@
 """Gapped closure: align the inter-anchor regions of an LCB.
 
 Replaces the reference's per-region MUSCLE subprocess (Aligner::align gapped
-phase, src/mauveAligner.cpp:674-676) with batched profile DP on device:
-sequences join a growing profile star-progressively; each round every gap
-region's (profile, next sequence) pair is bucketed and aligned in one batched
-Gotoh call (ops/dp.py), so the device always sees large batches.
+phase, src/mauveAligner.cpp:674-676; ProgressiveAligner's per-node profile
+alignment, src/progressiveMauve.cpp:575-710) with batched profile DP on
+device.
+
+Two modes share one engine:
+  * star-progressive (MauveAligner): sequences join a growing profile in
+    index order;
+  * guide-tree hierarchical (ProgressiveAligner): profiles are merged in
+    postorder of the guide tree.
+
+At every merge round, ALL gap regions' (profile, profile) pairs are bucketed
+and aligned in one batched Gotoh call (ops/dp.py), so the device always sees
+large batches regardless of how many small regions exist.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -17,119 +26,61 @@ from mauvealigner_tpu.ops import dp
 
 PROFILE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
+NodeId = Union[int, str]
+Row = Tuple[int, np.ndarray, np.ndarray]  # (seq_id, codes, gap_row)
 
-def _profile_from_rows(rows: List[Tuple[np.ndarray, np.ndarray]], n_cols: int) -> np.ndarray:
-    """rows: list of (codes, gap_row bool[n_cols]); returns [n_cols, 5]."""
+
+def chain_plan(n_seqs: int) -> List[Tuple[NodeId, NodeId, NodeId]]:
+    """Star-progressive merge plan: ((0+1)+2)+3 ..."""
+    steps: List[Tuple[NodeId, NodeId, NodeId]] = []
+    prev: NodeId = 0
+    for s in range(1, n_seqs):
+        node = f"n{s}"
+        steps.append((node, prev, s))
+        prev = node
+    return steps
+
+
+def tree_plan(tree) -> List[Tuple[NodeId, NodeId, NodeId]]:
+    """Postorder merge plan from a guide tree whose leaf names are sequence
+    indices (as str or int)."""
+    steps: List[Tuple[NodeId, NodeId, NodeId]] = []
+    counter = [0]
+
+    def rec(node) -> NodeId:
+        if node.is_leaf:
+            return int(node.name)
+        ids = [rec(c) for c in node.children]
+        cur = ids[0]
+        for other in ids[1:]:
+            counter[0] += 1
+            nid = f"n{counter[0]}"
+            steps.append((nid, cur, other))
+            cur = nid
+        return cur
+
+    rec(tree)
+    return steps
+
+
+def _profile_of(rows: List[Row], n_cols: int) -> np.ndarray:
     prof = np.zeros((n_cols, 5), np.float32)
-    for codes, row in rows:
+    for _, codes, row in rows:
         cols = np.nonzero(row)[0]
         prof[cols, np.minimum(codes[: len(cols)], 4)] += 1.0
     return prof
 
 
-def _expand_rows(rows: List[np.ndarray], ops: np.ndarray) -> List[np.ndarray]:
-    """Insert gap columns (where ops consumes only B) into existing rows."""
-    consumes_a = (ops == dp.OP_DIAG) | (ops == dp.OP_UP)
+def _expand(rows: List[Row], ops: np.ndarray, consumes: np.ndarray) -> List[Row]:
     out = []
-    for row in rows:
+    for seq, codes, row in rows:
         new = np.zeros(len(ops), dtype=bool)
-        new[consumes_a] = row
-        out.append(new)
+        new[consumes] = row
+        out.append((seq, codes, new))
     return out
 
 
-def align_region_groups(
-    groups: Sequence[Sequence[np.ndarray]],
-    subst: np.ndarray = dp.HOXD70,
-    gap_open: float = dp.DEFAULT_GAP_OPEN,
-    gap_extend: float = dp.DEFAULT_GAP_EXTEND,
-    max_len: int = 4096,
-) -> List[np.ndarray]:
-    """Align many groups of regions (one group per anchor gap).
-
-    groups[k] is the list of region code arrays (match-space oriented, may be
-    empty) for gap k — one per participating sequence, in sequence order.
-    Returns per-group boolean alignment matrices [n_regions, n_cols].
-
-    Groups whose total width would exceed max_len fall back to unaligned
-    block emission (the reference's --max-gapped-aligner-length behavior,
-    src/mauveAligner.cpp:675-676).
-    """
-    n_groups = len(groups)
-    results: List[Optional[np.ndarray]] = [None] * n_groups
-
-    # state per group: list of (codes, row) merged so far, next region index
-    state: List[List[Tuple[np.ndarray, np.ndarray]]] = []
-    pending: List[List[int]] = []  # remaining region indices per group
-    for k, regs in enumerate(groups):
-        nz = [i for i, r in enumerate(regs) if len(r) > 0]
-        if not nz:
-            results[k] = np.zeros((len(regs), 0), dtype=bool)
-            state.append([])
-            pending.append([])
-            continue
-        if any(len(regs[i]) > max_len for i in nz):
-            results[k] = _unaligned_blocks(regs)
-            state.append([])
-            pending.append([])
-            continue
-        first = nz[0]
-        rows = [(np.asarray(regs[first]), np.ones(len(regs[first]), bool))]
-        state.append(rows)
-        pending.append(nz[1:])
-
-    # star-progressive rounds: all groups advance one merge per round, batched
-    while True:
-        todo = [k for k in range(n_groups) if results[k] is None and pending[k]]
-        if not todo:
-            break
-        profs, lens_a, lens_b, seqs_b = [], [], [], []
-        active = []
-        for k in todo:
-            rows = state[k]
-            n_cols = len(rows[0][1])
-            nxt = pending[k][0]
-            region = np.asarray(groups[k][nxt])
-            if n_cols > max_len or len(region) > max_len:
-                results[k] = _unaligned_blocks(groups[k])
-                pending[k] = []
-                continue
-            prof = _profile_from_rows(rows, n_cols)
-            active.append(k)
-            profs.append(prof)
-            lens_a.append(n_cols)
-            lens_b.append(len(region))
-            seqs_b.append(region)
-        if not active:
-            continue
-        ops_all = _batched_profile_align(
-            profs, lens_a, seqs_b, lens_b, subst, gap_open, gap_extend
-        )
-        for k, ops in zip(active, ops_all):
-            rows = state[k]
-            nxt = pending[k].pop(0)
-            region = np.asarray(groups[k][nxt])
-            old_rows = _expand_rows([r for _, r in rows], ops)
-            new_row = (ops == dp.OP_DIAG) | (ops == dp.OP_LEFT)
-            state[k] = [(c, nr) for (c, _), nr in zip(rows, old_rows)] + [(region, new_row)]
-
-    # materialize remaining groups
-    for k in range(n_groups):
-        if results[k] is not None:
-            continue
-        regs = groups[k]
-        rows = state[k]
-        n_cols = len(rows[0][1]) if rows else 0
-        aln = np.zeros((len(regs), n_cols), dtype=bool)
-        nz = [i for i, r in enumerate(regs) if len(r) > 0]
-        for (codes, row), i in zip(rows, nz):
-            aln[i] = row
-        results[k] = aln
-    return results  # type: ignore[return-value]
-
-
 def _unaligned_blocks(regs: Sequence[np.ndarray]) -> np.ndarray:
-    """Emit each region as its own run of columns (no alignment)."""
     total = sum(len(r) for r in regs)
     aln = np.zeros((len(regs), total), dtype=bool)
     off = 0
@@ -139,24 +90,132 @@ def _unaligned_blocks(regs: Sequence[np.ndarray]) -> np.ndarray:
     return aln
 
 
-def _batched_profile_align(
-    profs: List[np.ndarray],
-    lens_a: List[int],
-    seqs_b: List[np.ndarray],
-    lens_b: List[int],
+def hierarchical_align_region_groups(
+    groups: Sequence[Sequence[np.ndarray]],
+    plan: Optional[List[Tuple[NodeId, NodeId, NodeId]]] = None,
+    subst: np.ndarray = dp.HOXD70,
+    gap_open: float = dp.DEFAULT_GAP_OPEN,
+    gap_extend: float = dp.DEFAULT_GAP_EXTEND,
+    max_len: int = 4096,
+) -> List[np.ndarray]:
+    """Align many groups of regions following a shared merge plan.
+
+    groups[k][s] is the (possibly empty) match-space-oriented code array of
+    sequence s in gap region k.  Returns per-group boolean alignment
+    matrices [n_seqs, n_cols].  Groups exceeding max_len fall back to
+    unaligned block emission (--max-gapped-aligner-length semantics,
+    src/mauveAligner.cpp:675-676).
+    """
+    n_groups = len(groups)
+    if n_groups == 0:
+        return []
+    n_seqs = len(groups[0])
+    if plan is None:
+        plan = chain_plan(n_seqs)
+    results: List[Optional[np.ndarray]] = [None] * n_groups
+    state: List[Dict[NodeId, List[Row]]] = []
+    for k, regs in enumerate(groups):
+        st: Dict[NodeId, List[Row]] = {}
+        for s, r in enumerate(regs):
+            if len(r) > 0:
+                st[s] = [(s, np.asarray(r), np.ones(len(r), bool))]
+        state.append(st)
+        if any(len(r) > max_len for r in regs):
+            results[k] = _unaligned_blocks(regs)
+
+    for node, left, right in plan:
+        jobs = []  # (k, rowsA, rowsB, nA, nB)
+        for k in range(n_groups):
+            if results[k] is not None:
+                continue
+            st = state[k]
+            A, B = st.pop(left, None), st.pop(right, None)
+            if A is None and B is None:
+                continue
+            if A is None or B is None:
+                st[node] = A if B is None else B
+                continue
+            nA, nB = len(A[0][2]), len(B[0][2])
+            if nA > max_len or nB > max_len:
+                results[k] = _unaligned_blocks(groups[k])
+                continue
+            jobs.append((k, A, B, nA, nB))
+        if not jobs:
+            continue
+        ops_all = _batched_profile_pair_align(
+            [( _profile_of(A, nA), nA, _profile_of(B, nB), nB) for _, A, B, nA, nB in jobs],
+            subst,
+            gap_open,
+            gap_extend,
+        )
+        for (k, A, B, nA, nB), ops in zip(jobs, ops_all):
+            consumes_a = (ops == dp.OP_DIAG) | (ops == dp.OP_UP)
+            consumes_b = (ops == dp.OP_DIAG) | (ops == dp.OP_LEFT)
+            state[k][node] = _expand(A, ops, consumes_a) + _expand(B, ops, consumes_b)
+
+    for k in range(n_groups):
+        if results[k] is not None:
+            continue
+        st = state[k]
+        if not st:
+            results[k] = np.zeros((n_seqs, 0), dtype=bool)
+            continue
+        rows = max(st.values(), key=lambda rs: len(rs))
+        n_cols = len(rows[0][2]) if rows else 0
+        aln = np.zeros((n_seqs, n_cols), dtype=bool)
+        placed = set()
+        for seq, _, row in rows:
+            aln[seq] = row
+            placed.add(seq)
+        # any sequence whose region never merged (shouldn't happen with a
+        # complete plan) falls back to unaligned emission
+        leftovers = [
+            s
+            for other in st.values()
+            if other is not rows
+            for (s, _, _) in other
+            if s not in placed
+        ]
+        if leftovers:
+            extra_blocks = [aln]
+            for s in leftovers:
+                r = groups[k][s]
+                block = np.zeros((n_seqs, len(r)), dtype=bool)
+                block[s] = True
+                extra_blocks.append(block)
+            aln = np.concatenate(extra_blocks, axis=1)
+        results[k] = aln
+    return results  # type: ignore[return-value]
+
+
+def align_region_groups(
+    groups: Sequence[Sequence[np.ndarray]],
+    subst: np.ndarray = dp.HOXD70,
+    gap_open: float = dp.DEFAULT_GAP_OPEN,
+    gap_extend: float = dp.DEFAULT_GAP_EXTEND,
+    max_len: int = 4096,
+) -> List[np.ndarray]:
+    """Star-progressive closure (MauveAligner mode)."""
+    return hierarchical_align_region_groups(
+        groups, None, subst, gap_open, gap_extend, max_len
+    )
+
+
+def _batched_profile_pair_align(
+    pairs: List[Tuple[np.ndarray, int, np.ndarray, int]],
     subst: np.ndarray,
     gap_open: float,
     gap_extend: float,
     memory_budget_bytes: int = 1 << 29,
 ) -> List[np.ndarray]:
-    """Bucket (profile, sequence) pairs and run batched Gotoh."""
-    results: List[Optional[np.ndarray]] = [None] * len(profs)
-    groups: dict = {}
-    for i in range(len(profs)):
-        M = _bucket_of(lens_a[i])
-        N = _bucket_of(lens_b[i])
-        groups.setdefault((M, N), []).append(i)
-    for (M, N), idxs in groups.items():
+    """Bucket (profileA, profileB) pairs and run batched Gotoh."""
+    results: List[Optional[np.ndarray]] = [None] * len(pairs)
+    buckets: dict = {}
+    for i, (_, la, _, lb) in enumerate(pairs):
+        side = _bucket_of(max(la, lb))
+        buckets.setdefault(side, []).append(i)
+    for side, idxs in buckets.items():
+        M = N = side
         per_elt = 5 * (M + N + 1) * (M + 1) + 4 * M * N
         bmax = max(1, min(128, memory_budget_bytes // per_elt))
         for off in range(0, len(idxs), bmax):
@@ -167,9 +226,10 @@ def _batched_profile_align(
             la = np.zeros(B, np.int32)
             lb = np.zeros(B, np.int32)
             for j, i in enumerate(chunk):
-                pa[j, : lens_a[i]] = profs[i][: lens_a[i]]
-                pb[j] = dp.one_hot_profile(seqs_b[i], N)
-                la[j], lb[j] = lens_a[i], lens_b[i]
+                prof_a, len_a, prof_b, len_b = pairs[i]
+                pa[j, :len_a] = prof_a[:len_a]
+                pb[j, :len_b] = prof_b[:len_b]
+                la[j], lb[j] = len_a, len_b
             ops_list, _ = dp.align_profiles_batch(pa, pb, la, lb, subst, gap_open, gap_extend)
             for j, i in enumerate(chunk):
                 results[i] = ops_list[j]

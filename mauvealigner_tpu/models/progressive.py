@@ -1,0 +1,251 @@
+"""ProgressiveMauve: guide-tree progressive alignment with homology backbone.
+
+Pipeline parity with doAlignment in src/progressiveMauve.cpp:265-723:
+
+  1. coding-family spaced seeds by default (LoadSMLs(..., CODING_SEED),
+     src/progressiveMauve.cpp:446-451), weight defaulted from average length;
+  2. match finding: unique multi-MUMs (UniqueMatchFinder for >4 sequences,
+     PairwiseMatchFinder otherwise, src/progressiveMauve.cpp:489-502); an
+     optional seed-family pass searches all three family members
+     longest-first (src/progressiveMauve.cpp:504-548);
+  3. NJ guide tree from match-coverage distances (MuscleInterface::CreateTree
+     equivalent; input/output guide tree files supported,
+     src/progressiveMauve.cpp:689-692);
+  4. LCBs via greedy breakpoint elimination with a scaled penalty
+     (setBreakpointPenalty / scaling defaults 0.5/0.5,
+     src/progressiveMauve.cpp:592,626-637) — round 1 uses the Mauve weight
+     rule scaled by the conservation factor;
+  5. recursive anchoring + gapped closure ordered by the guide tree
+     (per-node profile alignment);
+  6. homology-HMM backbone detection and application with the documented
+     defaults pgh=1e-5 pgu=1e-9 identity=0.7 island_gap=20
+     (src/progressiveMauve.cpp:319-322) and GC adaptation; `.backbone` and
+     `.bbcols` outputs (applyBackbone, src/progressiveMauve.cpp:226-260).
+
+Determinism: all randomness flows from DEFAULT_RANDOM_SEED=37
+(SetTwisterSeed(37), src/progressiveMauve.cpp:355).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from mauvealigner_tpu.analysis import backbone as bb
+from mauvealigner_tpu.analysis.distance import coverage_distance_matrix
+from mauvealigner_tpu.analysis.tree import TreeNode, neighbor_joining, parse_newick, write_newick
+from mauvealigner_tpu.core.interval import IntervalList
+from mauvealigner_tpu.core.match import MatchList
+from mauvealigner_tpu.core.sml import build_sml, load_sml
+from mauvealigner_tpu.genome.sequence import Genome
+from mauvealigner_tpu.models import closure
+from mauvealigner_tpu.models.aligner import AlignerOptions, MauveAligner
+from mauvealigner_tpu.models.lcb import LCB, greedy_breakpoint_elimination
+from mauvealigner_tpu.ops import dp, matchops
+from mauvealigner_tpu.seeds import CODING_SEED, default_seed_weight, get_seed, seed_family
+
+
+@dataclasses.dataclass
+class ProgressiveOptions:
+    seed_weight: int = 0              # 0 = default_seed_weight(avg len)
+    solid_seeds: bool = False
+    coding_seeds: bool = True         # reference default (LoadSMLs CODING_SEED)
+    seed_family: bool = False
+    collinear: bool = False
+    breakpoint_penalty: Optional[float] = None
+    conservation_scale: float = 0.5   # setConservationDistanceScale default
+    breakpoint_scale: float = 0.5     # setBreakpointDistanceScale default
+    recursive: bool = True
+    gapped: bool = True
+    max_gapped_len: int = 4096
+    refine: bool = True               # iterative refinement (round 1: no-op)
+    skip_backbone: bool = False
+    island_gap_size: int = 20         # src/progressiveMauve.cpp:322
+    hmm_identity: float = 0.7         # :321
+    hmm_p_go_homologous: float = 1e-5  # :319
+    hmm_p_go_unrelated: float = 1e-9   # :320
+    input_guide_tree: Optional[str] = None
+    output_guide_tree: Optional[str] = None
+    gap_open: float = dp.DEFAULT_GAP_OPEN
+    gap_extend: float = dp.DEFAULT_GAP_EXTEND
+    use_sml_cache: bool = True
+
+
+@dataclasses.dataclass
+class ProgressiveResult:
+    interval_list: IntervalList
+    lcbs: List[LCB]
+    mums: MatchList
+    guide_tree: TreeNode
+    backbone_rows: List[np.ndarray]
+    backbone_segments: List
+
+
+class ProgressiveMauve:
+    def __init__(self, options: Optional[ProgressiveOptions] = None):
+        self.options = options or ProgressiveOptions()
+
+    def _seed_rank(self) -> int:
+        o = self.options
+        if o.solid_seeds:
+            from mauvealigner_tpu.seeds import SOLID_SEED
+
+            return SOLID_SEED
+        return CODING_SEED if o.coding_seeds else 0
+
+    def find_matches(self, genomes: Sequence[Genome]) -> MatchList:
+        o = self.options
+        avg = int(np.mean([len(g) for g in genomes]))
+        weight = o.seed_weight or default_seed_weight(avg)
+        self._seed_weight = weight
+        if o.seed_family:
+            # search with all three spaced family members, longest first
+            # (src/progressiveMauve.cpp:504-548); results are merged+deduped
+            ml: Optional[MatchList] = None
+            for seed in seed_family(weight):
+                smls = [build_sml(g, seed) for g in genomes]
+                cur = matchops.find_multi_mums(genomes, smls)
+                ml = cur if ml is None else ml.concat(cur).dedup()
+            return ml if ml is not None else MatchList.empty(len(genomes))
+        seed = get_seed(weight, self._seed_rank())
+        smls = [
+            load_sml(g, seed) if o.use_sml_cache and g.filename else build_sml(g, seed)
+            for g in genomes
+        ]
+        return matchops.find_multi_mums(genomes, smls)
+
+    def guide_tree(self, genomes: Sequence[Genome], ml: MatchList) -> TreeNode:
+        o = self.options
+        if o.input_guide_tree:
+            with open(o.input_guide_tree) as fh:
+                tree = parse_newick(fh.read())
+            # leaf names may be filenames; map to indices by order
+            for i, leaf in enumerate(tree.leaves()):
+                if not leaf.name.isdigit():
+                    leaf.name = str(i)
+            return tree
+        dist = coverage_distance_matrix(ml, [len(g) for g in genomes])
+        tree = neighbor_joining(dist, [str(i) for i in range(len(genomes))])
+        if o.output_guide_tree:
+            with open(o.output_guide_tree, "w") as fh:
+                fh.write(write_newick(tree) + "\n")
+        return tree
+
+    def _breakpoint_penalty(self, genomes: Sequence[Genome]) -> float:
+        o = self.options
+        if o.collinear:
+            return -1.0
+        if o.breakpoint_penalty is not None:
+            return o.breakpoint_penalty
+        # Mauve weight rule scaled by the breakpoint distance factor
+        return self._seed_weight * 3 * len(genomes) * (o.breakpoint_scale + o.conservation_scale)
+
+    def align(self, genomes: Sequence[Genome]) -> ProgressiveResult:
+        o = self.options
+        ml = self.find_matches(genomes)
+        tree = self.guide_tree(genomes, ml)
+
+        # LCB structure over full-multiplicity anchors (subset-LCB support is
+        # recovered by the backbone application step)
+        inner = MauveAligner(
+            AlignerOptions(
+                seed_size=self._seed_weight,
+                lcb_weight=None if o.collinear else self._breakpoint_penalty(genomes),
+                collinear=o.collinear,
+                recursive=o.recursive,
+                gapped=o.gapped,
+                max_gapped_len=o.max_gapped_len,
+                gap_open=o.gap_open,
+                gap_extend=o.gap_extend,
+                use_sml_cache=o.use_sml_cache,
+            )
+        )
+        inner._seed_weight = self._seed_weight
+        nway = ml.multiplicity_filter(len(genomes))
+        anchors, lcbs = inner.determine_lcbs(genomes, nway)
+        if o.recursive:
+            anchors, lcbs = inner.recursive_anchor(genomes, anchors, lcbs)
+        # closure ordered by the guide tree
+        plan = closure.tree_plan(tree)
+        ivl = self._build_intervals_with_plan(inner, genomes, anchors, lcbs, plan)
+        ivl.add_unaligned_intervals()
+
+        backbone_rows: List[np.ndarray] = []
+        segments: List = []
+        if not o.skip_backbone and len(genomes) >= 2:
+            gc = bb.compute_gc(genomes)
+            params = bb.adapted_params(
+                gc,
+                identity=o.hmm_identity,
+                go_homologous=o.hmm_p_go_homologous,
+                go_unrelated=o.hmm_p_go_unrelated,
+            )
+            segments = bb.detect_backbone(ivl, params, o.island_gap_size)
+            rows = bb.backbone_seq_coordinates(ivl, segments)
+            rows = bb.merge_coordinate_rows(rows)
+            rows = bb.add_unique_segments(rows, ivl, [len(g) for g in genomes])
+            backbone_rows = rows
+            ivl = bb.apply_backbone(ivl, segments)
+        return ProgressiveResult(ivl, lcbs, ml, tree, backbone_rows, segments)
+
+    def _build_intervals_with_plan(self, inner, genomes, ml, lcbs, plan) -> IntervalList:
+        """build_intervals with a guide-tree merge plan for the closure."""
+        import numpy as np
+
+        from mauvealigner_tpu.core.interval import Interval
+
+        o = self.options
+        n = len(genomes)
+        gap_groups, gap_ref, per_lcb = [], [], []
+        for li, lcb in enumerate(lcbs):
+            sub = ml.select(lcb.match_indices)
+            per_lcb.append(sub)
+            for a in range(len(sub) - 1):
+                specs = inner._gap_regions(genomes, sub, a, a + 1)
+                regions = [inner._extract_region(genomes[g], *specs[g]) for g in range(n)]
+                gap_groups.append(regions)
+                gap_ref.append((li, a))
+        if o.gapped and gap_groups:
+            gap_alns = closure.hierarchical_align_region_groups(
+                gap_groups,
+                plan,
+                gap_open=o.gap_open,
+                gap_extend=o.gap_extend,
+                max_len=o.max_gapped_len,
+            )
+        else:
+            gap_alns = [closure._unaligned_blocks(g) for g in gap_groups]
+        gap_table = dict(zip(gap_ref, gap_alns))
+        intervals = []
+        for li, lcb in enumerate(lcbs):
+            sub = per_lcb[li]
+            if len(sub) == 0:
+                continue
+            blocks = [np.ones((n, int(sub.lengths[0])), dtype=bool)]
+            for a in range(len(sub) - 1):
+                aln = gap_table[(li, a)]
+                if aln.shape[1]:
+                    blocks.append(aln)
+                blocks.append(np.ones((n, int(sub.lengths[a + 1])), dtype=bool))
+            aln_full = np.concatenate(blocks, axis=1)
+            starts = np.zeros(n, np.int64)
+            for g in range(n):
+                comps = sub.starts[:, g]
+                strand = 1 if comps[0] > 0 else -1
+                starts[g] = strand * int(np.abs(comps).min())
+            intervals.append(Interval(starts, aln_full))
+        return IntervalList(genomes=list(genomes), intervals=intervals)
+
+    def write_outputs(self, result: ProgressiveResult, output_prefix: str) -> None:
+        """XMFA + .backbone + .bbcols (src/progressiveMauve.cpp:245-259,722)."""
+        bb_name = output_prefix + ".backbone"
+        cols_name = output_prefix + ".bbcols"
+        if result.backbone_rows:
+            bb.write_backbone_seq_file(
+                result.backbone_rows, bb_name, result.interval_list.n_seqs
+            )
+            bb.write_backbone_cols_file(result.backbone_segments, cols_name)
+            result.interval_list.backbone_filename = cols_name
+        result.interval_list.write_xmfa(output_prefix)

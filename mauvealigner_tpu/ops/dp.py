@@ -268,8 +268,10 @@ def align_sequence_pairs(
             raise ValueError(
                 f"region {idx} ({len(a)}x{len(b)}) exceeds the largest DP bucket {buckets[-1]}"
             )
-        key = (_bucket(len(a), buckets), _bucket(len(b), buckets))
-        groups.setdefault(key, []).append(idx)
+        # square buckets: one compiled shape per size class (compile time on
+        # the TPU tunnel dominates; wasted pad FLOPs are cheaper)
+        side = _bucket(max(len(a), len(b)), buckets)
+        groups.setdefault((side, side), []).append(idx)
     for (M, N), idxs in groups.items():
         # per-element device footprint: H_all f32 + dec u8 ((M+N+1)*(M+1)*5B)
         # plus the score matrix S f32 (4*M*N)
