@@ -301,10 +301,15 @@ def extend_matches_maximal(
             if grow.any():
                 fwd = starts > 0
                 rev = starts < 0
+                ext_b = np.broadcast_to(ext[:, None], starts.shape)
                 if side == "right":
-                    starts[rev & grow[:, None]] -= np.broadcast_to(ext[:, None], starts.shape)[rev & grow[:, None]]
+                    # reverse comps grow leftward in genome coords: |start|
+                    # decreases, i.e. the negative start moves toward zero
+                    sel = rev & grow[:, None]
+                    starts[sel] += ext_b[sel]
                 else:
-                    starts[fwd & grow[:, None]] -= np.broadcast_to(ext[:, None], starts.shape)[fwd & grow[:, None]]
+                    sel = fwd & grow[:, None]
+                    starts[sel] -= ext_b[sel]
                 lengths += ext
             active = full
     out = MatchList(starts, lengths)

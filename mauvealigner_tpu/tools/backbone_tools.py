@@ -1,0 +1,211 @@
+"""Backbone / island analysis tools (SURVEY.md §2.2 'Backbone / island').
+
+Function-per-reference-tool over backbone coordinate rows (.backbone files,
+one signed [left,right] pair per sequence per row).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, TextIO, Tuple
+
+import numpy as np
+
+from mauvealigner_tpu.core.interval import IntervalList
+from mauvealigner_tpu.genome.sequence import Genome
+
+
+# -- bbFilter (src/bbFilter.cpp:47-53) --------------------------------------
+
+def bb_filter(
+    rows: Sequence[np.ndarray],
+    min_length: int = 20,
+    independence_distance: int = 0,
+) -> List[np.ndarray]:
+    """Drop segments shorter than min_length nt in every member sequence
+    (<20nt filter, src/bbFilter.cpp:21-37); optionally enforce a minimum
+    distance between reported segments (min-independence)."""
+    out: List[np.ndarray] = []
+    last_end: Optional[np.ndarray] = None
+    for r in rows:
+        members = r[::2] != 0
+        lens = np.abs(r[1::2]) - np.abs(r[::2]) + 1
+        if not members.any():
+            continue
+        if lens[members].max() < min_length:
+            continue
+        if independence_distance and last_end is not None:
+            gaps = np.abs(r[::2]) - last_end
+            if members.any() and np.nanmin(gaps[members].astype(float)) < independence_distance:
+                continue
+        out.append(r)
+        last_end = np.abs(r[1::2])
+    return out
+
+
+def presence_absence_matrix(rows: Sequence[np.ndarray], n_seqs: int) -> np.ndarray:
+    """Binary segment-by-genome presence matrix (BEAST/GenoPlast input)."""
+    m = np.zeros((len(rows), n_seqs), np.int8)
+    for i, r in enumerate(rows):
+        m[i] = (r[::2] != 0).astype(np.int8)
+    return m
+
+
+def write_beast_xml(matrix: np.ndarray, names: Sequence[str], out: TextIO) -> None:
+    """Minimal BEAST-style binary alignment block (bbFilter 'beast' mode)."""
+    out.write("<beast>\n  <alignment dataType=\"binary\">\n")
+    for j in range(matrix.shape[1]):
+        name = names[j] if j < len(names) else f"seq{j}"
+        chars = "".join(str(int(v)) for v in matrix[:, j])
+        out.write(f'    <sequence taxon="{name}">{chars}</sequence>\n')
+    out.write("  </alignment>\n</beast>\n")
+
+
+def write_genoplast(matrix: np.ndarray, names: Sequence[str], out: TextIO) -> None:
+    out.write("\t".join(names) + "\n")
+    for i in range(matrix.shape[0]):
+        out.write("\t".join(str(int(v)) for v in matrix[i]) + "\n")
+
+
+# -- backbone_global_to_local (src/backbone_global_to_local.cpp:13) ---------
+
+def backbone_global_to_local(
+    rows: Sequence[np.ndarray], genomes: Sequence[Genome]
+) -> List[List[Tuple[str, int, int]]]:
+    """Rewrite coords as (contig_name, local_left, local_right) per seq."""
+    out = []
+    for r in rows:
+        row_entries: List[Tuple[str, int, int]] = []
+        for s, g in enumerate(genomes):
+            l, rr = int(abs(r[2 * s])), int(abs(r[2 * s + 1]))
+            if l == 0:
+                row_entries.append(("", 0, 0))
+                continue
+            ci, lloc = g.global_to_local(l)
+            cj, rloc = g.global_to_local(min(rr, len(g)))
+            name = g.contigs[ci].name
+            if ci != cj:
+                # segment spans contigs: clamp to the first
+                rloc = g.contigs[ci].length
+            row_entries.append((name, lloc, rloc))
+        out.append(row_entries)
+    return out
+
+
+# -- calculateBackboneCoverage (src/calculateBackboneCoverage.cpp:22) -------
+
+def backbone_coverage(rows: Sequence[np.ndarray], seq_lengths: Sequence[int]) -> np.ndarray:
+    """Fraction of each genome covered by backbone segments."""
+    n = len(seq_lengths)
+    out = np.zeros(n)
+    for s in range(n):
+        if seq_lengths[s] == 0:
+            continue
+        covered = np.zeros(seq_lengths[s] + 2, bool)
+        for r in rows:
+            l, rr = int(abs(r[2 * s])), int(abs(r[2 * s + 1]))
+            if l:
+                covered[l : rr + 1] = True
+        out[s] = covered[1 : seq_lengths[s] + 1].mean()
+    return out
+
+
+# -- extractBackbone (src/extractBackbone.cpp:21) ---------------------------
+
+def extract_backbone_sequences(
+    rows: Sequence[np.ndarray], genomes: Sequence[Genome]
+) -> List[List[str]]:
+    """Per row: the segment's sequence in every member genome."""
+    out = []
+    for r in rows:
+        seqs = []
+        for s, g in enumerate(genomes):
+            l, rr = int(r[2 * s]), int(r[2 * s + 1])
+            if l == 0:
+                seqs.append("")
+                continue
+            length = abs(rr) - abs(l) + 1
+            seqs.append(g.subseq_signed(l if l > 0 else -abs(l), length))
+        out.append(seqs)
+    return out
+
+
+def write_backbone_mfa(
+    rows: Sequence[np.ndarray], genomes: Sequence[Genome], out: TextIO, width: int = 80
+) -> None:
+    """createBackboneMFA: concatenated backbone regions per genome as MFA
+    (src/createBackboneMFA.cpp:14)."""
+    n = len(genomes)
+    for s in range(n):
+        chunks = []
+        for r in rows:
+            l, rr = int(r[2 * s]), int(r[2 * s + 1])
+            if l == 0:
+                continue
+            length = abs(rr) - abs(l) + 1
+            chunks.append(genomes[s].subseq_signed(l, length))
+        out.write(f">{genomes[s].name or f'seq{s}'}\n")
+        text = "".join(chunks)
+        for c in range(0, len(text), width):
+            out.write(text[c : c + width] + "\n")
+
+
+# -- getOrthologList (src/getOrthologList.cpp:77) ---------------------------
+
+def ortholog_list(
+    ivs: IntervalList,
+    rows: Sequence[np.ndarray],
+    annotated_seq: int = 0,
+) -> List[dict]:
+    """Positional ortholog CDS table: for every CDS of the annotated genome,
+    the orthologous coordinates in each other genome via backbone overlap
+    (CDS scan src/getOrthologList.cpp:115-120)."""
+    genome = ivs.genomes[annotated_seq]
+    out = []
+    for feat in genome.features:
+        if feat.kind != "CDS":
+            continue
+        entry = {"name": feat.name, "start": feat.start, "end": feat.end, "orthologs": {}}
+        for r in rows:
+            l, rr = abs(int(r[2 * annotated_seq])), abs(int(r[2 * annotated_seq + 1]))
+            if l == 0 or rr < feat.start or l > feat.end:
+                continue
+            for s in range(ivs.n_seqs):
+                if s == annotated_seq or r[2 * s] == 0:
+                    continue
+                entry["orthologs"].setdefault(
+                    s, (int(abs(r[2 * s])), int(abs(r[2 * s + 1])))
+                )
+        out.append(entry)
+    return out
+
+
+# -- randomGeneSample (src/randomGeneSample.cpp:36) -------------------------
+
+def random_gene_sample(
+    ortho_list: List[dict], count: int, seed: int = 37
+) -> List[dict]:
+    rng = np.random.default_rng(seed)
+    if count >= len(ortho_list):
+        return list(ortho_list)
+    idx = sorted(rng.choice(len(ortho_list), size=count, replace=False))
+    return [ortho_list[i] for i in idx]
+
+
+# -- pairCompare (src/pairCompare.cpp:19-60) --------------------------------
+
+def pair_compare(
+    ivs: IntervalList, genomes: Sequence[Genome], rows: Sequence[np.ndarray] = ()
+) -> dict:
+    """NT identity, backbone fraction and LCB count for a pairwise alignment."""
+    from mauvealigner_tpu.analysis.distance import identity_matrix
+
+    ident = identity_matrix(ivs, genomes)
+    n_lcbs = sum(1 for iv in ivs.intervals if iv.multiplicity() >= 2)
+    bb_frac = (
+        backbone_coverage(rows, [len(g) for g in genomes]).mean() if rows else 0.0
+    )
+    return {
+        "identity": float(ident[0, 1]) if ivs.n_seqs >= 2 else 1.0,
+        "lcb_count": n_lcbs,
+        "backbone_fraction": float(bb_frac),
+    }

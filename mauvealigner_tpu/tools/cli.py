@@ -1,0 +1,958 @@
+"""CLI registry: every reference tool as a subcommand.
+
+Usage:  python -m mauvealigner_tpu.tools <toolName> [args...]
+        python -m mauvealigner_tpu.tools --list
+
+Tool names match the reference binaries (SURVEY.md §2.1/§2.2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+from typing import Callable, Dict, List
+
+import numpy as np
+
+from mauvealigner_tpu.core.interval import IntervalList
+from mauvealigner_tpu.tools.common import load_genome, load_genomes, open_out
+
+TOOLS: Dict[str, Callable[[List[str]], int]] = {}
+
+
+def tool(name: str):
+    def deco(fn):
+        TOOLS[name] = fn
+        return fn
+
+    return deco
+
+
+def _read_alignment(path: str, seq_files: List[str]) -> IntervalList:
+    genomes = load_genomes(seq_files) if seq_files else None
+    ivl = IntervalList.read_xmfa(path, genomes=genomes)
+    if genomes is None and any(ivl.seq_filenames):
+        try:
+            ivl.genomes = load_genomes(ivl.seq_filenames)
+        except OSError:
+            pass
+    return ivl
+
+
+# ---------------------------------------------------------------- flagship
+
+@tool("mauveAligner")
+def mauve_aligner_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="mauveAligner",
+        description="Multi-genome alignment via unique multi-MUM anchoring "
+        "(reference: src/mauveAligner.cpp)",
+    )
+    p.add_argument("seqs", nargs="+", help="sequence files (FASTA/GenBank/raw)")
+    p.add_argument("--output", default="-", help="match list output")
+    p.add_argument("--output-alignment", default="", help="XMFA output file")
+    p.add_argument("--mums", action="store_true", help="find MUMs only, no alignment")
+    p.add_argument("--seed-size", type=int, default=0)
+    p.add_argument(
+        "--seed-type",
+        default="spaced",
+        choices=["solid", "coding", "spaced", "spaced1", "spaced2"],
+    )
+    p.add_argument("--weight", type=float, default=None, help="minimum LCB weight")
+    p.add_argument("--no-recursion", action="store_true")
+    p.add_argument("--no-gapped-alignment", action="store_true")
+    p.add_argument("--collinear", action="store_true")
+    p.add_argument("--no-nway-filter", action="store_true", help="keep subset matches")
+    p.add_argument("--max-gapped-aligner-length", type=int, default=4096)
+    p.add_argument("--island-size", type=int, default=0)
+    p.add_argument("--island-output", default="")
+    p.add_argument("--backbone-size", type=int, default=0)
+    p.add_argument("--max-backbone-gap", type=int, default=0)
+    p.add_argument("--backbone-output", default="")
+    p.add_argument("--id-matrix", default="", help="identity matrix output file")
+    p.add_argument("--permutation-matrix-output", default="")
+    p.add_argument("--alignment-output-format", default="xmfa")
+    a = p.parse_args(argv)
+
+    from mauvealigner_tpu.core import mln
+    from mauvealigner_tpu.models.aligner import AlignerOptions, MauveAligner
+    from mauvealigner_tpu.seeds import CODING_SEED, SOLID_SEED
+
+    rank = {"solid": SOLID_SEED, "coding": CODING_SEED, "spaced": 0, "spaced1": 1, "spaced2": 2}[
+        a.seed_type
+    ]
+    genomes = load_genomes(a.seqs)
+    opts = AlignerOptions(
+        seed_size=a.seed_size,
+        seed_rank=rank,
+        lcb_weight=a.weight,
+        collinear=a.collinear,
+        recursive=not a.no_recursion,
+        gapped=not a.no_gapped_alignment,
+        max_gapped_len=a.max_gapped_aligner_length,
+        nway_filter=not a.no_nway_filter,
+    )
+    aligner = MauveAligner(opts)
+    if a.mums:
+        ml = aligner.find_mums(genomes)
+        with open_out(a.output) as fh:
+            mln.write_match_list(ml, fh, a.seqs, [len(g) for g in genomes])
+        return 0
+    res = aligner.align(genomes)
+    with open_out(a.output) as fh:
+        mln.write_match_list(res.mums, fh, a.seqs, [len(g) for g in genomes])
+    if a.output_alignment:
+        res.interval_list.seq_filenames = list(a.seqs)
+        res.interval_list.write_xmfa(a.output_alignment)
+    if a.id_matrix:
+        from mauvealigner_tpu.analysis.distance import identity_matrix, write_matrix
+
+        write_matrix(identity_matrix(res.interval_list, genomes), a.id_matrix)
+    if a.permutation_matrix_output:
+        from mauvealigner_tpu.tools.convert import lcb_signed_permutations
+
+        with open(a.permutation_matrix_output, "w") as fh:
+            for perm in lcb_signed_permutations(res.lcbs):
+                fh.write("\t".join(str(v) for v in perm) + "\n")
+    if a.island_output and a.island_size:
+        from mauvealigner_tpu.analysis.islands import simple_find_islands
+
+        with open(a.island_output, "w") as fh:
+            for isl in simple_find_islands(res.interval_list, a.island_size):
+                fh.write(
+                    f"{isl.seq_i}\t{isl.left_i}\t{isl.right_i}\t"
+                    f"{isl.seq_j}\t{isl.left_j}\t{isl.right_j}\n"
+                )
+    if a.backbone_output and a.backbone_size:
+        from mauvealigner_tpu.analysis.islands import simple_find_backbone, write_backbone
+
+        segs = simple_find_backbone(
+            res.interval_list, a.backbone_size, a.max_backbone_gap or a.backbone_size
+        )
+        write_backbone(segs, a.backbone_output, len(genomes))
+    return 0
+
+
+@tool("progressiveMauve")
+def progressive_mauve_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="progressiveMauve",
+        description="Progressive multiple genome alignment with homology HMM "
+        "backbone (reference: src/progressiveMauve.cpp)",
+    )
+    p.add_argument("seqs", nargs="+")
+    p.add_argument("--output", required=True, help="XMFA output")
+    p.add_argument("--seed-weight", type=int, default=0)
+    p.add_argument("--solid-seeds", action="store_true")
+    p.add_argument("--coding-seeds", action="store_true")
+    p.add_argument("--seed-family", action="store_true")
+    p.add_argument("--collinear", action="store_true")
+    p.add_argument("--mums", action="store_true")
+    p.add_argument("--skip-gapped-alignment", action="store_true")
+    p.add_argument("--skip-refinement", action="store_true")
+    p.add_argument("--no-backbone", action="store_true")
+    p.add_argument("--backbone-output", default="")
+    p.add_argument("--bbcols-output", default="")
+    p.add_argument("--island-gap-size", type=int, default=20)
+    p.add_argument("--hmm-identity", type=float, default=0.7)
+    p.add_argument("--hmm-p-go-homologous", type=float, default=1e-5)
+    p.add_argument("--hmm-p-go-unrelated", type=float, default=1e-9)
+    p.add_argument("--input-guide-tree", default="")
+    p.add_argument("--output-guide-tree", default="")
+    p.add_argument("--scratch-path-1", default="")
+    p.add_argument("--scratch-path-2", default="")
+    a = p.parse_args(argv)
+
+    from mauvealigner_tpu.core import mln
+    from mauvealigner_tpu.core.sml import register_temp_path
+    from mauvealigner_tpu.models.progressive import ProgressiveMauve, ProgressiveOptions
+
+    for path in (a.scratch_path_1, a.scratch_path_2):
+        if path:
+            register_temp_path(path)
+    genomes = load_genomes(a.seqs)
+    opts = ProgressiveOptions(
+        seed_weight=a.seed_weight,
+        solid_seeds=a.solid_seeds,
+        coding_seeds=a.coding_seeds or not a.solid_seeds,
+        seed_family=a.seed_family,
+        collinear=a.collinear,
+        gapped=not a.skip_gapped_alignment,
+        refine=not a.skip_refinement,
+        skip_backbone=a.no_backbone,
+        island_gap_size=a.island_gap_size,
+        hmm_identity=a.hmm_identity,
+        hmm_p_go_homologous=a.hmm_p_go_homologous,
+        hmm_p_go_unrelated=a.hmm_p_go_unrelated,
+        input_guide_tree=a.input_guide_tree or None,
+        output_guide_tree=a.output_guide_tree or (a.output + ".guide_tree"),
+    )
+    pm = ProgressiveMauve(opts)
+    if a.mums:
+        ml = pm.find_matches(genomes)
+        with open_out(a.output) as fh:
+            mln.write_match_list(ml, fh, a.seqs, [len(g) for g in genomes])
+        return 0
+    res = pm.align(genomes)
+    res.interval_list.seq_filenames = list(a.seqs)
+    from mauvealigner_tpu.analysis import backbone as bbmod
+
+    bb_name = a.backbone_output or (a.output + ".backbone")
+    cols_name = a.bbcols_output or (a.output + ".bbcols")
+    if res.backbone_rows:
+        bbmod.write_backbone_seq_file(res.backbone_rows, bb_name, len(genomes))
+        bbmod.write_backbone_cols_file(res.backbone_segments, cols_name)
+        res.interval_list.backbone_filename = cols_name
+    res.interval_list.write_xmfa(a.output)
+    return 0
+
+
+@tool("scoreAlignment")
+def score_alignment_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="scoreAlignment",
+        description="Score a calculated XMFA against a known-correct one "
+        "(reference: src/scoreAlignment.cpp)",
+    )
+    p.add_argument("correct")
+    p.add_argument("calculated")
+    p.add_argument("seqs", nargs="*", help="sequence files (for lengths)")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.score_alignment import score_alignment
+
+    correct = _read_alignment(a.correct, a.seqs)
+    calculated = _read_alignment(a.calculated, a.seqs)
+    lengths = [len(g) for g in correct.genomes]
+    if not any(lengths):
+        # reconstruct lengths from the correct alignment's coordinates
+        lengths = [
+            max(
+                (int(iv.rights()[s]) for iv in correct.intervals if iv.starts[s] != 0),
+                default=0,
+            )
+            for s in range(correct.n_seqs)
+        ]
+    score = score_alignment(correct, calculated, lengths)
+    sys.stdout.write(score.summary())
+    return 0
+
+
+# ---------------------------------------------------------------- utilities
+
+@tool("uniqueMerCount")
+def unique_mer_count_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="uniqueMerCount")
+    p.add_argument("seq")
+    p.add_argument("--seed-weight", type=int, default=0)
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.core.sml import build_sml
+    from mauvealigner_tpu.seeds import default_mer_size, get_seed
+
+    g = load_genome(a.seq)
+    w = a.seed_weight or default_mer_size(len(g))
+    sml = build_sml(g, get_seed(w, 0))
+    print(sml.unique_mer_count())
+    return 0
+
+
+@tool("gappiness")
+def gappiness_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="gappiness")
+    p.add_argument("alignment")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.convert import gappiness
+
+    print(f"{gappiness(_read_alignment(a.alignment, [])):.6f}")
+    return 0
+
+
+@tool("stripGapColumns")
+def strip_gap_columns_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="stripGapColumns")
+    p.add_argument("alignment")
+    p.add_argument("output")
+    p.add_argument("seqs", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.manipulate import strip_gap_columns
+
+    strip_gap_columns(_read_alignment(a.alignment, a.seqs)).write_xmfa(a.output)
+    return 0
+
+
+@tool("stripSubsetLCBs")
+def strip_subset_lcbs_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="stripSubsetLCBs")
+    p.add_argument("alignment")
+    p.add_argument("output")
+    p.add_argument("--min-seqs", type=int, default=2)
+    p.add_argument("--min-length", type=int, default=1)
+    p.add_argument("--sample", type=int, default=None)
+    p.add_argument("seqs", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.manipulate import strip_subset_lcbs
+
+    strip_subset_lcbs(
+        _read_alignment(a.alignment, a.seqs), a.min_seqs, a.min_length, a.sample
+    ).write_xmfa(a.output)
+    return 0
+
+
+@tool("alignmentProjector")
+def alignment_projector_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="alignmentProjector")
+    p.add_argument("alignment")
+    p.add_argument("output")
+    p.add_argument("--seqs", required=True, help="comma-separated 0-based indices")
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    idx = [int(x) for x in a.seqs.split(",")]
+    from mauvealigner_tpu.tools.manipulate import alignment_projector
+
+    alignment_projector(_read_alignment(a.alignment, a.seq_files), idx).write_xmfa(a.output)
+    return 0
+
+
+@tool("projectAndStrip")
+def project_and_strip_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="projectAndStrip")
+    p.add_argument("alignment")
+    p.add_argument("output")
+    p.add_argument("--seqs", required=True)
+    p.add_argument("--min-seqs", type=int, default=2)
+    p.add_argument("--min-length", type=int, default=1)
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.manipulate import project_and_strip
+
+    idx = [int(x) for x in a.seqs.split(",")]
+    project_and_strip(
+        _read_alignment(a.alignment, a.seq_files), idx, a.min_seqs, a.min_length
+    ).write_xmfa(a.output)
+    return 0
+
+
+@tool("extractSubalignments")
+def extract_subalignments_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="extractSubalignments")
+    p.add_argument("alignment")
+    p.add_argument("output")
+    p.add_argument("--seq", type=int, required=True)
+    p.add_argument("--left", type=int, required=True)
+    p.add_argument("--right", type=int, required=True)
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.manipulate import extract_subalignment
+
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    subs = extract_subalignment(ivl, a.seq, a.left, a.right)
+    out = IntervalList(
+        genomes=ivl.genomes, intervals=subs, seq_filenames=list(ivl.seq_filenames)
+    )
+    out.write_xmfa(a.output)
+    return 0
+
+
+@tool("getAlignmentWindows")
+def get_alignment_windows_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="getAlignmentWindows")
+    p.add_argument("alignment")
+    p.add_argument("output")
+    p.add_argument("--window", type=int, required=True)
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.manipulate import alignment_windows
+
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    wins = alignment_windows(ivl, a.window, a.step)
+    IntervalList(
+        genomes=ivl.genomes, intervals=wins, seq_filenames=list(ivl.seq_filenames)
+    ).write_xmfa(a.output)
+    return 0
+
+
+@tool("joinAlignmentFiles")
+def join_alignment_files_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="joinAlignmentFiles")
+    p.add_argument("output")
+    p.add_argument("alignments", nargs="+")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.manipulate import join_alignment_files
+
+    lists = [_read_alignment(path, []) for path in a.alignments]
+    join_alignment_files(lists).write_xmfa(a.output)
+    return 0
+
+
+@tool("addUnalignedIntervals")
+def add_unaligned_intervals_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="addUnalignedIntervals")
+    p.add_argument("alignment")
+    p.add_argument("output")
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    ivl.add_unaligned_intervals()
+    ivl.write_xmfa(a.output)
+    return 0
+
+
+@tool("coordinateTranslate")
+def coordinate_translate_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="coordinateTranslate")
+    p.add_argument("alignment")
+    p.add_argument("seq", type=int)
+    p.add_argument("position", type=int)
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.manipulate import coordinate_translate
+
+    res = coordinate_translate(_read_alignment(a.alignment, a.seq_files), a.seq, a.position)
+    if res is None:
+        print("unaligned")
+    else:
+        print(f"interval {res[0]} column {res[1]}")
+    return 0
+
+
+# ---------------------------------------------------------------- converters
+
+@tool("xmfa2maf")
+def xmfa2maf_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="xmfa2maf")
+    p.add_argument("xmfa")
+    p.add_argument("maf")
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.convert import xmfa2maf
+
+    with open_out(a.maf) as fh:
+        xmfa2maf(_read_alignment(a.xmfa, a.seq_files), fh)
+    return 0
+
+
+@tool("mfa2xmfa")
+def mfa2xmfa_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="mfa2xmfa")
+    p.add_argument("mfa")
+    p.add_argument("xmfa")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.genome.fasta import read_fasta_records
+    from mauvealigner_tpu.tools.convert import mfa2xmfa
+
+    with open_out(a.xmfa) as fh:
+        mfa2xmfa(read_fasta_records(a.mfa), fh)
+    return 0
+
+
+@tool("mauveToXMFA")
+def mauve_to_xmfa_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="mauveToXMFA")
+    p.add_argument("mln")
+    p.add_argument("xmfa")
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.core.mln import read_interval_list
+
+    genomes = load_genomes(a.seq_files) if a.seq_files else None
+    ivl = read_interval_list(a.mln, genomes)
+    ivl.write_xmfa(a.xmfa)
+    return 0
+
+
+@tool("toMultiFastA")
+def to_multi_fasta_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="toMultiFastA")
+    p.add_argument("alignment")
+    p.add_argument("prefix")
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.convert import to_multi_fasta
+
+    names = to_multi_fasta(_read_alignment(a.alignment, a.seq_files), a.prefix)
+    print("\n".join(names))
+    return 0
+
+
+@tool("toRawSequence")
+def to_raw_sequence_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="toRawSequence")
+    p.add_argument("seq")
+    p.add_argument("raw_out")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.convert import to_raw_sequence
+
+    to_raw_sequence(load_genome(a.seq), a.raw_out)
+    return 0
+
+
+@tool("multiToRawSequence")
+def multi_to_raw_sequence_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="multiToRawSequence")
+    p.add_argument("mfa")
+    p.add_argument("prefix")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.genome.fasta import read_fasta_records
+
+    recs = read_fasta_records(a.mfa)
+    for i, rec in enumerate(recs):
+        rec.seq.tofile(f"{a.prefix}{i}.raw")
+    return 0
+
+
+@tool("toGBKsequence")
+def to_gbk_sequence_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="toGBKsequence")
+    p.add_argument("seq")
+    p.add_argument("gbk_out")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.convert import to_gbk_sequence
+
+    with open_out(a.gbk_out) as fh:
+        to_gbk_sequence(load_genome(a.seq), fh)
+    return 0
+
+
+def _lcbs_from_alignment(ivl: IntervalList):
+    """Interpret each multiplicity>=2 interval as an LCB record."""
+    from mauvealigner_tpu.models.lcb import LCB
+
+    lcbs = []
+    for iv in ivl.intervals:
+        if iv.multiplicity() < 2:
+            continue
+        lcbs.append(
+            LCB(
+                match_indices=np.zeros(0, np.int64),
+                weight=int(iv.n_cols),
+                lefts=iv.lefts(),
+                rights=iv.rights(),
+                strands=np.sign(iv.starts).astype(np.int8),
+            )
+        )
+    return lcbs
+
+
+@tool("toGrimmFormat")
+def to_grimm_format_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="toGrimmFormat")
+    p.add_argument("alignment")
+    p.add_argument("output")
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.convert import to_grimm_format
+
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    with open_out(a.output) as fh:
+        to_grimm_format(_lcbs_from_alignment(ivl), ivl.filenames(), fh)
+    return 0
+
+
+@tool("toEvoHighwayFormat")
+def to_evo_highway_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="toEvoHighwayFormat")
+    p.add_argument("alignment")
+    p.add_argument("output")
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.convert import to_evo_highway_format
+
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    with open_out(a.output) as fh:
+        to_evo_highway_format(
+            _lcbs_from_alignment(ivl), ivl.filenames(), [len(g) for g in ivl.genomes], fh
+        )
+    return 0
+
+
+@tool("makeBadgerMatrix")
+def make_badger_matrix_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="makeBadgerMatrix")
+    p.add_argument("alignment")
+    p.add_argument("output")
+    p.add_argument("--lcb-coordinates", default="")
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.convert import make_badger_matrix
+
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    with open_out(a.output) as fh:
+        coords = open(a.lcb_coordinates, "w") if a.lcb_coordinates else None
+        make_badger_matrix(_lcbs_from_alignment(ivl), fh, coords)
+        if coords:
+            coords.close()
+    return 0
+
+
+@tool("makeMc4Matrix")
+def make_mc4_matrix_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="makeMc4Matrix")
+    p.add_argument("alignment")
+    p.add_argument("output")
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.convert import make_mc4_matrix
+
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    with open_out(a.output) as fh:
+        make_mc4_matrix(_lcbs_from_alignment(ivl), fh)
+    return 0
+
+
+@tool("countInPlaceInversions")
+def count_in_place_inversions_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="countInPlaceInversions")
+    p.add_argument("alignment")
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.convert import count_in_place_inversions
+
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    print(count_in_place_inversions(_lcbs_from_alignment(ivl)))
+    return 0
+
+
+# ---------------------------------------------------------------- backbone
+
+@tool("bbFilter")
+def bb_filter_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="bbFilter")
+    p.add_argument("backbone")
+    p.add_argument("output")
+    p.add_argument("--min-length", type=int, default=20)
+    p.add_argument("--independence", type=int, default=0)
+    p.add_argument("--format", choices=["backbone", "beast", "genoplast"], default="backbone")
+    p.add_argument("--names", default="")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file, write_backbone_seq_file
+    from mauvealigner_tpu.tools.backbone_tools import (
+        bb_filter,
+        presence_absence_matrix,
+        write_beast_xml,
+        write_genoplast,
+    )
+
+    rows = read_backbone_seq_file(a.backbone)
+    filtered = bb_filter(rows, a.min_length, a.independence)
+    n_seqs = len(rows[0]) // 2 if rows else 0
+    names = a.names.split(",") if a.names else [f"seq{i}" for i in range(n_seqs)]
+    with open_out(a.output) as fh:
+        if a.format == "backbone":
+            write_backbone_seq_file(filtered, fh, n_seqs)
+        elif a.format == "beast":
+            write_beast_xml(presence_absence_matrix(filtered, n_seqs), names, fh)
+        else:
+            write_genoplast(presence_absence_matrix(filtered, n_seqs), names, fh)
+    return 0
+
+
+@tool("backbone_global_to_local")
+def backbone_global_to_local_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="backbone_global_to_local")
+    p.add_argument("backbone")
+    p.add_argument("output")
+    p.add_argument("seq_files", nargs="+")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
+    from mauvealigner_tpu.tools.backbone_tools import backbone_global_to_local
+
+    rows = read_backbone_seq_file(a.backbone)
+    genomes = load_genomes(a.seq_files)
+    local = backbone_global_to_local(rows, genomes)
+    with open_out(a.output) as fh:
+        for row in local:
+            fh.write(
+                "\t".join(f"{name}:{l}-{r}" if name else "-" for name, l, r in row) + "\n"
+            )
+    return 0
+
+
+@tool("calculateBackboneCoverage")
+def calculate_backbone_coverage_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="calculateBackboneCoverage")
+    p.add_argument("backbone")
+    p.add_argument("seq_files", nargs="+")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
+    from mauvealigner_tpu.tools.backbone_tools import backbone_coverage
+
+    genomes = load_genomes(a.seq_files)
+    cov = backbone_coverage(read_backbone_seq_file(a.backbone), [len(g) for g in genomes])
+    for i, c in enumerate(cov):
+        print(f"seq{i}\t{c:.6f}")
+    return 0
+
+
+@tool("calculateBackboneCoverage2")
+def calculate_backbone_coverage2_cli(argv: List[str]) -> int:
+    return calculate_backbone_coverage_cli(argv)
+
+
+@tool("calculateCoverage")
+def calculate_coverage_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="calculateCoverage")
+    p.add_argument("alignment")
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.islands import coverage_fraction
+
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    cov = coverage_fraction(ivl, [len(g) for g in ivl.genomes])
+    for i, c in enumerate(cov):
+        print(f"seq{i}\t{c:.6f}")
+    return 0
+
+
+@tool("extractBackbone")
+def extract_backbone_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="extractBackbone")
+    p.add_argument("backbone")
+    p.add_argument("output")
+    p.add_argument("seq_files", nargs="+")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
+    from mauvealigner_tpu.tools.backbone_tools import extract_backbone_sequences
+
+    rows = read_backbone_seq_file(a.backbone)
+    genomes = load_genomes(a.seq_files)
+    seqs = extract_backbone_sequences(rows, genomes)
+    with open_out(a.output) as fh:
+        for i, row in enumerate(seqs):
+            for s, text in enumerate(row):
+                if text:
+                    fh.write(f">segment{i}_seq{s}\n{text}\n")
+    return 0
+
+
+@tool("extractBackbone2")
+def extract_backbone2_cli(argv: List[str]) -> int:
+    return extract_backbone_cli(argv)
+
+
+@tool("createBackboneMFA")
+def create_backbone_mfa_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="createBackboneMFA")
+    p.add_argument("backbone")
+    p.add_argument("output")
+    p.add_argument("seq_files", nargs="+")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
+    from mauvealigner_tpu.tools.backbone_tools import write_backbone_mfa
+
+    with open_out(a.output) as fh:
+        write_backbone_mfa(
+            read_backbone_seq_file(a.backbone), load_genomes(a.seq_files), fh
+        )
+    return 0
+
+
+@tool("unalign")
+def unalign_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="unalign")
+    p.add_argument("alignment")
+    p.add_argument("bbcols")
+    p.add_argument("output")
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.backbone import read_backbone_cols_file
+    from mauvealigner_tpu.tools.manipulate import unalign_islands
+
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    segs = read_backbone_cols_file(a.bbcols)
+    unalign_islands(ivl, segs).write_xmfa(a.output)
+    return 0
+
+
+@tool("getOrthologList")
+def get_ortholog_list_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="getOrthologList")
+    p.add_argument("alignment")
+    p.add_argument("backbone")
+    p.add_argument("output")
+    p.add_argument("seq_files", nargs="+")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
+    from mauvealigner_tpu.tools.backbone_tools import ortholog_list
+
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    rows = read_backbone_seq_file(a.backbone)
+    orthos = ortholog_list(ivl, rows)
+    with open_out(a.output) as fh:
+        for o in orthos:
+            partners = ";".join(
+                f"{s}:{l}-{r}" for s, (l, r) in sorted(o["orthologs"].items())
+            )
+            fh.write(f"{o['name']}\t{o['start']}\t{o['end']}\t{partners}\n")
+    return 0
+
+
+@tool("randomGeneSample")
+def random_gene_sample_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="randomGeneSample")
+    p.add_argument("alignment")
+    p.add_argument("backbone")
+    p.add_argument("output")
+    p.add_argument("--count", type=int, required=True)
+    p.add_argument("seq_files", nargs="+")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
+    from mauvealigner_tpu.tools.backbone_tools import ortholog_list, random_gene_sample
+
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    rows = read_backbone_seq_file(a.backbone)
+    sample = random_gene_sample(ortholog_list(ivl, rows), a.count)
+    with open_out(a.output) as fh:
+        for o in sample:
+            fh.write(f"{o['name']}\t{o['start']}\t{o['end']}\n")
+    return 0
+
+
+@tool("pairCompare")
+def pair_compare_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="pairCompare")
+    p.add_argument("alignments", nargs="+", help="pairwise xmfa files")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.tools.backbone_tools import pair_compare
+
+    for path in a.alignments:
+        ivl = _read_alignment(path, [])
+        stats = pair_compare(ivl, ivl.genomes)
+        print(f"{path}\t{json.dumps(stats)}")
+    return 0
+
+
+# ---------------------------------------------------------------- contigs
+
+@tool("sortContigs")
+def sort_contigs_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="sortContigs",
+        description="Reorder/orient draft contigs against a reference "
+        "(reference: src/sortContigs.cpp)",
+    )
+    p.add_argument("reference")
+    p.add_argument("draft")
+    p.add_argument("--output", default="")
+    p.add_argument("--seed-size", type=int, default=0)
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.genome import write_fasta
+    from mauvealigner_tpu.models.aligner import AlignerOptions, MauveAligner
+    from mauvealigner_tpu.tools.manipulate import contig_placements_from_lcbs, sort_contigs
+
+    ref = load_genome(a.reference)
+    draft = load_genome(a.draft)
+    aligner = MauveAligner(
+        AlignerOptions(seed_size=a.seed_size, gapped=False, recursive=False)
+    )
+    ml = aligner.find_mums([ref, draft])
+    _, lcbs = aligner.determine_lcbs([ref, draft], ml)
+    placements = contig_placements_from_lcbs(draft, lcbs, draft_seq_index=1)
+    reordered, log = sort_contigs(draft, placements)
+    out = a.output or (a.draft + ".reordered")
+    write_fasta(reordered, out)
+    for name, strand in log:
+        print(f"{name}\t{'+' if strand >= 0 else '-'}{'(unplaced)' if strand == 0 else ''}")
+    return 0
+
+
+# ---------------------------------------------------------------- trees
+
+@tool("rootTrees")
+def root_trees_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="rootTrees")
+    p.add_argument("trees", help="file with newick trees, one per line")
+    p.add_argument("output")
+    p.add_argument("--outgroup", required=True, help="comma-separated taxa")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.tree import parse_newick, write_newick
+    from mauvealigner_tpu.tools.tree_tools import root_trees
+
+    trees = [
+        parse_newick(line)
+        for line in open(a.trees)
+        if line.strip() and not line.startswith("#")
+    ]
+    rooted = root_trees(trees, set(a.outgroup.split(",")))
+    with open_out(a.output) as fh:
+        for t in rooted:
+            fh.write(write_newick(t) + "\n")
+    return 0
+
+
+@tool("uniquifyTrees")
+def uniquify_trees_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="uniquifyTrees")
+    p.add_argument("trees")
+    p.add_argument("output")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.tree import parse_newick, write_newick
+    from mauvealigner_tpu.tools.tree_tools import parse_nexus_trees, uniquify_trees
+
+    text = open(a.trees).read()
+    if "#NEXUS" in text.upper() or "begin trees" in text.lower():
+        trees = [t for _, t in parse_nexus_trees(text)]
+    else:
+        trees = [parse_newick(l) for l in text.splitlines() if l.strip()]
+    unique = uniquify_trees(trees)
+    with open_out(a.output) as fh:
+        for t in unique:
+            fh.write(write_newick(t) + "\n")
+    return 0
+
+
+@tool("extractBCITrees")
+def extract_bci_trees_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="extractBCITrees")
+    p.add_argument("trprobs")
+    p.add_argument("output")
+    p.add_argument("--credibility", type=float, default=0.95)
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.tree import write_newick
+    from mauvealigner_tpu.tools.tree_tools import extract_bci_trees
+
+    sampled = extract_bci_trees(open(a.trprobs).read(), a.credibility)
+    with open_out(a.output) as fh:
+        for name, prob, tree in sampled:
+            fh.write(f"[{name} p={prob}] {write_newick(tree)}\n")
+    return 0
+
+
+@tool("checkForLGT")
+def check_for_lgt_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="checkForLGT")
+    p.add_argument("trees")
+    p.add_argument("--group-a", required=True)
+    p.add_argument("--group-b", required=True)
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.tree import parse_newick
+    from mauvealigner_tpu.tools.tree_tools import check_for_lgt
+
+    ga, gb = set(a.group_a.split(",")), set(a.group_b.split(","))
+    for line in open(a.trees):
+        if not line.strip():
+            continue
+        t = parse_newick(line)
+        print("LGT" if check_for_lgt(t, ga, gb) else "clean")
+    return 0
+
+
+# ---------------------------------------------------------------- dispatcher
+
+def main(argv: List[str] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("--list", "-l", "--help", "-h"):
+        print("available tools:")
+        for name in sorted(TOOLS):
+            print(f"  {name}")
+        return 0
+    name = argv[0]
+    if name not in TOOLS:
+        print(f"unknown tool {name!r}; use --list", file=sys.stderr)
+        return 2
+    return TOOLS[name](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,266 @@
+"""Format converters (reference tools, SURVEY.md §2.2 'Format converters').
+
+Each function mirrors one reference tool; the CLI registry in cli.py exposes
+them under the reference names.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Sequence, TextIO, Union
+
+import numpy as np
+
+from mauvealigner_tpu.core.interval import Interval, IntervalList
+from mauvealigner_tpu.genome.sequence import Genome
+from mauvealigner_tpu.models.lcb import LCB
+
+
+# -- xmfa2maf (src/xmfa2maf.cpp) -------------------------------------------
+
+def xmfa2maf(ivs: IntervalList, out: TextIO) -> None:
+    """XMFA -> MAF, splitting blocks at contig boundaries
+    (applyBreakpoints, src/xmfa2maf.cpp:43; MAF emit :46-80)."""
+    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+
+    out.write("##maf version=1 scoring=mauvealigner_tpu\n")
+    for iv in ivs.intervals:
+        present = [s for s in range(iv.n_seqs) if iv.starts[s] != 0]
+        if not present:
+            continue
+        # find split columns: any sequence crossing one of its contig starts
+        split_cols = set()
+        for s in present:
+            g = ivs.genomes[s]
+            if len(g.contigs) <= 1:
+                continue
+            pos = _interval_positions(iv, s)
+            bounds = set(int(b) for b in g.contig_boundaries()[1:])
+            prev = None
+            for c in range(iv.n_cols):
+                p = abs(int(pos[c]))
+                if p and p in bounds:
+                    split_cols.add(c)
+        cuts = sorted(split_cols)
+        ranges = []
+        start = 0
+        for c in cuts:
+            if c > start:
+                ranges.append((start, c))
+            start = c
+        if start < iv.n_cols:
+            ranges.append((start, iv.n_cols))
+        for a, b in ranges:
+            _write_maf_block(ivs, iv, a, b, out)
+
+
+def _write_maf_block(ivs: IntervalList, iv: Interval, a: int, b: int, out: TextIO) -> None:
+    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+
+    lines = []
+    for s in range(iv.n_seqs):
+        if iv.starts[s] == 0 or not iv.aln[s, a:b].any():
+            continue
+        g = ivs.genomes[s]
+        pos = _interval_positions(iv, s)[a:b]
+        nz = pos[pos != 0]
+        strand = "+" if nz[0] > 0 else "-"
+        size = len(nz)
+        src_size = len(g)
+        text = iv.aligned_text(ivs.genomes, s)[a:b]
+        if strand == "+":
+            start0 = int(np.abs(nz).min()) - 1  # MAF: 0-based
+        else:
+            # MAF reverse coords count from the end of the + strand
+            start0 = src_size - int(np.abs(nz).max())
+        name = (ivs.filenames()[s] or f"seq{s}").replace(" ", "_")
+        lines.append(f"s {name} {start0} {size} {strand} {src_size} {text}\n")
+    if lines:
+        out.write("a score=0\n")
+        out.writelines(lines)
+        out.write("\n")
+
+
+# -- mfa2xmfa (src/mfa2xmfa.cpp) -------------------------------------------
+
+def mfa2xmfa(aligned_records: Sequence[Genome], out: TextIO) -> IntervalList:
+    """Aligned MFA (rows of equal width incl. gaps) -> XMFA."""
+    widths = {len(r) for r in aligned_records}
+    if len(widths) != 1:
+        raise ValueError("MFA rows have unequal lengths")
+    n = len(aligned_records)
+    width = widths.pop()
+    aln = np.zeros((n, width), bool)
+    genomes = []
+    for i, rec in enumerate(aligned_records):
+        row = rec.seq != ord("-")
+        aln[i] = row
+        genomes.append(Genome(rec.seq[row], name=rec.name))
+    starts = np.where(aln.any(axis=1), 1, 0).astype(np.int64)
+    ivl = IntervalList(genomes=genomes, intervals=[Interval(starts, aln)])
+    ivl.write_xmfa(out)
+    return ivl
+
+
+# -- toMultiFastA (src/toMultiFastA.cpp) -----------------------------------
+
+def to_multi_fasta(ivs: IntervalList, prefix: str, width: int = 80) -> List[str]:
+    """One gapped MFA file per interval; returns file names."""
+    names = []
+    for k, iv in enumerate(ivs.intervals):
+        fname = f"{prefix}{k}.mfa"
+        with open(fname, "w") as fh:
+            for s in range(iv.n_seqs):
+                if iv.starts[s] == 0:
+                    continue
+                fh.write(f">{ivs.filenames()[s]}\n")
+                text = iv.aligned_text(ivs.genomes, s)
+                for c in range(0, len(text), width):
+                    fh.write(text[c : c + width] + "\n")
+        names.append(fname)
+    return names
+
+
+# -- toRawSequence / multiToRawSequence ------------------------------------
+
+def to_raw_sequence(genome: Genome, out_path: str) -> None:
+    genome.seq.tofile(out_path)
+
+
+def multi_to_raw_sequence(genomes: Sequence[Genome], out_paths: Sequence[str]) -> None:
+    for g, p in zip(genomes, out_paths):
+        g.seq.tofile(p)
+
+
+# -- toGBKsequence (src/toGBKsequence.cpp) ---------------------------------
+
+def to_gbk_sequence(genome: Genome, out: TextIO) -> None:
+    """Minimal GenBank writer."""
+    for c in genome.contigs:
+        out.write(
+            f"LOCUS       {c.name.split()[0]:<16} {c.length} bp    DNA     linear   UNK\n"
+        )
+        out.write(f"DEFINITION  {c.name}\n")
+        out.write("ORIGIN\n")
+        seq = genome.seq[c.offset : c.offset + c.length].tobytes().decode().lower()
+        for i in range(0, len(seq), 60):
+            chunk = seq[i : i + 60]
+            groups = " ".join(chunk[j : j + 10] for j in range(0, len(chunk), 10))
+            out.write(f"{i + 1:>9} {groups}\n")
+        out.write("//\n")
+
+
+# -- signed permutation outputs --------------------------------------------
+
+def lcb_signed_permutations(lcbs: Sequence[LCB]) -> List[List[int]]:
+    """Per genome: LCB ids (1-based) in genome order, negative = inverted
+    (the permutation emission of SetPermutationOutput,
+    src/mauveAligner.cpp:678-686)."""
+    if not lcbs:
+        return []
+    n_seqs = len(lcbs[0].lefts)
+    perms = []
+    for g in range(n_seqs):
+        items = []
+        for k, lcb in enumerate(lcbs):
+            if lcb.lefts[g] == 0:
+                continue
+            items.append((int(lcb.lefts[g]), int(lcb.strands[g]) * (k + 1)))
+        items.sort()
+        perms.append([v for _, v in items])
+    return perms
+
+
+def to_grimm_format(lcbs: Sequence[LCB], names: Sequence[str], out: TextIO) -> None:
+    """GRIMM signed-permutation input (src/toGrimmFormat.cpp:17)."""
+    perms = lcb_signed_permutations(lcbs)
+    for g, perm in enumerate(perms):
+        name = names[g] if g < len(names) else f"genome{g}"
+        out.write(f">{name}\n")
+        out.write(" ".join(str(v) for v in perm) + " $\n")
+
+
+def make_badger_matrix(lcbs: Sequence[LCB], out: TextIO, coords_out: Optional[TextIO] = None) -> None:
+    """BADGER permutation matrix + LCB coordinate file
+    (src/makeBadgerMatrix.cpp:33)."""
+    perms = lcb_signed_permutations(lcbs)
+    for perm in perms:
+        out.write(" ".join(str(v) for v in perm) + "\n")
+    if coords_out is not None:
+        n_seqs = len(lcbs[0].lefts) if lcbs else 0
+        header = "\t".join(f"seq{g}_leftend\tseq{g}_rightend" for g in range(n_seqs))
+        coords_out.write(header + "\n")
+        for lcb in lcbs:
+            cells = []
+            for g in range(n_seqs):
+                sign = int(lcb.strands[g]) or 1
+                cells.append(str(sign * int(lcb.lefts[g])))
+                cells.append(str(sign * int(lcb.rights[g])))
+            coords_out.write("\t".join(cells) + "\n")
+
+
+def make_mc4_matrix(lcbs: Sequence[LCB], out: TextIO) -> None:
+    """MC4 matrix: permutation rows, comma separated (src/makeMc4Matrix.cpp)."""
+    perms = lcb_signed_permutations(lcbs)
+    out.write(f"{len(perms)} {len(lcbs)}\n")
+    for perm in perms:
+        out.write(",".join(str(v) for v in perm) + "\n")
+
+
+def to_evo_highway_format(
+    lcbs: Sequence[LCB], names: Sequence[str], seq_lengths: Sequence[int], out: TextIO
+) -> None:
+    """EvoHighway display segments (src/toEvoHighwayFormat.cpp:40)."""
+    perms = lcb_signed_permutations(lcbs)
+    for g, perm in enumerate(perms):
+        out.write(f"# {names[g] if g < len(names) else f'genome{g}'}\n")
+        for v in perm:
+            k = abs(v) - 1
+            out.write(
+                f"segment {abs(v)} {'-' if v < 0 else '+'} "
+                f"{int(lcbs[k].lefts[g])} {int(lcbs[k].rights[g])}\n"
+            )
+
+
+# -- gappiness (src/gappiness.cpp) -----------------------------------------
+
+def gappiness(ivs: IntervalList) -> float:
+    """Fraction of gap cells among all cells of participating rows."""
+    cells = gaps = 0
+    for iv in ivs.intervals:
+        for s in range(iv.n_seqs):
+            if iv.starts[s] == 0:
+                continue
+            cells += iv.n_cols
+            gaps += iv.n_cols - int(iv.aln[s].sum())
+    return gaps / cells if cells else 0.0
+
+
+# -- countInPlaceInversions (src/countInPlaceInversions.cpp) ---------------
+
+def count_in_place_inversions(lcbs: Sequence[LCB]) -> int:
+    """LCBs inverted relative to the reference genome while retaining their
+    position in the genome order of every sequence."""
+    if not lcbs:
+        return 0
+    n_seqs = len(lcbs[0].lefts)
+    count = 0
+    order_per_seq = []
+    for g in range(n_seqs):
+        order = sorted(
+            (k for k in range(len(lcbs)) if lcbs[k].lefts[g] != 0),
+            key=lambda k: lcbs[k].lefts[g],
+        )
+        order_per_seq.append({k: i for i, k in enumerate(order)})
+    for k, lcb in enumerate(lcbs):
+        strands = [int(lcb.strands[g]) for g in range(n_seqs) if lcb.strands[g] != 0]
+        if len(set(strands)) <= 1:
+            continue  # not inverted anywhere
+        in_place = all(
+            order_per_seq[g].get(k) == order_per_seq[0].get(k)
+            for g in range(1, n_seqs)
+            if lcb.lefts[g] != 0
+        )
+        if in_place:
+            count += 1
+    return count

@@ -1,0 +1,253 @@
+"""Alignment manipulation / projection tools (SURVEY.md §2.2).
+
+Function-per-reference-tool; CLI glue lives in cli.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mauvealigner_tpu.core.interval import Interval, IntervalList
+from mauvealigner_tpu.genome.sequence import Genome
+
+
+# -- stripSubsetLCBs (src/stripSubsetLCBs.cpp:31) ---------------------------
+
+def strip_subset_lcbs(
+    ivs: IntervalList,
+    min_seqs: int,
+    min_length: int,
+    sample: Optional[int] = None,
+    seed: int = 37,
+) -> IntervalList:
+    """Keep blocks covering >= min_seqs sequences with >= min_length columns;
+    optionally random-subsample `sample` of them."""
+    kept = [
+        iv
+        for iv in ivs.intervals
+        if iv.multiplicity() >= min_seqs and iv.n_cols >= min_length
+    ]
+    if sample is not None and sample < len(kept):
+        rng = np.random.default_rng(seed)
+        idx = sorted(rng.choice(len(kept), size=sample, replace=False))
+        kept = [kept[i] for i in idx]
+    return IntervalList(
+        genomes=ivs.genomes, intervals=kept, seq_filenames=list(ivs.seq_filenames)
+    )
+
+
+# -- alignmentProjector (src/alignmentProjector.cpp:30) ---------------------
+
+def alignment_projector(ivs: IntervalList, seq_indices: Sequence[int]) -> IntervalList:
+    return ivs.projection(seq_indices)
+
+
+# -- projectAndStrip (src/projectAndStrip.cpp:33) ---------------------------
+
+def project_and_strip(
+    ivs: IntervalList,
+    seq_indices: Sequence[int],
+    min_seqs: int = 2,
+    min_length: int = 1,
+) -> IntervalList:
+    return strip_subset_lcbs(ivs.projection(seq_indices), min_seqs, min_length)
+
+
+# -- extractSubalignments (src/extractSubalignments.cpp:32) -----------------
+
+def extract_subalignment(
+    ivs: IntervalList, seq: int, left: int, right: int
+) -> List[Interval]:
+    """Sub-blocks covering [left, right] of sequence `seq` (1-based)."""
+    out = []
+    for iv in ivs.intervals:
+        if iv.starts[seq] == 0:
+            continue
+        c1 = _col_at_or_after(iv, seq, left)
+        c2 = _col_at_or_before(iv, seq, right)
+        if c1 is None or c2 is None or c2 < c1:
+            continue
+        sub_aln = iv.aln[:, c1 : c2 + 1]
+        starts = np.zeros(iv.n_seqs, np.int64)
+        from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+
+        for s in range(iv.n_seqs):
+            if iv.starts[s] == 0 or not sub_aln[s].any():
+                continue
+            pos = _interval_positions(iv, s)[c1 : c2 + 1]
+            nz = pos[pos != 0]
+            sign = 1 if nz[0] > 0 else -1
+            starts[s] = sign * int(np.abs(nz).min())
+        keep = sub_aln.any(axis=0)
+        out.append(Interval(starts, sub_aln[:, keep]))
+    return out
+
+
+def _col_at_or_after(iv: Interval, seq: int, pos: int) -> Optional[int]:
+    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+
+    p = np.abs(_interval_positions(iv, seq))
+    cand = np.nonzero((p >= pos) & (p > 0))[0]
+    return int(cand[0]) if len(cand) else None
+
+
+def _col_at_or_before(iv: Interval, seq: int, pos: int) -> Optional[int]:
+    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+
+    p = np.abs(_interval_positions(iv, seq))
+    cand = np.nonzero((p <= pos) & (p > 0))[0]
+    return int(cand[-1]) if len(cand) else None
+
+
+# -- getAlignmentWindows (src/getAlignmentWindows.cpp:26) -------------------
+
+def alignment_windows(
+    ivs: IntervalList, window_cols: int, step_cols: Optional[int] = None
+) -> List[Interval]:
+    """Sliding column windows over every interval."""
+    step = step_cols or window_cols
+    out = []
+    for iv in ivs.intervals:
+        for a in range(0, max(iv.n_cols - window_cols + 1, 1), step):
+            b = min(a + window_cols, iv.n_cols)
+            sub = iv.aln[:, a:b]
+            starts = np.zeros(iv.n_seqs, np.int64)
+            from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+
+            for s in range(iv.n_seqs):
+                if iv.starts[s] == 0 or not sub[s].any():
+                    continue
+                pos = _interval_positions(iv, s)[a:b]
+                nz = pos[pos != 0]
+                starts[s] = (1 if nz[0] > 0 else -1) * int(np.abs(nz).min())
+            out.append(Interval(starts, sub))
+    return out
+
+
+# -- joinAlignmentFiles (src/joinAlignmentFiles.cpp) ------------------------
+
+def join_alignment_files(lists: Sequence[IntervalList]) -> IntervalList:
+    if not lists:
+        raise ValueError("nothing to join")
+    n = lists[0].n_seqs
+    for l in lists[1:]:
+        if l.n_seqs != n:
+            raise ValueError("sequence counts differ between alignment files")
+    return IntervalList(
+        genomes=lists[0].genomes,
+        intervals=[iv for l in lists for iv in l.intervals],
+        seq_filenames=list(lists[0].seq_filenames),
+    )
+
+
+# -- stripGapColumns (src/stripGapColumns.cpp:16) ---------------------------
+
+def strip_gap_columns(ivs: IntervalList) -> IntervalList:
+    return IntervalList(
+        genomes=ivs.genomes,
+        intervals=[iv.strip_gap_columns() for iv in ivs.intervals],
+        seq_filenames=list(ivs.seq_filenames),
+    )
+
+
+# -- coordinateTranslate (src/coordinateTranslate.cpp:16) -------------------
+
+def coordinate_translate(
+    ivs: IntervalList, seq: int, position: int
+) -> Optional[Tuple[int, int]]:
+    """sequence position -> (interval index, column)."""
+    for k, iv in enumerate(ivs.intervals):
+        col = iv.position_to_column(seq, position)
+        if col >= 0:
+            return k, col
+    return None
+
+
+# -- transposeCoordinates (src/transposeCoordinates.cpp:21) -----------------
+
+def transpose_coordinates(ml, regions_per_seq: Sequence[np.ndarray]):
+    """Shift match coordinates by masked-region offsets per sequence."""
+    from mauvealigner_tpu.core.match import MatchList
+    from mauvealigner_tpu.genome.sequence import transpose_positions
+
+    starts = ml.starts.copy()
+    for s in range(ml.n_seqs):
+        starts[:, s] = transpose_positions(
+            starts[:, s], ml.lengths, regions_per_seq[s]
+        )
+    return MatchList(starts, ml.lengths.copy())
+
+
+# -- sortContigs (src/sortContigs.cpp) --------------------------------------
+
+def sort_contigs(
+    draft: Genome, reference_order: List[Tuple[int, int, int]]
+) -> Tuple[Genome, List[Tuple[str, int]]]:
+    """Reorder/orient draft contigs given (contig_index, strand, ref_pos)
+    placements; unplaced contigs are appended (placement loop
+    src/sortContigs.cpp:74-145).  Returns (reordered genome, placement log).
+    """
+    from mauvealigner_tpu.genome.sequence import revcomp_ascii
+
+    placed = sorted(reference_order, key=lambda t: t[2])
+    used = set()
+    parts = []
+    log: List[Tuple[str, int]] = []
+    new_contigs = []
+    offset = 0
+    from mauvealigner_tpu.genome.sequence import Contig
+
+    for idx, strand, _ in placed:
+        if idx in used:
+            continue
+        used.add(idx)
+        c = draft.contigs[idx]
+        chunk = draft.seq[c.offset : c.offset + c.length]
+        if strand < 0:
+            chunk = revcomp_ascii(chunk)
+        parts.append(chunk)
+        new_contigs.append(Contig(c.name, c.length, offset))
+        offset += c.length
+        log.append((c.name, strand))
+    for idx, c in enumerate(draft.contigs):
+        if idx in used:
+            continue
+        parts.append(draft.seq[c.offset : c.offset + c.length])
+        new_contigs.append(Contig(c.name, c.length, offset))
+        offset += c.length
+        log.append((c.name, 0))
+    seq = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    return Genome(seq, contigs=new_contigs, name=draft.name + ".reordered"), log
+
+
+def contig_placements_from_lcbs(
+    draft: Genome, lcbs, draft_seq_index: int, ref_seq_index: int = 0
+) -> List[Tuple[int, int, int]]:
+    """Derive (contig, strand, ref_position) placements from LCBs: each draft
+    contig is placed at the reference position of its heaviest LCB."""
+    best: dict = {}
+    for lcb in lcbs:
+        if lcb.lefts[draft_seq_index] == 0 or lcb.lefts[ref_seq_index] == 0:
+            continue
+        # map via the span midpoint: maximal-match extension can spill a few
+        # chance bases across a contig boundary, so the left edge is unreliable
+        mid = (int(lcb.lefts[draft_seq_index]) + int(lcb.rights[draft_seq_index])) // 2
+        ci, _ = draft.global_to_local(max(1, min(mid, len(draft))))
+        strand = int(lcb.strands[draft_seq_index]) * int(lcb.strands[ref_seq_index]) or 1
+        key = ci
+        score = lcb.weight
+        if key not in best or best[key][0] < score:
+            best[key] = (score, strand, int(lcb.lefts[ref_seq_index]))
+    return [(ci, strand, pos) for ci, (score, strand, pos) in sorted(best.items())]
+
+
+# -- unalign (src/unalign.cpp) ----------------------------------------------
+
+def unalign_islands(ivs: IntervalList, segments) -> IntervalList:
+    """Remove non-backbone (island) sequence from the alignment by applying
+    backbone segments (unalign tool semantics)."""
+    from mauvealigner_tpu.analysis.backbone import apply_backbone
+
+    return apply_backbone(ivs, segments)
