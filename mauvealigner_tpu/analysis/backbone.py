@@ -70,6 +70,7 @@ def adapted_params(
     identity: float = 0.7,
     go_homologous: float = 1e-5,
     go_unrelated: float = 1e-9,
+    denovo: bool = False,
 ) -> HmmParams:
     """GC- and identity-adapted emission distributions
     (getAdaptedHoxdMatrixParameters + adaptToPercentIdentity equivalents).
@@ -83,10 +84,20 @@ def adapted_params(
     gap_h = 0.05
     mism_h = max(1.0 - identity - gap_h, 1e-6)
     emit_h = np.array([identity, mism_h * 2 / 3, mism_h / 3, gap_h])
-    p_bg = 2 * ((gc_content / 2) ** 2 + ((1 - gc_content) / 2) ** 2)
-    gap_u = 0.4
-    match_u = p_bg * (1 - gap_u)
-    mism_u = (1 - gap_u) * (1 - p_bg)
+    if denovo:
+        # de-novo flank extension re-ALIGNS the candidate regions, and a
+        # global aligner manufactures coincidental matches from unrelated
+        # sequence (measured: ~55% match, ~25-45% gap columns for random
+        # inputs).  The unrelated state must absorb that alignment bias; the
+        # gap fraction then carries the discrimination.
+        gap_u = 0.30
+        match_u = 0.55
+        mism_u = 1.0 - gap_u - match_u
+    else:
+        p_bg = 2 * ((gc_content / 2) ** 2 + ((1 - gc_content) / 2) ** 2)
+        gap_u = 0.4
+        match_u = p_bg * (1 - gap_u)
+        mism_u = (1 - gap_u) * (1 - p_bg)
     emit_u = np.array([match_u, mism_u * 0.5, mism_u * 0.5, gap_u])
     emit_h /= emit_h.sum()
     emit_u /= emit_u.sum()

@@ -1,0 +1,390 @@
+"""Repeatoire: de-novo repeat-family detection by chained local multiple
+alignment of a single genome.
+
+Reference: src/repeatoire.cpp (procrastAligner; 11-step roadmap at
+:1819-1830).  Reproduced behaviors:
+
+  * seed matches with multiplicity in [rmin, rmax], optional direct-only
+    projection (SeedMatchEnumerator, src/SeedMatchEnumerator.h:59-141);
+  * seed weight defaults to 0.9x the genome's default weight
+    (LoadSMLs(0.9*defaultWeight), src/repeatoire.cpp:1850);
+  * procrastination: families are processed in decreasing multiplicity order
+    (ProcrastinationQueue max-heap, src/repeatoire.cpp:1413-1469);
+  * chaining of diagonal-consistent seed groups (processChainableMatches,
+    src/repeatoire.cpp:1002-1082) — expressed here as the same run-merge used
+    for multi-MUMs, generalized to k-component repeat tables;
+  * gapped flank extension with the homology HMM, window
+    80*exp(-0.01*multiplicity) (ExtendMatch, src/repeatoire.cpp:1142-1408,
+    window formula :1153), using batched profile DP instead of MUSCLE;
+  * subsumption of lower-multiplicity families covered by processed ones
+    (classification at src/repeatoire.cpp:963-989, simplified to coverage
+    containment);
+  * sum-of-pairs scoring with hoxd scores, gap open -100 extend -20
+    (computeSPScore, src/repeatoire.cpp:1994,2511-2536);
+  * XMFA + XML + `procrast.highest` statistics outputs
+    (writeXmfa/writeXML, src/repeatoire.cpp:1609-1657,2682-2696).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence, TextIO, Tuple, Union
+
+import numpy as np
+
+from mauvealigner_tpu.analysis import backbone as bb
+from mauvealigner_tpu.core.match import NO_MATCH, MatchList
+from mauvealigner_tpu.core.sml import build_sml
+from mauvealigner_tpu.genome.sequence import Genome
+from mauvealigner_tpu.models import closure
+from mauvealigner_tpu.ops import dp, matchops
+from mauvealigner_tpu.seeds import default_seed_weight, get_seed
+
+
+@dataclasses.dataclass
+class RepeatoireOptions:
+    z: int = 0                    # seed weight (--z); 0 = 0.9 * default
+    rmin: int = 2
+    rmax: int = 500
+    only_direct: bool = False
+    extend: bool = True
+    min_length: int = 0           # drop families shorter than this
+    min_multiplicity: int = 2
+    window_base: float = 80.0     # flank window 80*e^(-0.01*multi) (:1153)
+    window_decay: float = 0.01
+    max_extension_rounds: int = 8
+    gap_open: float = -100.0      # hoxd repeat params (:1994)
+    gap_extend: float = -20.0
+    hmm_identity: float = 0.7
+    posterior_threshold: float = 0.5
+    subsume_overlap: float = 0.8  # component coverage fraction -> subsumed
+    onlydirect: bool = False
+
+
+@dataclasses.dataclass
+class RepeatFamily:
+    starts: np.ndarray   # int64 [k] signed 1-based leftmost per component
+    aln: np.ndarray      # bool [k, n_cols]
+    score: float = 0.0
+
+    @property
+    def multiplicity(self) -> int:
+        return len(self.starts)
+
+    @property
+    def n_cols(self) -> int:
+        return self.aln.shape[1]
+
+    def component_lengths(self) -> np.ndarray:
+        return self.aln.sum(axis=1).astype(np.int64)
+
+    def spans(self) -> np.ndarray:
+        """[k, 2] absolute [left, right] per component."""
+        lens = self.component_lengths()
+        lefts = np.abs(self.starts)
+        return np.stack([lefts, lefts + lens - 1], axis=1)
+
+
+class Repeatoire:
+    def __init__(self, options: Optional[RepeatoireOptions] = None):
+        self.options = options or RepeatoireOptions()
+
+    # -- step 1-2: seed matches + chaining ---------------------------------
+    def seed_matches(self, genome: Genome) -> MatchList:
+        o = self.options
+        weight = o.z or max(5, int(round(0.9 * default_seed_weight(len(genome)))))
+        self._seed = get_seed(weight, 0)
+        sml = build_sml(genome, self._seed)
+        groups = matchops.build_seed_groups([sml])
+        return matchops.repeat_matches_from_groups(
+            groups,
+            self._seed.length,
+            min_multi=max(o.rmin, 2),
+            max_multi=o.rmax,
+            only_direct=o.only_direct or o.onlydirect,
+        )
+
+    def chain_seed_matches(self, ml: MatchList, genome: Genome) -> MatchList:
+        """Merge diagonal-consistent consecutive seed groups (the ungapped
+        chaining phase).  Reuses the multi-MUM run-merge on the component
+        table, then extends runs to base-level maximality."""
+        if len(ml) == 0:
+            return ml
+        pos0 = np.where(ml.starts != 0, np.abs(ml.starts) - 1, -1)
+        rel_strand = np.where(ml.starts < 0, 1, 0).astype(np.int8)
+        ref = np.zeros(len(ml), np.int32)  # column 0 = reference component
+        merged = matchops.merge_collinear_runs(pos0, rel_strand, ref, self._seed.length)
+        merged = matchops.extend_matches_maximal(merged, [genome.codes] * merged.n_seqs)
+        return merged.dedup()
+
+    # -- flank window (src/repeatoire.cpp:1153) ----------------------------
+    def flank_window(self, multiplicity: int) -> int:
+        o = self.options
+        return max(4, int(o.window_base * math.exp(-o.window_decay * multiplicity)))
+
+    # -- step 3-5: procrastinated gapped extension --------------------------
+    def build_families(self, genome: Genome, ml: MatchList) -> List[RepeatFamily]:
+        o = self.options
+        fams: List[Tuple[int, int, RepeatFamily]] = []
+        for i in range(len(ml)):
+            comps = ml.starts[i][ml.starts[i] != NO_MATCH]
+            if len(comps) < o.min_multiplicity:
+                continue
+            aln = np.ones((len(comps), int(ml.lengths[i])), bool)
+            fams.append(
+                (len(comps), int(ml.lengths[i]), RepeatFamily(comps.copy(), aln))
+            )
+        # procrastination queue: highest multiplicity first, then longest
+        fams.sort(key=lambda t: (-t[0], -t[1]))
+        covered = np.zeros(len(genome) + 2, dtype=bool)
+        out: List[RepeatFamily] = []
+        for _, _, fam in fams:
+            spans = fam.spans()
+            total = int((spans[:, 1] - spans[:, 0] + 1).sum())
+            already = sum(
+                int(covered[l : r + 1].sum()) for l, r in spans
+            )
+            if total and already / total >= o.subsume_overlap:
+                continue  # subsumed by previously processed families
+            if o.extend:
+                fam = self._gapped_extend(genome, fam)
+            if fam.n_cols < max(o.min_length, 1):
+                continue
+            for l, r in fam.spans():
+                covered[l : r + 1] = True
+            out.append(fam)
+        return out
+
+    def _gapped_extend(self, genome: Genome, fam: RepeatFamily) -> RepeatFamily:
+        """Extend both flanks while the homology HMM keeps the columns
+        homologous (ExtendMatch equivalent)."""
+        o = self.options
+        for direction in (+1, -1):  # right, then left (match space)
+            for _ in range(o.max_extension_rounds):
+                fam2, keep_going = self._extend_once(genome, fam, direction)
+                fam = fam2
+                if not keep_going:
+                    break
+        return fam
+
+    def _flank_codes(
+        self, genome: Genome, start: int, length: int, direction: int, w: int
+    ) -> np.ndarray:
+        """Flank of one component in 'moving away from the match' order
+        (first element adjacent to the match edge), revcomp-adjusted."""
+        left = abs(start)
+        right = left + length - 1
+        fwd = start > 0
+        glen = len(genome)
+        genome_right = (direction > 0) == fwd
+        if genome_right:
+            codes = genome.codes[right : min(right + w, glen)].astype(np.int64)
+        else:
+            codes = genome.codes[max(0, left - 1 - w) : left - 1].astype(np.int64)[::-1]
+        if not fwd:
+            out = codes.copy()
+            acgt = out < 4
+            out[acgt] = 3 - out[acgt]
+            codes = out
+        return codes
+
+    def _extend_once(
+        self, genome: Genome, fam: RepeatFamily, direction: int
+    ) -> Tuple[RepeatFamily, bool]:
+        o = self.options
+        w = self.flank_window(fam.multiplicity)
+        lens = fam.component_lengths()
+        flanks = [
+            self._flank_codes(genome, int(fam.starts[k]), int(lens[k]), direction, w)
+            for k in range(fam.multiplicity)
+        ]
+        if all(len(f) == 0 for f in flanks):
+            return fam, False
+        aln = closure.align_region_groups(
+            [flanks], gap_open=o.gap_open, gap_extend=o.gap_extend, max_len=4096
+        )[0]
+        if aln.shape[1] == 0:
+            return fam, False
+        hom_cols = self._homologous_prefix(genome, flanks, aln)
+        if hom_cols == 0:
+            return fam, False
+        ext = aln[:, :hom_cols]
+        added_per_comp = ext.sum(axis=1).astype(np.int64)
+        if direction < 0:
+            new_aln = np.concatenate([ext[:, ::-1], fam.aln], axis=1)
+        else:
+            new_aln = np.concatenate([fam.aln, ext], axis=1)
+        new_starts = fam.starts.copy()
+        for k in range(fam.multiplicity):
+            s = int(fam.starts[k])
+            fwd = s > 0
+            genome_right = (direction > 0) == fwd
+            if not genome_right:
+                # component grew toward the genome left: |start| decreases
+                new_starts[k] = (1 if fwd else -1) * (abs(s) - int(added_per_comp[k]))
+        keep_going = hom_cols == aln.shape[1] and all(len(f) == w for f in flanks)
+        return RepeatFamily(new_starts, new_aln), keep_going
+
+    def _homologous_prefix(
+        self, genome: Genome, flanks: List[np.ndarray], aln: np.ndarray
+    ) -> int:
+        """Number of leading columns that stay homologous: HMM posterior on
+        column classes vs the consensus (detectAndApplyBackbone analog,
+        src/repeatoire.cpp:1324)."""
+        import jax.numpy as jnp
+
+        from mauvealigner_tpu.ops import hmm as hmm_ops
+
+        k, T = aln.shape
+        if T == 0:
+            return 0
+        # column codes: 5 = gap
+        col_codes = np.full((k, T), 5, np.int8)
+        for i in range(k):
+            cols = np.nonzero(aln[i])[0]
+            col_codes[i, cols] = np.minimum(flanks[i][: len(cols)], 4)
+        # per-column symbol from the pairwise agreement fraction: random
+        # unrelated columns agree on ~25% of pairs, homologous ones on most
+        sym = np.zeros(T, np.int8)
+        for c in range(T):
+            col = col_codes[:, c]
+            bases = col[col < 4]
+            n_gap = int((col == 5).sum())
+            if len(bases) < 2:
+                sym[c] = bb.SYM_GAP
+                continue
+            _, counts = np.unique(bases, return_counts=True)
+            pairs_total = len(bases) * (len(bases) - 1) / 2
+            pairs_agree = float((counts * (counts - 1) / 2).sum())
+            if n_gap * 2 > len(col):
+                sym[c] = bb.SYM_GAP
+            elif pairs_total and pairs_agree / pairs_total >= 0.5:
+                sym[c] = bb.SYM_MATCH
+            else:
+                sym[c] = bb.SYM_TRANSVERSION
+        gc = bb.compute_gc([genome])
+        params = bb.adapted_params(gc, identity=self.options.hmm_identity, denovo=True)
+        le = params.log_emit_table()[:, sym].T[None]
+        post = np.asarray(
+            hmm_ops.forward_backward(
+                jnp.asarray(le.astype(np.float32)),
+                jnp.asarray(params.log_trans()),
+                jnp.asarray(np.log([0.9, 0.1])),
+                jnp.asarray(np.array([T])),
+            )
+        )[0, :, bb.STATE_H]
+        bad = np.nonzero(post < self.options.posterior_threshold)[0]
+        return int(bad[0]) if len(bad) else T
+
+    # -- step 6: SP score ---------------------------------------------------
+    def sp_score(self, genome: Genome, fam: RepeatFamily) -> float:
+        """Sum-of-pairs hoxd score with affine gaps (computeSPScore,
+        src/repeatoire.cpp:2511-2536)."""
+        o = self.options
+        k, T = fam.aln.shape
+        col_codes = np.full((k, T), 5, np.int8)
+        lens = fam.component_lengths()
+        for i in range(k):
+            codes = genome.sub_codes_signed(int(fam.starts[i]), int(lens[i]))
+            col_codes[i, fam.aln[i]] = np.minimum(codes, 4)
+        score = 0.0
+        subst = dp.HOXD70
+        for i in range(k):
+            for j in range(i + 1, k):
+                a, b2 = col_codes[i], col_codes[j]
+                both = (a < 5) & (b2 < 5)
+                score += float(subst[a[both], b2[both]].sum())
+                # affine gaps: each maximal run where exactly one is gapped
+                gap = (a == 5) ^ (b2 == 5)
+                if gap.any():
+                    d = np.diff(np.concatenate([[0], gap.view(np.int8), [0]]))
+                    n_runs = int((d == 1).sum())
+                    score += n_runs * o.gap_open + int(gap.sum()) * o.gap_extend
+        return score
+
+    # -- full pipeline ------------------------------------------------------
+    def find_repeats(self, genome: Genome) -> List[RepeatFamily]:
+        ml = self.seed_matches(genome)
+        ml = self.chain_seed_matches(ml, genome)
+        fams = self.build_families(genome, ml)
+        for f in fams:
+            f.score = self.sp_score(genome, f)
+        fams = [
+            f
+            for f in fams
+            if f.n_cols >= self.options.min_length
+            and f.multiplicity >= self.options.min_multiplicity
+        ]
+        fams.sort(key=lambda f: (-f.multiplicity, -f.score))
+        return fams
+
+
+# -- outputs (writeXmfa / writeXML / procrast.highest) ----------------------
+
+def write_repeats_xmfa(
+    fams: Sequence[RepeatFamily], genome: Genome, out: Union[str, TextIO], width: int = 80
+) -> None:
+    if isinstance(out, str):
+        with open(out, "w") as fh:
+            write_repeats_xmfa(fams, genome, fh, width)
+            return
+    fh = out
+    fh.write("#FormatVersion Mauve1\n")
+    fh.write(f"#Sequence1File\t{genome.filename or genome.name}\n")
+    for fam in fams:
+        lens = fam.component_lengths()
+        for k in range(fam.multiplicity):
+            s = int(fam.starts[k])
+            left = abs(s)
+            right = left + int(lens[k]) - 1
+            strand = "+" if s > 0 else "-"
+            fh.write(f"> 1:{left}-{right} {strand} {genome.filename or genome.name}\n")
+            bases = genome.subseq_signed(s, int(lens[k]))
+            row = np.full(fam.n_cols, ord("-"), np.uint8)
+            row[fam.aln[k]] = np.frombuffer(bases.encode(), np.uint8)
+            text = row.tobytes().decode()
+            for c in range(0, len(text), width):
+                fh.write(text[c : c + width] + "\n")
+        fh.write("=\n")
+
+
+def write_repeats_xml(
+    fams: Sequence[RepeatFamily], genome: Genome, out: Union[str, TextIO]
+) -> None:
+    if isinstance(out, str):
+        with open(out, "w") as fh:
+            write_repeats_xml(fams, genome, fh)
+            return
+    fh = out
+    fh.write('<?xml version="1.0"?>\n<repeats sequence="%s">\n' % (genome.name or "seq"))
+    for i, fam in enumerate(fams):
+        fh.write(
+            f'  <family id="{i}" multiplicity="{fam.multiplicity}" '
+            f'columns="{fam.n_cols}" score="{fam.score:.1f}">\n'
+        )
+        for k in range(fam.multiplicity):
+            l, r = fam.spans()[k]
+            strand = "+" if fam.starts[k] > 0 else "-"
+            fh.write(f'    <component left="{l}" right="{r}" strand="{strand}"/>\n')
+        fh.write("  </family>\n")
+    fh.write("</repeats>\n")
+
+
+def write_highest_stats(fams: Sequence[RepeatFamily], out: Union[str, TextIO]) -> None:
+    """Per-multiplicity best-scoring family table (`procrast.highest`,
+    src/repeatoire.cpp:2682-2696)."""
+    if isinstance(out, str):
+        with open(out, "w") as fh:
+            write_highest_stats(fams, fh)
+            return
+    fh = out
+    best = {}
+    for fam in fams:
+        cur = best.get(fam.multiplicity)
+        if cur is None or fam.score > cur.score:
+            best[fam.multiplicity] = fam
+    fh.write("multiplicity\tcolumns\tscore\n")
+    for mult in sorted(best, reverse=True):
+        fam = best[mult]
+        fh.write(f"{mult}\t{fam.n_cols}\t{fam.score:.1f}\n")

@@ -209,6 +209,52 @@ def progressive_mauve_cli(argv: List[str]) -> int:
     return 0
 
 
+@tool("repeatoire")
+def repeatoire_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="repeatoire",
+        description="De-novo repeat family detection by chained local "
+        "multiple alignment (reference: src/repeatoire.cpp)",
+    )
+    p.add_argument("--sequence", required=True)
+    p.add_argument("--z", type=int, default=0, help="seed weight")
+    p.add_argument("--rmin", type=int, default=2)
+    p.add_argument("--rmax", type=int, default=500)
+    p.add_argument("--onlydirect", action="store_true")
+    p.add_argument("--minreplen", type=int, default=0, help="minimum repeat length")
+    p.add_argument("--no-extend", action="store_true")
+    p.add_argument("--output", default="reps.xmfa", help="XMFA output")
+    p.add_argument("--xml", default="", help="XML output")
+    p.add_argument("--highest", default="", help="per-multiplicity stats output")
+    a = p.parse_args(argv)
+
+    from mauvealigner_tpu.models.repeatoire import (
+        Repeatoire,
+        RepeatoireOptions,
+        write_highest_stats,
+        write_repeats_xmfa,
+        write_repeats_xml,
+    )
+
+    genome = load_genome(a.sequence)
+    opts = RepeatoireOptions(
+        z=a.z,
+        rmin=a.rmin,
+        rmax=a.rmax,
+        only_direct=a.onlydirect,
+        min_length=a.minreplen,
+        extend=not a.no_extend,
+    )
+    fams = Repeatoire(opts).find_repeats(genome)
+    write_repeats_xmfa(fams, genome, a.output)
+    if a.xml:
+        write_repeats_xml(fams, genome, a.xml)
+    if a.highest:
+        write_highest_stats(fams, a.highest)
+    print(f"{len(fams)} repeat families")
+    return 0
+
+
 @tool("scoreAlignment")
 def score_alignment_cli(argv: List[str]) -> int:
     p = argparse.ArgumentParser(

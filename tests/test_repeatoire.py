@@ -1,0 +1,131 @@
+import io
+import os
+
+import numpy as np
+import pytest
+
+from mauvealigner_tpu.genome.sequence import Genome, revcomp_ascii
+from mauvealigner_tpu.models.repeatoire import (
+    Repeatoire,
+    RepeatoireOptions,
+    write_highest_stats,
+    write_repeats_xmfa,
+    write_repeats_xml,
+)
+from mauvealigner_tpu.utils import simulate
+
+
+def _genome_with_repeats(rng, n_copies=3, unit_len=120, spacer=300, mutate=0):
+    unit = simulate.random_genome(rng, unit_len).seq
+    parts = [simulate.random_genome(rng, spacer).seq]
+    for i in range(n_copies):
+        copy = unit.copy()
+        for _ in range(mutate):
+            p = rng.integers(0, unit_len)
+            copy[p] = ord("ACGT"[rng.integers(0, 4)])
+        parts.append(copy)
+        parts.append(simulate.random_genome(rng, spacer).seq)
+    return Genome(np.concatenate(parts), name="reps"), unit
+
+
+def test_exact_repeat_family_found(rng):
+    g, unit = _genome_with_repeats(rng, n_copies=3, unit_len=150)
+    r = Repeatoire(RepeatoireOptions(z=9))
+    fams = r.find_repeats(g)
+    assert fams, "no repeat families found"
+    top = fams[0]
+    assert top.multiplicity == 3
+    # each component covers the full unit (possibly slightly extended)
+    assert (top.component_lengths() >= 150).all()
+    spans = top.spans()
+    expected_lefts = [301, 751, 1201]
+    for l in expected_lefts:
+        assert any(abs(int(s[0]) - l) <= 5 for s in spans), (spans, expected_lefts)
+
+
+def test_inverted_repeat_found(rng):
+    unit = simulate.random_genome(rng, 150).seq
+    g = Genome(
+        np.concatenate(
+            [
+                simulate.random_genome(rng, 200).seq,
+                unit,
+                simulate.random_genome(rng, 200).seq,
+                revcomp_ascii(unit),
+                simulate.random_genome(rng, 200).seq,
+            ]
+        )
+    )
+    r = Repeatoire(RepeatoireOptions(z=9))
+    fams = r.find_repeats(g)
+    assert fams
+    top = max(fams, key=lambda f: f.n_cols)
+    assert top.multiplicity == 2
+    signs = set(np.sign(top.starts).tolist())
+    assert signs == {1, -1}
+
+
+def test_only_direct_excludes_inverted(rng):
+    unit = simulate.random_genome(rng, 150).seq
+    g = Genome(
+        np.concatenate(
+            [
+                unit,
+                simulate.random_genome(rng, 200).seq,
+                revcomp_ascii(unit),
+            ]
+        )
+    )
+    r = Repeatoire(RepeatoireOptions(z=9, only_direct=True))
+    fams = r.find_repeats(g)
+    for f in fams:
+        assert (np.sign(f.starts) > 0).all()
+
+
+def test_mutated_repeat_extension(rng):
+    # two copies with a point mutation in the middle: gapped extension should
+    # bridge through the mismatch to recover most of the unit
+    g, unit = _genome_with_repeats(rng, n_copies=2, unit_len=200, mutate=2)
+    r = Repeatoire(RepeatoireOptions(z=9))
+    fams = r.find_repeats(g)
+    assert fams
+    top = max(fams, key=lambda f: f.n_cols)
+    assert top.n_cols >= 150
+
+
+def test_outputs(rng, tmp_path):
+    g, _ = _genome_with_repeats(rng, n_copies=3, unit_len=120)
+    fams = Repeatoire(RepeatoireOptions(z=9)).find_repeats(g)
+    xmfa = str(tmp_path / "r.xmfa")
+    write_repeats_xmfa(fams, g, xmfa)
+    text = open(xmfa).read()
+    assert text.count("=") >= len(fams)
+    buf = io.StringIO()
+    write_repeats_xml(fams, g, buf)
+    assert "<repeats" in buf.getvalue()
+    buf2 = io.StringIO()
+    write_highest_stats(fams, buf2)
+    assert "multiplicity" in buf2.getvalue()
+
+
+def test_repeatoire_cli(rng, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    g, _ = _genome_with_repeats(rng, n_copies=3, unit_len=120)
+    from mauvealigner_tpu.genome import write_fasta
+    from mauvealigner_tpu.tools.cli import main
+
+    write_fasta(g, "g.fa")
+    rc = main(
+        [
+            "repeatoire",
+            "--sequence=g.fa",
+            "--z=9",
+            "--output=reps.xmfa",
+            "--xml=reps.xml",
+            "--highest=procrast.highest",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists("reps.xmfa")
+    assert os.path.exists("reps.xml")
+    assert os.path.exists("procrast.highest")
