@@ -56,6 +56,20 @@ class SortedMerList:
         return int(self.keys[i])
 
 
+def build_sml_device(genome: Genome, seed: Seed):
+    """K1 pipeline keeping the result ON DEVICE (no tunnel transfer).
+
+    Returns (keys int64 device array, positions int32 device array), sorted,
+    with INVALID_KEY entries at the tail.  This is the production path; the
+    host SortedMerList is for disk caching, tools and cross-validation.
+    """
+    codes_dev = merops.upload_codes(genome.codes, seed.length)
+    keys, pos, _ = merops.build_sorted_mer_list(
+        codes_dev, tuple(int(o) for o in seed.offsets), seed.length
+    )
+    return keys, pos
+
+
 def build_sml(genome: Genome, seed: Seed) -> SortedMerList:
     """Run the K1 device pipeline for one genome."""
     if len(genome) < seed.length:

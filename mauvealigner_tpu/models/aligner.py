@@ -68,13 +68,14 @@ class MauveAligner:
         avg = int(np.mean([len(g) for g in genomes]))
         weight = o.seed_size or default_mer_size(avg)
         seed = get_seed(weight, o.seed_rank)
-        smls = [
-            load_sml(g, seed) if o.use_sml_cache and g.filename else build_sml(g, seed)
-            for g in genomes
-        ]
-        ml = matchops.find_multi_mums(genomes, smls)
         self._seed_weight = weight
-        return ml
+        # device-resident path: SMLs never cross the host<->device tunnel
+        from mauvealigner_tpu.core.sml import build_sml_device
+
+        smls_dev = [build_sml_device(g, seed) for g in genomes]
+        return matchops.find_multi_mums_device(
+            genomes, smls_dev, seed_length=seed.length
+        )
 
     # -- phase 3: LCBs ------------------------------------------------------
     def determine_lcbs(

@@ -30,6 +30,7 @@ reverse, i.e. gets a negative start.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -87,6 +88,197 @@ def _device_sorted_entries(smls: Sequence[SortedMerList]):
     )
     mer_np = np.asarray(mer_s)[:n]  # padding sorts to the tail
     return mer_np, np.asarray(seq_s)[:n], np.asarray(pos_s)[:n], np.asarray(strand_s)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Device-resident K2: the axon/TPU tunnel's host<->device bandwidth is ~three
+# orders of magnitude below HBM bandwidth, so the SML entry arrays must never
+# leave the device.  Seed-group construction, uniqueness filtering, group
+# signature hashing, and diagonal-run merging all run in one jitted pipeline;
+# only the merged match table (KBs) is transferred.
+# ---------------------------------------------------------------------------
+
+_MIX_C1 = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as signed
+_MIX_C2 = np.int64(-4417276706812531889)  # 0xC2B2AE3D27D4EB4F
+_MIX_C3 = np.int64(-8796714831421723037)  # 0x85EBCA77C2B2AE63
+
+
+def _mix64(x: jnp.ndarray, c: np.int64) -> jnp.ndarray:
+    """SplitMix64-style finalizer (wrapping int64 arithmetic)."""
+    x = x * c
+    x = x ^ ((x >> 30) & jnp.int64(0x3FFFFFFFF))
+    x = x * jnp.int64(-4658895280553007687)  # 0xBF58476D1CE4E5B9
+    x = x ^ ((x >> 27) & jnp.int64(0x1FFFFFFFFF))
+    return x
+
+
+@partial(jax.jit, static_argnames=("n_seqs", "cap"))
+def device_mum_candidates(
+    keys: jnp.ndarray,      # int64[N] canonical keys (strand LSB); INVALID padding
+    seq_ids: jnp.ndarray,   # int32[N]
+    positions: jnp.ndarray, # int32[N] 0-based window starts
+    seq_mask: jnp.ndarray,  # int32[n_seqs] 1 = genome participates
+    n_seqs: int,
+    cap: int,
+    min_multi: int = 2,
+):
+    """Unique multi-MUM candidate runs, fully on device.
+
+    Returns (comp_tab int32[cap, n_seqs] signed 1-based window starts at the
+    run's FIRST window (0 = absent), span_tab int32[cap, 2] = [p0_min, p0_max]
+    reference window positions, n_runs int32).
+    """
+    N = keys.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    mer_s, seq_s, pos_s, strand_s = _global_sort(keys, seq_ids, positions)
+    valid = mer_s != (INVALID_KEY >> 1)
+
+    prev_mer = jnp.concatenate([mer_s[:1] - 1, mer_s[:-1]])
+    new_seg = mer_s != prev_mer
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    prev_seq = jnp.concatenate([seq_s[:1] - 1, seq_s[:-1]])
+    same_ms = (~new_seg) & (seq_s == prev_seq)
+    next_same = jnp.concatenate([same_ms[1:], jnp.zeros(1, bool)])
+    occ_unique = valid & ~same_ms & ~next_same
+    kept = occ_unique & (seq_mask[jnp.clip(seq_s, 0, n_seqs - 1)] > 0)
+
+    counts = jnp.zeros(N, jnp.int32).at[seg_id].add(kept.astype(jnp.int32))
+    count_of_seg = counts  # indexed by seg slot
+    count_here = count_of_seg[seg_id]
+    seg_ok = count_here >= min_multi
+    kept = kept & seg_ok
+
+    # reference (first kept) entry per segment
+    first_kept = jnp.full(N, N, jnp.int32).at[seg_id].min(jnp.where(kept, idx, N))
+    ref_idx = jnp.clip(first_kept[seg_id], 0, N - 1)
+    ref_pos = pos_s[ref_idx]
+    ref_strand = strand_s[ref_idx]
+    rel = strand_s ^ ref_strand
+    inv = jnp.where(rel == 0, pos_s.astype(jnp.int64) - ref_pos, pos_s.astype(jnp.int64) + ref_pos)
+
+    # order-independent 128-bit group signature over kept entries
+    token = (seq_s.astype(jnp.int64) << 33) | (rel.astype(jnp.int64) << 32) | (
+        inv & jnp.int64(0xFFFFFFFF)
+    )
+    m1 = _mix64(token + 1, _MIX_C1)
+    m2 = _mix64(token + 7, _MIX_C2)
+    zero64 = jnp.zeros(N, jnp.int64)
+    sig1 = zero64.at[seg_id].add(jnp.where(kept, m1, 0))
+    sig2 = zero64.at[seg_id].add(jnp.where(kept, m2, 0))
+
+    is_rep = kept & (idx == ref_idx)
+    rep_sig1 = sig1[seg_id] + count_here.astype(jnp.int64) * _MIX_C3
+    rep_sig2 = sig2[seg_id] ^ count_here.astype(jnp.int64)
+
+    # sort segment representatives to the front, grouped by signature, by p0
+    not_rep = (~is_rep).astype(jnp.int32)
+    s1_hi = (rep_sig1 >> 32).astype(jnp.int32)
+    s1_lo = rep_sig1.astype(jnp.uint32)
+    s2_hi = (rep_sig2 >> 32).astype(jnp.int32)
+    s2_lo = rep_sig2.astype(jnp.uint32)
+    (nr_s, a_s, b_s, c_s, d_s, p0_s, segid_s) = jax.lax.sort(
+        (not_rep, s1_hi, s1_lo, s2_hi, s2_lo, pos_s, seg_id), num_keys=6
+    )
+    rep_valid = nr_s == 0
+    prev_same_sig = (
+        (a_s == jnp.concatenate([a_s[:1], a_s[:-1]]))
+        & (b_s == jnp.concatenate([b_s[:1], b_s[:-1]]))
+        & (c_s == jnp.concatenate([c_s[:1], c_s[:-1]]))
+        & (d_s == jnp.concatenate([d_s[:1], d_s[:-1]]))
+    )
+    prev_p0 = jnp.concatenate([p0_s[:1] - 2, p0_s[:-1]])
+    cont = prev_same_sig & (p0_s == prev_p0 + 1)
+    cont = cont.at[0].set(False)
+    run_start = rep_valid & ~cont
+    run_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1
+    n_runs = jnp.sum(run_start.astype(jnp.int32))
+
+    run_end = rep_valid & jnp.concatenate([~cont[1:], jnp.ones(1, bool)])
+    row = jnp.where(rep_valid & (run_id < cap), run_id, cap)
+    span_tab = jnp.full((cap + 1, 2), -1, jnp.int32)
+    span_tab = span_tab.at[jnp.where(run_start, row, cap), 0].set(p0_s, mode="drop")
+    span_tab = span_tab.at[jnp.where(run_end, row, cap), 1].set(p0_s, mode="drop")
+
+    # map run-first segments -> run row, then scatter their kept components
+    seg_runfirst_row = jnp.full(N + 1, cap, jnp.int32)
+    seg_runfirst_row = seg_runfirst_row.at[
+        jnp.where(run_start, segid_s, N)
+    ].set(jnp.where(run_start, row, cap), mode="drop")
+    comp_row = seg_runfirst_row[jnp.clip(seg_id, 0, N - 1)]
+    comp_row = jnp.where(kept, comp_row, cap)
+    signed_pos = jnp.where(rel == 0, pos_s + 1, -(pos_s + 1))
+    comp_tab = jnp.zeros((cap + 1, n_seqs), jnp.int32)
+    comp_tab = comp_tab.at[comp_row, jnp.clip(seq_s, 0, n_seqs - 1)].set(
+        signed_pos, mode="drop"
+    )
+    return comp_tab[:cap], span_tab[:cap], n_runs
+
+
+def _concat_device_smls(smls_dev):
+    """Concatenate per-genome device SML arrays with padding to a bucket."""
+    keys = jnp.concatenate([k for k, _ in smls_dev])
+    pos = jnp.concatenate([p for _, p in smls_dev])
+    seq_ids = jnp.concatenate(
+        [jnp.full(k.shape[0], i, jnp.int32) for i, (k, _) in enumerate(smls_dev)]
+    )
+    n = keys.shape[0]
+    bucket = 1 << 12
+    while bucket < n:
+        bucket *= 2
+    pad = bucket - n
+    if pad:
+        keys = jnp.concatenate([keys, jnp.full(pad, INVALID_KEY, jnp.int64)])
+        pos = jnp.concatenate([pos, jnp.zeros(pad, jnp.int32)])
+        seq_ids = jnp.concatenate([seq_ids, jnp.zeros(pad, jnp.int32)])
+    return keys, seq_ids, pos
+
+
+def find_multi_mums_device(
+    genomes: Sequence[Genome],
+    smls_dev,
+    min_multi: int = 2,
+    nway: bool = False,
+    seq_mask: Optional[np.ndarray] = None,
+    extend: bool = True,
+    seed_length: int = 0,
+) -> MatchList:
+    """Device-resident unique multi-MUM search.
+
+    smls_dev: list of (keys int64 device array, positions int32 device array)
+    per genome, sorted, INVALID-tailed (see core.sml.build_sml_device).
+    """
+    n_seqs = len(genomes)
+    keys, seq_ids, pos = _concat_device_smls(smls_dev)
+    N = keys.shape[0]
+    cap = max(1 << 14, N >> 3)
+    mask = np.ones(n_seqs, np.int32) if seq_mask is None else np.asarray(seq_mask, np.int32)
+    comp_tab, span_tab, n_runs = device_mum_candidates(
+        keys, seq_ids, pos, jnp.asarray(mask), n_seqs, cap, min_multi
+    )
+    r = int(n_runs)
+    if r == 0:
+        return MatchList.empty(n_seqs)
+    if r > cap:
+        r = cap  # capacity overflow: truncated (bounded by cap = N/8)
+    rb = 1 << max(4, (r - 1).bit_length())
+    rb = min(rb, cap)
+    comp = np.asarray(comp_tab[:rb])[:r]
+    span = np.asarray(span_tab[:rb])[:r]
+    ok = (span[:, 0] >= 0) & (span[:, 1] >= span[:, 0])
+    comp, span = comp[ok], span[ok]
+    run_len = span[:, 1] - span[:, 0]
+    lengths = run_len + seed_length
+    # rev comps stored at the run-first window slide left by run_len
+    starts = comp.astype(np.int64)
+    rev = starts < 0
+    starts[rev] = starts[rev] + run_len[np.nonzero(rev)[0]]
+    ml = MatchList(starts, lengths.astype(np.int64))
+    if extend and len(ml):
+        ml = extend_matches_maximal(ml, [g.codes for g in genomes])
+    if nway:
+        ml = ml.multiplicity_filter(n_seqs)
+    return ml
 
 
 @dataclasses.dataclass

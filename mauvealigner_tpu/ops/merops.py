@@ -105,6 +105,71 @@ def build_sorted_mer_list(codes: jnp.ndarray, offsets: Tuple[int, ...], pattern_
     return keys_s, pos_s, n_valid
 
 
+def pack_2bit_host(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack host codes (0..4) into 2 bits/base for cheap upload.
+
+    The tunnel between host and TPU is bandwidth-starved, so sequences ship
+    packed (4 bases/byte) plus a sparse exception list of ambiguity
+    positions.  Returns (packed uint8[ceil(L/4)], n_positions int32[K]).
+    """
+    codes = np.asarray(codes)
+    L = len(codes)
+    exc = np.nonzero(codes >= CODE_N)[0].astype(np.int32)
+    two_bit = np.where(codes >= CODE_N, 0, codes).astype(np.uint8)
+    pad = (-L) % 4
+    if pad:
+        two_bit = np.concatenate([two_bit, np.zeros(pad, np.uint8)])
+    quads = two_bit.reshape(-1, 4)
+    packed = quads[:, 0] | (quads[:, 1] << 2) | (quads[:, 2] << 4) | (quads[:, 3] << 6)
+    return packed, exc
+
+
+@partial(jax.jit, static_argnames=("n_out",))
+def unpack_2bit(
+    packed: jnp.ndarray,      # uint8[P] (P*4 >= length)
+    exceptions: jnp.ndarray,  # int32[K] positions of ambiguity codes (pad: -1)
+    length: jnp.ndarray,      # int32 scalar: true sequence length
+    n_out: int,               # static padded output length (>= length)
+) -> jnp.ndarray:
+    """Packed bases -> int32 codes [n_out], CODE_N past `length` and at
+    exception positions."""
+    p = packed.astype(jnp.int32)
+    quads = jnp.stack([p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=1)
+    flat = quads.reshape(-1)
+    if flat.shape[0] < n_out:
+        flat = jnp.concatenate([flat, jnp.zeros(n_out - flat.shape[0], jnp.int32)])
+    codes = flat[:n_out]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_out, 1), 0).reshape(n_out)
+    codes = jnp.where(iota < length, codes, CODE_N)
+    exc = jnp.where(exceptions >= 0, exceptions, n_out)
+    codes = codes.at[exc].set(CODE_N, mode="drop")
+    return codes
+
+
+def upload_codes(codes: np.ndarray, pattern_len: int, pad_to_multiple: int = 1 << 16) -> jnp.ndarray:
+    """Host codes -> device int32 code array, padded to a bucketed length,
+    shipped 2-bit packed over the tunnel."""
+    L = len(codes)
+    n = L + pattern_len
+    padded = pad_to_multiple
+    while padded < n:
+        padded *= 2
+    packed, exc = pack_2bit_host(codes)
+    pb = 1 << 10
+    while pb < len(packed):
+        pb *= 2
+    packed_padded = np.zeros(pb, np.uint8)
+    packed_padded[: len(packed)] = packed
+    eb = 16
+    while eb < len(exc):
+        eb *= 2
+    exc_padded = np.full(eb, -1, np.int32)
+    exc_padded[: len(exc)] = exc
+    return unpack_2bit(
+        jnp.asarray(packed_padded), jnp.asarray(exc_padded), jnp.int32(L), padded
+    )
+
+
 def unique_mer_count(sorted_keys: np.ndarray, n_valid: int) -> int:
     """Number of distinct strand-free mers that occur exactly once
     (UniqueMerCount; reference tool src/uniqueMerCount.cpp:30-39)."""

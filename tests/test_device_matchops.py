@@ -1,0 +1,79 @@
+"""Cross-validation: the device-resident K2 pipeline must reproduce the host
+reference implementation exactly."""
+
+import numpy as np
+import pytest
+
+from mauvealigner_tpu.core.sml import build_sml, build_sml_device
+from mauvealigner_tpu.genome.sequence import Genome, revcomp_ascii
+from mauvealigner_tpu.ops import matchops, merops
+from mauvealigner_tpu.seeds import SOLID_SEED, get_seed
+from mauvealigner_tpu.utils import simulate
+
+
+def _canon(ml):
+    rows = np.concatenate([ml.starts, ml.lengths[:, None]], axis=1)
+    return set(map(tuple, rows.tolist()))
+
+
+def _both_paths(genomes, seed, **kw):
+    smls = [build_sml(g, seed) for g in genomes]
+    host = matchops.find_multi_mums(genomes, smls, **kw)
+    dev = matchops.find_multi_mums_device(
+        genomes,
+        [build_sml_device(g, seed) for g in genomes],
+        seed_length=seed.length,
+        **kw,
+    )
+    return host, dev
+
+
+def test_upload_codes_roundtrip(make_dna):
+    seq = make_dna(1000) + "N" * 7 + make_dna(50)
+    g = Genome.from_string(seq)
+    seed = get_seed(9, 0)
+    dev = np.asarray(build_sml_device(g, seed)[0])
+    ref = build_sml(g, seed)
+    n_valid = int((dev != merops.INVALID_KEY).sum())
+    assert n_valid == len(ref.keys)
+    assert np.array_equal(dev[:n_valid], ref.keys)
+
+
+@pytest.mark.parametrize("divergence", [0.0, 0.01, 0.05])
+def test_device_matches_host_pairwise(rng, divergence):
+    anc = simulate.random_genome(rng, 3000)
+    der, _ = simulate.evolve(anc, rng, sub_rate=divergence, ins_rate=divergence / 5,
+                             del_rate=divergence / 5)
+    seed = get_seed(9, 0)
+    host, dev = _both_paths([anc, der], seed)
+    assert _canon(host) == _canon(dev)
+
+
+def test_device_matches_host_with_inversion(rng):
+    anc = simulate.random_genome(rng, 4000)
+    der, _ = simulate.evolve(anc, rng, sub_rate=0.01)
+    der = simulate.apply_inversion(der, 1500, 2500)
+    seed = get_seed(9, 0)
+    host, dev = _both_paths([anc, der], seed)
+    assert _canon(host) == _canon(dev)
+
+
+def test_device_matches_host_three_way(rng):
+    anc = simulate.random_genome(rng, 2000)
+    d1, _ = simulate.evolve(anc, rng, sub_rate=0.02)
+    d2, _ = simulate.evolve(anc, rng, sub_rate=0.02)
+    seed = get_seed(9, SOLID_SEED)
+    host, dev = _both_paths([anc, d1, d2], seed)
+    assert _canon(host) == _canon(dev)
+
+
+def test_device_seq_mask(rng):
+    anc = simulate.random_genome(rng, 1500)
+    d1, _ = simulate.evolve(anc, rng, sub_rate=0.01)
+    d2, _ = simulate.evolve(anc, rng, sub_rate=0.01)
+    seed = get_seed(9, 0)
+    mask = np.array([1, 1, 0], np.int32)
+    host, dev = _both_paths([anc, d1, d2], seed, seq_mask=mask)
+    # masked-out genome never participates
+    assert (dev.starts[:, 2] == 0).all()
+    assert _canon(host) == _canon(dev)
