@@ -1,0 +1,171 @@
+"""Comparative-genomics backbone analysis.
+
+Equivalents of bbAnalyze (src/bbAnalyze.cpp: feature intersection with
+annotations :232-282, variable-segment/"alternalog" detection :426-521,
+intergenic classification :355) and bbBreakOnGenes (src/bbBreakOnGenes.cpp:
+split backbone segments on annotated gene boundaries).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from collections import Counter
+from typing import Dict, List, Optional, Sequence, TextIO, Tuple, Union
+
+import numpy as np
+
+from mauvealigner_tpu.genome.sequence import Feature, Genome
+
+
+@dataclasses.dataclass
+class SegmentReport:
+    row_index: int
+    n_genomes: int
+    is_core: bool          # present in every genome
+    is_variable: bool      # present in a strict subset (candidate alternalog)
+    length: int            # in the annotated reference (or max member length)
+    features: List[str]    # overlapping CDS/gene names in the reference
+    intergenic: bool
+
+
+def classify_segments(
+    rows: Sequence[np.ndarray],
+    n_seqs: int,
+    reference: Optional[Genome] = None,
+    ref_index: int = 0,
+) -> List[SegmentReport]:
+    feats = [f for f in (reference.features if reference else []) if f.kind in ("CDS", "gene")]
+    feat_starts = np.array([f.start for f in feats], np.int64)
+    reports = []
+    for i, r in enumerate(rows):
+        members = r[::2] != 0
+        n = int(members.sum())
+        lengths = np.abs(r[1::2]) - np.abs(r[::2]) + 1
+        length = int(lengths[members].max()) if n else 0
+        overlapping: List[str] = []
+        intergenic = True
+        if reference is not None and members[ref_index]:
+            l, rr = abs(int(r[2 * ref_index])), abs(int(r[2 * ref_index + 1]))
+            for f in feats:
+                if f.start <= rr and f.end >= l:
+                    overlapping.append(f.name)
+                    intergenic = False
+        reports.append(
+            SegmentReport(
+                row_index=i,
+                n_genomes=n,
+                is_core=n == n_seqs,
+                is_variable=0 < n < n_seqs,
+                length=length,
+                features=overlapping,
+                intergenic=intergenic,
+            )
+        )
+    return reports
+
+
+def category_enrichment(
+    reports: Sequence[SegmentReport],
+    categories: Dict[str, str],
+) -> List[Tuple[str, int, int, float]]:
+    """Chi-square enrichment of functional categories among variable segments
+    (MultiFun chi-square analog, src/bbAnalyze.cpp:232-282).
+
+    categories: feature name -> category label.  Returns per category
+    (label, n_in_variable, n_in_core, chi2_statistic).
+    """
+    var_counts: Counter = Counter()
+    core_counts: Counter = Counter()
+    for rep in reports:
+        target = var_counts if rep.is_variable else core_counts
+        for name in rep.features:
+            cat = categories.get(name)
+            if cat:
+                target[cat] += 1
+    total_var = sum(var_counts.values())
+    total_core = sum(core_counts.values())
+    out = []
+    for cat in sorted(set(var_counts) | set(core_counts)):
+        a = var_counts.get(cat, 0)
+        b = core_counts.get(cat, 0)
+        if total_var + total_core == 0:
+            continue
+        exp_a = (a + b) * total_var / max(total_var + total_core, 1)
+        exp_b = (a + b) * total_core / max(total_var + total_core, 1)
+        chi2 = 0.0
+        if exp_a > 0:
+            chi2 += (a - exp_a) ** 2 / exp_a
+        if exp_b > 0:
+            chi2 += (b - exp_b) ** 2 / exp_b
+        out.append((cat, a, b, chi2))
+    out.sort(key=lambda t: -t[3])
+    return out
+
+
+def bb_analyze_report(
+    rows: Sequence[np.ndarray],
+    n_seqs: int,
+    reference: Optional[Genome] = None,
+    categories: Optional[Dict[str, str]] = None,
+    out: Optional[TextIO] = None,
+) -> List[SegmentReport]:
+    reports = classify_segments(rows, n_seqs, reference)
+    if out is not None:
+        n_core = sum(1 for r in reports if r.is_core)
+        n_var = sum(1 for r in reports if r.is_variable)
+        out.write(f"segments: {len(reports)}\n")
+        out.write(f"core segments: {n_core}\n")
+        out.write(f"variable segments: {n_var}\n")
+        out.write(
+            f"intergenic variable segments: "
+            f"{sum(1 for r in reports if r.is_variable and r.intergenic)}\n"
+        )
+        if categories:
+            out.write("category\tvariable\tcore\tchi2\n")
+            for cat, a, b, chi2 in category_enrichment(reports, categories):
+                out.write(f"{cat}\t{a}\t{b}\t{chi2:.3f}\n")
+    return reports
+
+
+def break_on_genes(
+    rows: Sequence[np.ndarray], reference: Genome, ref_index: int = 0
+) -> List[np.ndarray]:
+    """Split every backbone row at the reference's gene boundaries
+    (bbBreakOnGenes semantics).  Coordinates of non-reference members are
+    split proportionally."""
+    bounds = sorted(
+        {f.start for f in reference.features if f.kind in ("CDS", "gene")}
+        | {f.end + 1 for f in reference.features if f.kind in ("CDS", "gene")}
+    )
+    out: List[np.ndarray] = []
+    for r in rows:
+        if r[2 * ref_index] == 0:
+            out.append(r.copy())
+            continue
+        l, rr = abs(int(r[2 * ref_index])), abs(int(r[2 * ref_index + 1]))
+        cuts = [b for b in bounds if l < b <= rr]
+        if not cuts:
+            out.append(r.copy())
+            continue
+        edges = [l] + cuts + [rr + 1]
+        span = rr - l + 1
+        for a, b in zip(edges[:-1], edges[1:]):
+            if b <= a:
+                continue
+            frac_a, frac_b = (a - l) / span, (b - l) / span
+            nr = np.zeros_like(r)
+            for s in range(len(r) // 2):
+                sl, sr = int(r[2 * s]), int(r[2 * s + 1])
+                if sl == 0:
+                    continue
+                ln = abs(sr) - abs(sl) + 1
+                na = abs(sl) + int(round(frac_a * ln))
+                nb = abs(sl) + int(round(frac_b * ln)) - 1
+                if nb < na:
+                    continue
+                sign = int(np.sign(sl)) or 1
+                nr[2 * s] = sign * na
+                nr[2 * s + 1] = sign * nb
+            out.append(nr)
+    return out

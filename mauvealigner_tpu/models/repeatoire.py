@@ -320,6 +320,58 @@ class Repeatoire:
         return fams
 
 
+def read_repeats_xmfa(src: Union[str, TextIO]) -> List[RepeatFamily]:
+    """Read a repeat XMFA (each block = one family; entries share seq 1)."""
+    from mauvealigner_tpu.core.interval import IntervalList
+
+    if isinstance(src, str):
+        with open(src) as fh:
+            return read_repeats_xmfa(fh)
+    fams: List[RepeatFamily] = []
+    import re
+
+    header_re = re.compile(r">\s*\d+:(\d+)-(\d+)\s+([+-])")
+    starts: List[int] = []
+    rows: List[str] = []
+    cur: Optional[str] = None
+
+    def flush_entry():
+        nonlocal cur
+        if cur is not None:
+            rows.append(cur)
+        cur = None
+
+    def flush_block():
+        nonlocal starts, rows
+        flush_entry()
+        if starts:
+            width = max(len(r) for r in rows)
+            aln = np.zeros((len(rows), width), bool)
+            for i, r in enumerate(rows):
+                row = np.frombuffer(r.ljust(width, "-").encode(), np.uint8)
+                aln[i] = row != ord("-")
+            fams.append(RepeatFamily(np.array(starts, np.int64), aln))
+        starts, rows = [], []
+
+    for line in src:
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("="):
+            flush_block()
+        elif line.startswith(">"):
+            flush_entry()
+            m = header_re.match(line)
+            if m:
+                sign = 1 if m.group(3) == "+" else -1
+                starts.append(sign * int(m.group(1)))
+                cur = ""
+        elif cur is not None:
+            cur += line.strip()
+    flush_block()
+    return fams
+
+
 # -- outputs (writeXmfa / writeXML / procrast.highest) ----------------------
 
 def write_repeats_xmfa(

@@ -285,6 +285,189 @@ def score_alignment_cli(argv: List[str]) -> int:
     return 0
 
 
+@tool("scoreProcrastAlignment")
+def score_procrast_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="scoreProcrastAlignment",
+        description="Score a calculated repeat alignment against a correct "
+        "one (reference: src/scoreProcrastAlignment.cpp)",
+    )
+    p.add_argument("correct")
+    p.add_argument("calculated")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.repeat_score import score_procrast_alignment
+    from mauvealigner_tpu.models.repeatoire import read_repeats_xmfa
+
+    score = score_procrast_alignment(
+        read_repeats_xmfa(a.correct), read_repeats_xmfa(a.calculated)
+    )
+    print(f"Sensitivity: {score.sensitivity:.6f}")
+    print(f"PPV: {score.ppv:.6f}")
+    print(f"tp={score.tp} fn={score.fn} fp={score.fp}")
+    return 0
+
+
+@tool("scoreALU")
+def score_alu_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="scoreALU",
+        description="Validate repeat families against RepeatMasker "
+        "annotations (reference: src/scoreALU.cpp)",
+    )
+    p.add_argument("repeats_xmfa")
+    p.add_argument("repeatmasker_out")
+    p.add_argument("--class-filter", default="Alu")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.repeat_score import parse_repeatmasker, score_alu
+    from mauvealigner_tpu.models.repeatoire import read_repeats_xmfa
+
+    stats = score_alu(
+        read_repeats_xmfa(a.repeats_xmfa),
+        parse_repeatmasker(a.repeatmasker_out),
+        a.class_filter,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+@tool("evd")
+def evd_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="evd",
+        description="EVD simulation of score excursions (reference: src/evd.cpp)",
+    )
+    p.add_argument("--length", type=int, default=10000)
+    p.add_argument("--trials", type=int, default=20)
+    p.add_argument("--gc", type=float, default=0.5)
+    p.add_argument("--output", default="-")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.evd import simulate_evd
+
+    res = simulate_evd(a.length, a.trials, a.gc)
+    with open_out(a.output) as fh:
+        fh.write(res.summary())
+    return 0
+
+
+@tool("multiEVD")
+def multi_evd_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="multiEVD",
+        description="Aggregate EVD simulations (reference: src/multiEVD.cpp)",
+    )
+    p.add_argument("evd_files", nargs="+", help="evd summary files")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.evd import EvdResult, merge_evd_results
+
+    results = []
+    for path in a.evd_files:
+        vals = {}
+        for line in open(path):
+            if ":" in line:
+                k, v = line.split(":", 1)
+                vals[k.strip()] = float(v)
+        results.append(
+            EvdResult(
+                int(vals.get("excursions", 0)),
+                vals.get("mean record height", 0.0),
+                vals.get("max record height", 0.0),
+                vals.get("lambda", 0.0),
+                vals.get("mu", 0.0),
+            )
+        )
+    merged = merge_evd_results(results)
+    sys.stdout.write(merged.summary())
+    return 0
+
+
+@tool("bbAnalyze")
+def bb_analyze_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="bbAnalyze",
+        description="Comparative backbone analysis report "
+        "(reference: src/bbAnalyze.cpp)",
+    )
+    p.add_argument("backbone")
+    p.add_argument("output")
+    p.add_argument("--reference", default="", help="annotated GenBank reference")
+    p.add_argument("--categories", default="", help="TSV: feature<TAB>category")
+    p.add_argument("--n-seqs", type=int, default=0)
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
+    from mauvealigner_tpu.analysis.bb_analyze import bb_analyze_report
+
+    rows = read_backbone_seq_file(a.backbone)
+    n_seqs = a.n_seqs or (len(rows[0]) // 2 if rows else 0)
+    ref = load_genome(a.reference) if a.reference else None
+    categories = {}
+    if a.categories:
+        for line in open(a.categories):
+            toks = line.rstrip("\n").split("\t")
+            if len(toks) >= 2:
+                categories[toks[0]] = toks[1]
+    with open_out(a.output) as fh:
+        bb_analyze_report(rows, n_seqs, ref, categories or None, fh)
+    return 0
+
+
+@tool("bbBreakOnGenes")
+def bb_break_on_genes_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="bbBreakOnGenes",
+        description="Split backbone segments on gene boundaries "
+        "(reference: src/bbBreakOnGenes.cpp)",
+    )
+    p.add_argument("backbone")
+    p.add_argument("reference", help="annotated GenBank reference")
+    p.add_argument("output")
+    p.add_argument("--ref-index", type=int, default=0)
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.analysis.backbone import (
+        read_backbone_seq_file,
+        write_backbone_seq_file,
+    )
+    from mauvealigner_tpu.analysis.bb_analyze import break_on_genes
+
+    rows = read_backbone_seq_file(a.backbone)
+    ref = load_genome(a.reference)
+    broken = break_on_genes(rows, ref, a.ref_index)
+    n_seqs = len(rows[0]) // 2 if rows else 0
+    with open_out(a.output) as fh:
+        write_backbone_seq_file(broken, fh, n_seqs)
+    return 0
+
+
+@tool("transposeCoordinates")
+def transpose_coordinates_cli(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="transposeCoordinates",
+        description="Shift match coordinates by masked-region offsets "
+        "(reference: src/transposeCoordinates.cpp)",
+    )
+    p.add_argument("match_list")
+    p.add_argument("regions", help="per-seq region files: TSV start<TAB>length")
+    p.add_argument("output")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.core import mln
+    from mauvealigner_tpu.tools.manipulate import transpose_coordinates
+
+    ml, names, lens = mln.read_match_list(a.match_list)
+    regions = []
+    with open(a.regions) as fh:
+        per_seq: dict = {}
+        for line in fh:
+            toks = line.split()
+            if len(toks) >= 3:
+                per_seq.setdefault(int(toks[0]), []).append((int(toks[1]), int(toks[2])))
+    for s in range(ml.n_seqs):
+        regs = per_seq.get(s, [])
+        regions.append(np.array(regs, np.int64).reshape(-1, 2))
+    out_ml = transpose_coordinates(ml, regions)
+    with open_out(a.output) as fh:
+        mln.write_match_list(out_ml, fh, names, lens)
+    return 0
+
+
 # ---------------------------------------------------------------- utilities
 
 @tool("uniqueMerCount")

@@ -1,0 +1,132 @@
+import io
+import os
+
+import numpy as np
+import pytest
+
+from mauvealigner_tpu.analysis.evd import (
+    merge_evd_results,
+    score_excursions,
+    significance_threshold,
+    simulate_evd,
+)
+from mauvealigner_tpu.analysis.repeat_score import (
+    parse_repeatmasker,
+    score_alu,
+    score_procrast_alignment,
+)
+from mauvealigner_tpu.models.repeatoire import (
+    RepeatFamily,
+    read_repeats_xmfa,
+    write_repeats_xmfa,
+)
+from mauvealigner_tpu.genome.sequence import Genome
+from mauvealigner_tpu.tools.cli import main
+from mauvealigner_tpu.utils import simulate
+
+
+def test_score_excursions():
+    scores = np.array([5, 5, -20, 3, 3, 3, -1, -20, 2])
+    h = score_excursions(scores)
+    assert list(h) == [10.0, 9.0, 2.0]
+
+
+def test_simulate_evd_reasonable():
+    res = simulate_evd(seq_length=3000, n_trials=5)
+    assert res.n_excursions > 10
+    assert res.gumbel_lambda > 0
+    thr = significance_threshold(res, 0.01)
+    assert thr > res.mean_height
+
+
+def test_merge_evd():
+    a = simulate_evd(seq_length=2000, n_trials=3, seed=1)
+    b = simulate_evd(seq_length=2000, n_trials=3, seed=2)
+    m = merge_evd_results([a, b])
+    assert m.n_excursions == a.n_excursions + b.n_excursions
+
+
+def _fam(starts, length):
+    return RepeatFamily(np.array(starts, np.int64), np.ones((len(starts), length), bool))
+
+
+def test_score_procrast_alignment_perfect():
+    fams = [_fam([100, 500], 50)]
+    s = score_procrast_alignment(fams, fams)
+    assert s.sensitivity == 1.0 and s.ppv == 1.0
+
+
+def test_score_procrast_alignment_partial():
+    correct = [_fam([100, 500], 50)]
+    calc = [_fam([100, 500], 25)]  # only half the columns
+    s = score_procrast_alignment(correct, calc)
+    assert s.ppv == 1.0
+    assert 0.4 < s.sensitivity < 0.6
+
+
+def test_repeats_xmfa_roundtrip(rng, tmp_path):
+    g = simulate.random_genome(rng, 800)
+    fams = [_fam([101, 401], 60)]
+    path = str(tmp_path / "r.xmfa")
+    write_repeats_xmfa(fams, g, path)
+    back = read_repeats_xmfa(path)
+    assert len(back) == 1
+    assert np.array_equal(back[0].starts, fams[0].starts)
+    assert back[0].n_cols == 60
+
+
+def test_repeatmasker_parse_and_score():
+    rm = """   SW   perc perc perc  query     position in query
+score   div. del. ins.  sequence  begin end (left) repeat        class/family
+  463   11.5  0.0  0.0  chr1      101   250 (1000) + AluYa5     SINE/Alu     1 150 (0) 1
+  312   15.2  1.1  0.0  chr1      601   700 (500)  C AluSx      SINE/Alu     (0) 150 20 2
+"""
+    recs = parse_repeatmasker(io.StringIO(rm))
+    assert len(recs) == 2
+    assert recs[0].begin == 101 and recs[0].end == 250
+    assert recs[1].strand == -1
+    fams = [_fam([101, 601], 100)]
+    stats = score_alu(fams, recs)
+    assert stats["sensitivity"] > 0.7
+    assert stats["ppv"] > 0.9
+
+
+def test_evd_cli(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    assert main(["evd", "--length=2000", "--trials=3", "--output=e1.txt"]) == 0
+    assert main(["evd", "--length=2000", "--trials=3", "--output=e2.txt"]) == 0
+    assert main(["multiEVD", "e1.txt", "e2.txt"]) == 0
+    out = capsys.readouterr().out
+    assert "lambda" in out
+
+
+def test_bb_analyze_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    with open("bb.backbone", "w") as fh:
+        fh.write("seq0_leftend\tseq0_rightend\tseq1_leftend\tseq1_rightend\n")
+        fh.write("1\t500\t1\t480\n")
+        fh.write("601\t900\t0\t0\n")
+    assert main(["bbAnalyze", "bb.backbone", "report.txt"]) == 0
+    text = open("report.txt").read()
+    assert "core segments: 1" in text
+    assert "variable segments: 1" in text
+
+
+def test_bb_break_on_genes(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    gbk = """LOCUS       TEST                  1000 bp    DNA     linear UNK
+FEATURES             Location/Qualifiers
+     CDS             201..400
+                     /gene="g1"
+ORIGIN
+"""
+    seq = "acgt" * 250
+    lines = [f"{i+1:>9} {seq[i:i+60]}" for i in range(0, 1000, 60)]
+    with open("ref.gbk", "w") as fh:
+        fh.write(gbk + "\n".join(lines) + "\n//\n")
+    with open("bb.backbone", "w") as fh:
+        fh.write("seq0_leftend\tseq0_rightend\tseq1_leftend\tseq1_rightend\n")
+        fh.write("1\t1000\t1\t1000\n")
+    assert main(["bbBreakOnGenes", "bb.backbone", "ref.gbk", "broken.txt"]) == 0
+    rows = [l for l in open("broken.txt").read().splitlines() if not l.startswith("seq0")]
+    assert len(rows) == 3  # split at 201 and 401
