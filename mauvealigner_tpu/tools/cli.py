@@ -74,6 +74,17 @@ def mauve_aligner_cli(argv: List[str]) -> int:
     p.add_argument("--id-matrix", default="", help="identity matrix output file")
     p.add_argument("--permutation-matrix-output", default="")
     p.add_argument("--alignment-output-format", default="xmfa")
+    p.add_argument("--match-input", default="", help="read matches from a file")
+    p.add_argument("--lcb-input", default="", help="read intervals, skip search")
+    p.add_argument("--match-log", default="", help="journal matches per partition")
+    p.add_argument("--offset-log", default="", help="journal completed partitions")
+    p.add_argument("--merge-match-log", default="", action="append",
+                   help="merge an external match journal (repeatable)")
+    p.add_argument("--partitions", type=int, default=1,
+                   help="seed-space partitions for resumable search")
+    p.add_argument("--realign-lcb", type=int, action="append", default=[],
+                   help="re-align only the given LCB index (repeatable)")
+    p.add_argument("--scratch-path", default="", help="SML scratch directory")
     a = p.parse_args(argv)
 
     from mauvealigner_tpu.core import mln
@@ -94,13 +105,65 @@ def mauve_aligner_cli(argv: List[str]) -> int:
         max_gapped_len=a.max_gapped_aligner_length,
         nway_filter=not a.no_nway_filter,
     )
+    if a.scratch_path:
+        from mauvealigner_tpu.core.sml import register_temp_path
+
+        register_temp_path(a.scratch_path)
     aligner = MauveAligner(opts)
+
+    def _find_matches():
+        from mauvealigner_tpu.models import resume
+        from mauvealigner_tpu.seeds import default_mer_size, get_seed
+
+        if a.match_input:
+            ml, _, _ = mln.read_match_list(a.match_input)
+            aligner._seed_weight = a.seed_size or default_mer_size(
+                int(np.mean([len(g) for g in genomes]))
+            )
+        elif a.partitions > 1 or a.match_log or a.offset_log:
+            avg = int(np.mean([len(g) for g in genomes]))
+            weight = a.seed_size or default_mer_size(avg)
+            aligner._seed_weight = weight
+            ml = resume.resumable_find_mums(
+                genomes,
+                get_seed(weight, rank),
+                n_partitions=max(a.partitions, 1),
+                match_log=a.match_log,
+                offset_log=a.offset_log,
+            )
+        else:
+            ml = aligner.find_mums(genomes)
+        if a.merge_match_log:
+            ml = resume.merge_match_logs(ml, a.merge_match_log)
+        return ml
+
     if a.mums:
-        ml = aligner.find_mums(genomes)
+        ml = _find_matches()
         with open_out(a.output) as fh:
             mln.write_match_list(ml, fh, a.seqs, [len(g) for g in genomes])
         return 0
-    res = aligner.align(genomes)
+    if a.lcb_input:
+        ivl = mln.read_interval_list(a.lcb_input, genomes)
+        if a.output_alignment:
+            ivl.seq_filenames = list(a.seqs)
+            ivl.write_xmfa(a.output_alignment)
+        return 0
+
+    ml = _find_matches()
+    ml, lcbs = aligner.determine_lcbs(genomes, ml)
+    if opts.recursive:
+        ml, lcbs = aligner.recursive_anchor(genomes, ml, lcbs)
+    if a.realign_lcb:
+        from mauvealigner_tpu.models import resume
+
+        ivl = resume.realign_lcbs(aligner, genomes, ml, lcbs, a.realign_lcb)
+        if a.output_alignment:
+            ivl.seq_filenames = list(a.seqs)
+            ivl.write_xmfa(a.output_alignment)
+        return 0
+    from mauvealigner_tpu.models.aligner import AlignmentResult
+
+    res = AlignmentResult(aligner.build_intervals(genomes, ml, lcbs), lcbs, ml)
     with open_out(a.output) as fh:
         mln.write_match_list(res.mums, fh, a.seqs, [len(g) for g in genomes])
     if a.output_alignment:
