@@ -37,6 +37,25 @@ def _iter_fasta_records(handle: TextIO):
 def read_fasta(path_or_handle: Union[str, TextIO], name: str = "") -> Genome:
     """Read a (multi-contig) FASTA file into one Genome."""
     if isinstance(path_or_handle, str):
+        from mauvealigner_tpu import native
+
+        mod = native.get()
+        if mod is not None:
+            with open(path_or_handle, "rb") as fh:
+                seq_bytes, contig_info = mod.parse_fasta(fh.read())
+            if not contig_info:
+                raise ValueError("empty FASTA input")
+            contigs = []
+            offset = 0
+            for cname, length in contig_info:
+                contigs.append(Contig(cname, length, offset))
+                offset += length
+            return Genome(
+                np.frombuffer(seq_bytes, dtype=np.uint8),
+                contigs=contigs,
+                name=contigs[0].name,
+                filename=name or path_or_handle,
+            )
         with open(path_or_handle) as fh:
             return read_fasta(fh, name=name or path_or_handle)
     contigs: List[Contig] = []

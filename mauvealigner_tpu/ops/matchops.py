@@ -441,6 +441,22 @@ def extend_matches_maximal(
     starts = match_list.starts.copy()
     lengths = match_list.lengths.copy()
     n, n_seqs = starts.shape
+    # native host runtime fast path (C++; see native/mauve_native.cpp)
+    from mauvealigner_tpu import native
+
+    mod = native.get()
+    if mod is not None:
+        codes_bytes = [np.ascontiguousarray(c, dtype=np.uint8).tobytes() for c in genome_codes]
+        s_out, l_out = mod.extend_matches(
+            codes_bytes,
+            np.ascontiguousarray(starts, dtype=np.int64).tobytes(),
+            np.ascontiguousarray(lengths, dtype=np.int64).tobytes(),
+            n,
+            n_seqs,
+        )
+        starts = np.frombuffer(s_out, np.int64).reshape(n, n_seqs).copy()
+        lengths = np.frombuffer(l_out, np.int64).copy()
+        return MatchList(starts, lengths).dedup()
     seq_lens = np.array([len(c) for c in genome_codes], dtype=np.int64)
 
     def gather_col(offsets_from_end: np.ndarray, side: str) -> np.ndarray:
