@@ -49,6 +49,7 @@ class AlignerOptions:
     gap_open: float = dp.DEFAULT_GAP_OPEN
     gap_extend: float = dp.DEFAULT_GAP_EXTEND
     use_sml_cache: bool = True
+    debug: bool = False  # internal consistency checks (--debug, very slow)
 
 
 @dataclasses.dataclass
@@ -241,8 +242,16 @@ class MauveAligner:
     # -- full pipeline ------------------------------------------------------
     def align(self, genomes: Sequence[Genome]) -> AlignmentResult:
         ml = self.find_mums(genomes)
+        if self.options.debug:
+            from mauvealigner_tpu.core.validate import validate_match_list
+
+            validate_match_list(ml, genomes)
         ml, lcbs = self.determine_lcbs(genomes, ml)
         if self.options.recursive:
             ml, lcbs = self.recursive_anchor(genomes, ml, lcbs)
         ivs = self.build_intervals(genomes, ml, lcbs)
+        if self.options.debug:
+            from mauvealigner_tpu.core.validate import validate_interval_list
+
+            validate_interval_list(ivs, genomes)
         return AlignmentResult(ivs, lcbs, ml)

@@ -85,6 +85,12 @@ def mauve_aligner_cli(argv: List[str]) -> int:
     p.add_argument("--realign-lcb", type=int, action="append", default=[],
                    help="re-align only the given LCB index (repeatable)")
     p.add_argument("--scratch-path", default="", help="SML scratch directory")
+    p.add_argument("--repeats", action="store_true",
+                   help="generate a repeat match list instead of aligning")
+    p.add_argument("--rmin", type=int, default=2)
+    p.add_argument("--rmax", type=int, default=1000)
+    p.add_argument("--debug", action="store_true",
+                   help="perform internal consistency checks (very slow)")
     a = p.parse_args(argv)
 
     from mauvealigner_tpu.core import mln
@@ -104,7 +110,30 @@ def mauve_aligner_cli(argv: List[str]) -> int:
         gapped=not a.no_gapped_alignment,
         max_gapped_len=a.max_gapped_aligner_length,
         nway_filter=not a.no_nway_filter,
+        debug=a.debug,
     )
+    if a.repeats:
+        # RepeatHash mode: every seed occurrence participates
+        # (src/mauveAligner.cpp:480-487).  Multiple genomes are searched in a
+        # concatenated coordinate space (the reference's RepeatHashCat
+        # intent, src/RepeatHashCat.h:10-21).
+        from mauvealigner_tpu.core.sml import build_sml
+        from mauvealigner_tpu.genome.sequence import Genome as _G
+        from mauvealigner_tpu.ops import matchops
+        from mauvealigner_tpu.seeds import default_mer_size, get_seed
+
+        if len(genomes) == 1:
+            cat = genomes[0]
+        else:
+            cat = _G(np.concatenate([g.seq for g in genomes]), name="concat")
+        seed = get_seed(a.seed_size or default_mer_size(len(cat)), rank)
+        groups = matchops.build_seed_groups([build_sml(cat, seed)])
+        reps = matchops.repeat_matches_from_groups(
+            groups, seed.length, min_multi=a.rmin, max_multi=a.rmax
+        )
+        with open_out(a.output) as fh:
+            mln.write_match_list(reps, fh, a.seqs, [len(g) for g in genomes])
+        return 0
     if a.scratch_path:
         from mauvealigner_tpu.core.sml import register_temp_path
 
@@ -226,6 +255,15 @@ def progressive_mauve_cli(argv: List[str]) -> int:
     p.add_argument("--output-guide-tree", default="")
     p.add_argument("--scratch-path-1", default="")
     p.add_argument("--scratch-path-2", default="")
+    p.add_argument("--apply-backbone", default="",
+                   help="re-enter with an existing alignment: apply the given "
+                   ".bbcols backbone to the input XMFA (first positional arg)")
+    p.add_argument("--max-gapped-aligner-length", type=int, default=4096)
+    p.add_argument("--disable-cache", action="store_true",
+                   help="disable the SML disk cache")
+    p.add_argument("--mem-clean", action="store_true", help="accepted; no-op")
+    p.add_argument("--debug", action="store_true",
+                   help="perform internal consistency checks (very slow)")
     a = p.parse_args(argv)
 
     from mauvealigner_tpu.core import mln
@@ -235,6 +273,16 @@ def progressive_mauve_cli(argv: List[str]) -> int:
     for path in (a.scratch_path_1, a.scratch_path_2):
         if path:
             register_temp_path(path)
+    if a.apply_backbone:
+        # phase re-entry (src/progressiveMauve.cpp:367-385 style): apply an
+        # existing backbone to an existing alignment
+        from mauvealigner_tpu.analysis.backbone import apply_backbone, read_backbone_cols_file
+
+        ivl = _read_alignment(a.seqs[0], a.seqs[1:])
+        segs = read_backbone_cols_file(a.apply_backbone)
+        applied = apply_backbone(ivl, segs)
+        applied.write_xmfa(a.output)
+        return 0
     genomes = load_genomes(a.seqs)
     opts = ProgressiveOptions(
         seed_weight=a.seed_weight,
@@ -243,6 +291,8 @@ def progressive_mauve_cli(argv: List[str]) -> int:
         seed_family=a.seed_family,
         collinear=a.collinear,
         gapped=not a.skip_gapped_alignment,
+        max_gapped_len=a.max_gapped_aligner_length,
+        use_sml_cache=not a.disable_cache,
         refine=not a.skip_refinement,
         skip_backbone=a.no_backbone,
         island_gap_size=a.island_gap_size,
