@@ -217,10 +217,13 @@ def _batched_profile_pair_align(
     for side, idxs in buckets.items():
         M = N = side
         per_elt = 5 * (M + N + 1) * (M + 1) + 4 * M * N
-        bmax = max(1, min(128, memory_budget_bytes // per_elt))
+        # big batches amortize the per-call host<->device latency, which on
+        # the TPU tunnel dwarfs kernel runtime for small buckets
+        bmax = max(1, min(4096, memory_budget_bytes // per_elt))
         for off in range(0, len(idxs), bmax):
             chunk = idxs[off : off + bmax]
-            B = len(chunk)
+            # pad the batch: one compiled shape per (bucket, batch-bucket)
+            B = bmax if len(idxs) > bmax else dp._batch_bucket(len(chunk))
             pa = np.zeros((B, M, 5), np.float32)
             pb = np.zeros((B, N, 5), np.float32)
             la = np.zeros(B, np.int32)

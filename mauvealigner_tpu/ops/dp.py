@@ -236,6 +236,11 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _batch_bucket(n: int) -> int:
+    """Round a batch size up to a power of two (bounds compiled shapes)."""
+    return 1 << max(0, (n - 1).bit_length())
+
+
 DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
 
 
@@ -245,7 +250,7 @@ def align_sequence_pairs(
     gap_open: float = DEFAULT_GAP_OPEN,
     gap_extend: float = DEFAULT_GAP_EXTEND,
     buckets: Sequence[int] = DEFAULT_BUCKETS,
-    max_batch: int = 128,
+    max_batch: int = 4096,
     memory_budget_bytes: int = 1 << 29,
 ) -> List[np.ndarray]:
     """Globally align many (codesA, codesB) pairs, bucketing by length.
@@ -279,7 +284,9 @@ def align_sequence_pairs(
         bucket_batch = max(1, min(max_batch, memory_budget_bytes // per_elt))
         for off in range(0, len(idxs), bucket_batch):
             chunk = idxs[off : off + bucket_batch]
-            B = len(chunk)
+            # pad the batch to the full bucket size: one compiled shape per
+            # bucket regardless of how many regions fall in it
+            B = bucket_batch if len(idxs) > bucket_batch else _batch_bucket(len(chunk))
             pa = np.zeros((B, M, 5), np.float32)
             pb = np.zeros((B, N, 5), np.float32)
             la = np.zeros(B, np.int32)
