@@ -216,7 +216,7 @@ def _batched_profile_pair_align(
         buckets.setdefault(side, []).append(i)
     for side, idxs in buckets.items():
         M = N = side
-        per_elt = 5 * (M + N + 1) * (M + 1) + 4 * M * N
+        per_elt = (M + N + 1) * (M + 1) + 4 * M * N
         # big batches amortize the per-call host<->device latency, which on
         # the TPU tunnel dwarfs kernel runtime for small buckets
         bmax = max(1, min(4096, memory_budget_bytes // per_elt))

@@ -63,6 +63,29 @@ def one_hot_profile(codes: np.ndarray, length: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("M", "N"))
+def gotoh_forward_scored(
+    pA: jnp.ndarray,  # [B, M, 5] profiles (rows beyond mA are zero)
+    pB: jnp.ndarray,  # [B, N, 5]
+    lens_a: jnp.ndarray,  # [B] int32
+    lens_b: jnp.ndarray,  # [B] int32
+    subst: jnp.ndarray,  # [5, 5]
+    gap_open: jnp.ndarray,  # scalar f32 (negative)
+    gap_extend: jnp.ndarray,  # scalar f32 (negative)
+    M: int,
+    N: int,
+):
+    """Like gotoh_forward but extracts each element's final score
+    H[mA, mB] inside the scan instead of materializing every H row —
+    halves device memory, doubling feasible batch sizes.
+
+    Returns (scores [B] f32, dec [B, n_diags, M+1] uint8).
+    """
+    return _gotoh_core(
+        pA, pB, subst, gap_open, gap_extend, M, N, lens_a, lens_b, keep_H=False
+    )
+
+
+@partial(jax.jit, static_argnames=("M", "N"))
 def gotoh_forward(
     pA: jnp.ndarray,  # [B, M, 5] profiles (rows beyond mA are zero)
     pB: jnp.ndarray,  # [B, N, 5]
@@ -78,6 +101,26 @@ def gotoh_forward(
     bit2 E opened from H, bit3 F opened from H.
     """
     B = pA.shape[0]
+    zeros = jnp.zeros(B, jnp.int32)
+    return _gotoh_core(
+        pA, pB, subst, gap_open, gap_extend, M, N, zeros, zeros, keep_H=True
+    )
+
+
+@partial(jax.jit, static_argnames=("M", "N", "keep_H"))
+def _gotoh_core(
+    pA: jnp.ndarray,
+    pB: jnp.ndarray,
+    subst: jnp.ndarray,
+    gap_open: jnp.ndarray,
+    gap_extend: jnp.ndarray,
+    M: int,
+    N: int,
+    lens_a: jnp.ndarray,
+    lens_b: jnp.ndarray,
+    keep_H: bool,
+):
+    B = pA.shape[0]
     n_diags = M + N + 1
     # MXU: full substitution score matrix, flattened for in-scan diag gathers
     S = jnp.einsum("bik,kl,bjl->bij", pA, subst, pB, preferred_element_type=jnp.float32)
@@ -87,18 +130,20 @@ def gotoh_forward(
     go_ge = gap_open + gap_extend
 
     H0 = jnp.where(iota == 0, 0.0, NEG) * jnp.ones((B, 1), jnp.float32)
+    d_final = lens_a + lens_b
     init = (
         H0,                                   # H_prev  (diag d-1)
         jnp.full((B, M + 1), NEG),            # H_prev2 (diag d-2)
         jnp.full((B, M + 1), NEG),            # E_prev
         jnp.full((B, M + 1), NEG),            # F_prev
+        jnp.where(d_final == 0, 0.0, NEG).astype(jnp.float32),  # score so far
     )
 
     def shift_down(x):
         return jnp.concatenate([jnp.full((B, 1), NEG), x[:, :-1]], axis=1)
 
     def step(carry, d):
-        H_prev, H_prev2, E_prev, F_prev = carry
+        H_prev, H_prev2, E_prev, F_prev, score = carry
         j = d - iota  # [1, M+1] column index per lane
 
         e_from_h = H_prev + go_ge
@@ -128,15 +173,22 @@ def gotoh_forward(
             | (e_open.astype(jnp.uint8) << 2)
             | (f_open.astype(jnp.uint8) << 3)
         )
-        return (H, H_prev, E, F), (H, dec)
+        # capture each element's final cell H[mA, mB] as its diagonal passes
+        picked = jnp.take_along_axis(H, lens_a[:, None], axis=1)[:, 0]
+        score = jnp.where(d == d_final, picked, score)
+        ys = (H, dec) if keep_H else dec
+        return (H, H_prev, E, F, score), ys
 
     ds = jnp.arange(1, n_diags, dtype=jnp.int32)
-    _, (H_stack, dec_stack) = jax.lax.scan(step, init, ds)
-    # prepend diag 0
-    H_all = jnp.concatenate([H0[:, None, :], jnp.moveaxis(H_stack, 0, 1)], axis=1)
+    carry, ys = jax.lax.scan(step, init, ds)
     dec0 = jnp.zeros((B, 1, M + 1), jnp.uint8)
-    dec_all = jnp.concatenate([dec0, jnp.moveaxis(dec_stack, 0, 1)], axis=1)
-    return H_all, dec_all
+    if keep_H:
+        H_stack, dec_stack = ys
+        H_all = jnp.concatenate([H0[:, None, :], jnp.moveaxis(H_stack, 0, 1)], axis=1)
+        dec_all = jnp.concatenate([dec0, jnp.moveaxis(dec_stack, 0, 1)], axis=1)
+        return H_all, dec_all
+    dec_all = jnp.concatenate([dec0, jnp.moveaxis(ys, 0, 1)], axis=1)
+    return carry[4], dec_all
 
 
 @partial(jax.jit, static_argnames=("M", "N"))
@@ -209,20 +261,21 @@ def align_profiles_batch(
     start-to-end order, scores [B])."""
     B, M, _ = profiles_a.shape
     N = profiles_b.shape[1]
-    H_all, dec = gotoh_forward(
+    mA = jnp.asarray(lens_a, dtype=jnp.int32)
+    mB = jnp.asarray(lens_b, dtype=jnp.int32)
+    scores_dev, dec = gotoh_forward_scored(
         jnp.asarray(profiles_a),
         jnp.asarray(profiles_b),
+        mA,
+        mB,
         jnp.asarray(subst, dtype=jnp.float32),
         jnp.float32(gap_open),
         jnp.float32(gap_extend),
         M,
         N,
     )
-    mA = jnp.asarray(lens_a, dtype=jnp.int32)
-    mB = jnp.asarray(lens_b, dtype=jnp.int32)
     ops_rev, counts = gotoh_traceback(dec, mA, mB, M, N)
-    d_final = np.asarray(lens_a) + np.asarray(lens_b)
-    scores = np.asarray(H_all)[np.arange(B), d_final, np.asarray(lens_a)]
+    scores = np.asarray(scores_dev)
     ops_rev = np.asarray(ops_rev)
     counts = np.asarray(counts)
     out = [ops_rev[b, : counts[b]][::-1].copy() for b in range(B)]
@@ -278,9 +331,9 @@ def align_sequence_pairs(
         side = _bucket(max(len(a), len(b)), buckets)
         groups.setdefault((side, side), []).append(idx)
     for (M, N), idxs in groups.items():
-        # per-element device footprint: H_all f32 + dec u8 ((M+N+1)*(M+1)*5B)
-        # plus the score matrix S f32 (4*M*N)
-        per_elt = 5 * (M + N + 1) * (M + 1) + 4 * M * N
+        # per-element device footprint: dec u8 ((M+N+1)*(M+1)) plus the score
+        # matrix S f32 (4*M*N); H rows are not materialized
+        per_elt = (M + N + 1) * (M + 1) + 4 * M * N
         bucket_batch = max(1, min(max_batch, memory_budget_bytes // per_elt))
         for off in range(0, len(idxs), bucket_batch):
             chunk = idxs[off : off + bucket_batch]

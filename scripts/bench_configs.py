@@ -1,0 +1,142 @@
+"""Measure all BASELINE.md evaluation configs on the current platform.
+
+Usage: python scripts/bench_configs.py [config_ids...]
+  1 pairwise 1Mbp           (same as bench.py)
+  2 three-genome 500kbp with inversion, recursive + islands/backbone
+  3 nine-way 250kbp progressive with HMM backbone
+  4 repeatoire on a 300kbp genome with planted repeat families
+Emits one JSON line per config.
+"""
+
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _genomes_pair(rng, n):
+    from mauvealigner_tpu.utils import simulate
+
+    anc = simulate.random_genome(rng, n)
+    der, _ = simulate.evolve(anc, rng, sub_rate=0.01, ins_rate=0.0005, del_rate=0.0005)
+    return [anc, der]
+
+
+def config1(repeat=2):
+    from mauvealigner_tpu.models.aligner import AlignerOptions, MauveAligner
+
+    rng = np.random.default_rng(37)
+    genomes = _genomes_pair(rng, 1_000_000)
+    times = []
+    res = None
+    for _ in range(repeat):
+        t0 = time.time()
+        res = MauveAligner(AlignerOptions(use_sml_cache=False)).align(genomes)
+        times.append(time.time() - t0)
+    return {
+        "config": "pairwise_1mbp",
+        "wallclock_s": round(min(times), 3),
+        "cold_s": round(times[0], 3),
+        "n_lcbs": len(res.lcbs),
+        "n_anchors": len(res.mums),
+    }
+
+
+def config2(repeat=2):
+    from mauvealigner_tpu.analysis.islands import simple_find_backbone, simple_find_islands
+    from mauvealigner_tpu.models.aligner import AlignerOptions, MauveAligner
+    from mauvealigner_tpu.utils import simulate
+
+    rng = np.random.default_rng(37)
+    anc = simulate.random_genome(rng, 500_000)
+    d1, _ = simulate.evolve(anc, rng, sub_rate=0.01, ins_rate=0.001, del_rate=0.001)
+    d2, _ = simulate.evolve(anc, rng, sub_rate=0.02, ins_rate=0.001, del_rate=0.001)
+    d2 = simulate.apply_inversion(d2, 150_000, 250_000)
+    genomes = [anc, d1, d2]
+    times = []
+    out = None
+    for _ in range(repeat):
+        t0 = time.time()
+        res = MauveAligner(AlignerOptions(use_sml_cache=False)).align(genomes)
+        islands = simple_find_islands(res.interval_list, 50)
+        bb = simple_find_backbone(res.interval_list, 50, 50)
+        out = (res, islands, bb)
+        times.append(time.time() - t0)
+    res, islands, bb = out
+    return {
+        "config": "threeway_500kbp_inversion",
+        "wallclock_s": round(min(times), 3),
+        "cold_s": round(times[0], 3),
+        "n_lcbs": len(res.lcbs),
+        "n_islands": len(islands),
+        "n_backbone": len(bb),
+    }
+
+
+def config3(repeat=2, n=250_000, k=9):
+    from mauvealigner_tpu.models.progressive import ProgressiveMauve, ProgressiveOptions
+    from mauvealigner_tpu.utils import simulate
+
+    rng = np.random.default_rng(37)
+    anc = simulate.random_genome(rng, n)
+    genomes = [anc]
+    for _ in range(k - 1):
+        d, _ = simulate.evolve(anc, rng, sub_rate=0.02, ins_rate=0.001, del_rate=0.001)
+        genomes.append(d)
+    times = []
+    res = None
+    for _ in range(repeat):
+        t0 = time.time()
+        res = ProgressiveMauve(ProgressiveOptions(use_sml_cache=False)).align(genomes)
+        times.append(time.time() - t0)
+    return {
+        "config": f"progressive_{k}way_{n//1000}kbp",
+        "wallclock_s": round(min(times), 3),
+        "cold_s": round(times[0], 3),
+        "n_lcbs": len(res.lcbs),
+        "n_backbone_rows": len(res.backbone_rows),
+    }
+
+
+def config4(repeat=2):
+    from mauvealigner_tpu.genome.sequence import Genome
+    from mauvealigner_tpu.models.repeatoire import Repeatoire, RepeatoireOptions
+    from mauvealigner_tpu.utils import simulate
+
+    rng = np.random.default_rng(37)
+    parts = [simulate.random_genome(rng, 30_000).seq]
+    unit1 = simulate.random_genome(rng, 600).seq
+    unit2 = simulate.random_genome(rng, 300).seq
+    for i in range(8):
+        parts.append(unit1.copy())
+        parts.append(simulate.random_genome(rng, 20_000).seq)
+        if i % 2 == 0:
+            parts.append(unit2.copy())
+            parts.append(simulate.random_genome(rng, 10_000).seq)
+    g = Genome(np.concatenate(parts), name="repeats")
+    times = []
+    fams = None
+    for _ in range(repeat):
+        t0 = time.time()
+        fams = Repeatoire(RepeatoireOptions()).find_repeats(g)
+        times.append(time.time() - t0)
+    return {
+        "config": f"repeatoire_{len(g)//1000}kbp",
+        "wallclock_s": round(min(times), 3),
+        "cold_s": round(times[0], 3),
+        "n_families": len(fams),
+        "top_multiplicity": max((f.multiplicity for f in fams), default=0),
+    }
+
+
+CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4}
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or list(CONFIGS)
+    for c in which:
+        print(json.dumps(CONFIGS[c]()), flush=True)
