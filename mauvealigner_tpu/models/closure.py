@@ -142,12 +142,33 @@ def hierarchical_align_region_groups(
             jobs.append((k, A, B, nA, nB))
         if not jobs:
             continue
-        ops_all = _batched_profile_pair_align(
-            [( _profile_of(A, nA), nA, _profile_of(B, nB), nB) for _, A, B, nA, nB in jobs],
-            subst,
-            gap_open,
-            gap_extend,
-        )
+        # leaf-leaf merges are plain sequence pairs: ship uint8 codes and
+        # build one-hots on device (the tunnel is bandwidth-starved)
+        code_idx = [i for i, (_, A, B, _, _) in enumerate(jobs) if len(A) == 1 and len(B) == 1]
+        prof_idx = [i for i in range(len(jobs)) if i not in set(code_idx)]
+        ops_all: List[Optional[np.ndarray]] = [None] * len(jobs)
+        if code_idx:
+            got = _batched_code_pair_align(
+                [(jobs[i][1][0][1], jobs[i][2][0][1]) for i in code_idx],
+                subst, gap_open, gap_extend,
+            )
+            for i, ops in zip(code_idx, got):
+                ops_all[i] = ops
+        if prof_idx:
+            got = _batched_profile_pair_align(
+                [
+                    (
+                        _profile_of(jobs[i][1], jobs[i][3]),
+                        jobs[i][3],
+                        _profile_of(jobs[i][2], jobs[i][4]),
+                        jobs[i][4],
+                    )
+                    for i in prof_idx
+                ],
+                subst, gap_open, gap_extend,
+            )
+            for i, ops in zip(prof_idx, got):
+                ops_all[i] = ops
         for (k, A, B, nA, nB), ops in zip(jobs, ops_all):
             consumes_a = (ops == dp.OP_DIAG) | (ops == dp.OP_UP)
             consumes_b = (ops == dp.OP_DIAG) | (ops == dp.OP_LEFT)
@@ -199,6 +220,43 @@ def align_region_groups(
     return hierarchical_align_region_groups(
         groups, None, subst, gap_open, gap_extend, max_len
     )
+
+
+def _batched_code_pair_align(
+    pairs: List[Tuple[np.ndarray, np.ndarray]],
+    subst: np.ndarray,
+    gap_open: float,
+    gap_extend: float,
+    memory_budget_bytes: int = 1 << 29,
+) -> List[np.ndarray]:
+    """Bucket plain sequence pairs and run batched Gotoh with uint8 upload."""
+    results: List[Optional[np.ndarray]] = [None] * len(pairs)
+    buckets: dict = {}
+    for i, (a, b) in enumerate(pairs):
+        side = _bucket_of(max(len(a), len(b)))
+        buckets.setdefault(side, []).append(i)
+    for side, idxs in buckets.items():
+        M = N = side
+        per_elt = (M + N + 1) * (M + 1) + 4 * M * N
+        bmax = max(1, min(4096, memory_budget_bytes // per_elt))
+        for off in range(0, len(idxs), bmax):
+            chunk = idxs[off : off + bmax]
+            B = bmax if len(idxs) > bmax else dp._batch_bucket(len(chunk))
+            ca = np.full((B, M), 255, np.uint8)
+            cb = np.full((B, N), 255, np.uint8)
+            la = np.zeros(B, np.int32)
+            lb = np.zeros(B, np.int32)
+            for j, i in enumerate(chunk):
+                a, b = pairs[i]
+                ca[j, : len(a)] = np.minimum(a, 4)
+                cb[j, : len(b)] = np.minimum(b, 4)
+                la[j], lb[j] = len(a), len(b)
+            ops_list, _ = dp.align_code_pairs_batch(
+                ca, cb, la, lb, subst, gap_open, gap_extend
+            )
+            for j, i in enumerate(chunk):
+                results[i] = ops_list[j]
+    return results  # type: ignore[return-value]
 
 
 def _batched_profile_pair_align(

@@ -258,14 +258,78 @@ def align_profiles_batch(
     gap_extend: float = DEFAULT_GAP_EXTEND,
 ) -> Tuple[List[np.ndarray], np.ndarray]:
     """Align a batch of profile pairs; returns (list of op arrays in
-    start-to-end order, scores [B])."""
+    start-to-end order, scores [B]).
+
+    Integer-count profiles are shipped uint8 and widened on device.
+    """
     B, M, _ = profiles_a.shape
     N = profiles_b.shape[1]
     mA = jnp.asarray(lens_a, dtype=jnp.int32)
     mB = jnp.asarray(lens_b, dtype=jnp.int32)
+
+    def ship(p):
+        if p.dtype == np.float32 and p.max(initial=0.0) < 255 and np.allclose(p, np.round(p)):
+            return jnp.asarray(p.astype(np.uint8)).astype(jnp.float32)
+        return jnp.asarray(p)
+
     scores_dev, dec = gotoh_forward_scored(
-        jnp.asarray(profiles_a),
-        jnp.asarray(profiles_b),
+        ship(profiles_a),
+        ship(profiles_b),
+        mA,
+        mB,
+        jnp.asarray(subst, dtype=jnp.float32),
+        jnp.float32(gap_open),
+        jnp.float32(gap_extend),
+        M,
+        N,
+    )
+    ops_rev, counts = gotoh_traceback(dec, mA, mB, M, N)
+    scores = np.asarray(scores_dev)
+    ops_rev = np.asarray(ops_rev)
+    counts = np.asarray(counts)
+    out = [ops_rev[b, : counts[b]][::-1].copy() for b in range(B)]
+    return out, scores
+
+
+@partial(jax.jit, static_argnames=("M", "N"))
+def _gotoh_codes(
+    codes_a: jnp.ndarray,  # uint8 [B, M] (padding >= 5)
+    codes_b: jnp.ndarray,  # uint8 [B, N]
+    lens_a: jnp.ndarray,
+    lens_b: jnp.ndarray,
+    subst: jnp.ndarray,
+    gap_open: jnp.ndarray,
+    gap_extend: jnp.ndarray,
+    M: int,
+    N: int,
+):
+    """Sequence-pair Gotoh with on-device one-hot construction: the tunnel
+    carries 1 byte/base instead of 20 (5 x f32)."""
+    sym = jnp.arange(5, dtype=jnp.uint8)
+    pa = (codes_a[:, :, None] == sym[None, None, :]).astype(jnp.float32)
+    pb = (codes_b[:, :, None] == sym[None, None, :]).astype(jnp.float32)
+    return _gotoh_core(
+        pa, pb, subst, gap_open, gap_extend, M, N, lens_a, lens_b, keep_H=False
+    )
+
+
+def align_code_pairs_batch(
+    codes_a: np.ndarray,  # uint8 [B, M], pad with 255
+    codes_b: np.ndarray,
+    lens_a: np.ndarray,
+    lens_b: np.ndarray,
+    subst: np.ndarray = HOXD70,
+    gap_open: float = DEFAULT_GAP_OPEN,
+    gap_extend: float = DEFAULT_GAP_EXTEND,
+) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Sequence-pair variant of align_profiles_batch (uint8 codes upload)."""
+    B, M = codes_a.shape
+    N = codes_b.shape[1]
+    mA = jnp.asarray(lens_a, dtype=jnp.int32)
+    mB = jnp.asarray(lens_b, dtype=jnp.int32)
+    scores_dev, dec = _gotoh_codes(
+        jnp.asarray(codes_a),
+        jnp.asarray(codes_b),
         mA,
         mB,
         jnp.asarray(subst, dtype=jnp.float32),
@@ -340,16 +404,16 @@ def align_sequence_pairs(
             # pad the batch to the full bucket size: one compiled shape per
             # bucket regardless of how many regions fall in it
             B = bucket_batch if len(idxs) > bucket_batch else _batch_bucket(len(chunk))
-            pa = np.zeros((B, M, 5), np.float32)
-            pb = np.zeros((B, N, 5), np.float32)
+            ca = np.full((B, M), 255, np.uint8)
+            cb = np.full((B, N), 255, np.uint8)
             la = np.zeros(B, np.int32)
             lb = np.zeros(B, np.int32)
             for k, idx in enumerate(chunk):
                 a, b = pairs[idx]
-                pa[k] = one_hot_profile(a, M)
-                pb[k] = one_hot_profile(b, N)
+                ca[k, : len(a)] = np.minimum(a, 4)
+                cb[k, : len(b)] = np.minimum(b, 4)
                 la[k], lb[k] = len(a), len(b)
-            ops_list, _ = align_profiles_batch(pa, pb, la, lb, subst, gap_open, gap_extend)
+            ops_list, _ = align_code_pairs_batch(ca, cb, la, lb, subst, gap_open, gap_extend)
             for k, idx in enumerate(chunk):
                 results[idx] = ops_list[k]
     return results
