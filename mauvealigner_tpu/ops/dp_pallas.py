@@ -1,0 +1,190 @@
+"""Pallas TPU kernel for the Gotoh wavefront (K3 hot loop).
+
+The XLA `lax.scan` version (ops/dp.py) materializes per-step HLO; this
+kernel fuses the whole anti-diagonal recurrence into one Mosaic program per
+batch element: the four state rows (H, H2, E, F) live in VMEM for the entire
+sweep, the pre-skewed substitution-score rows are read from the VMEM-resident
+input block, and only the 4-bit decision rows leave the core.
+
+Scope: square buckets with S <= 512 (skewed scores + decisions fit VMEM);
+larger buckets fall back to the scan implementation.  Layout: rows are
+(1, Sp) vectors with Sp = ceil(S+1, 128) lanes; lane shifts use pltpu.roll.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9  # python literal: jnp scalars would be captured consts in the kernel
+
+PALLAS_MAX_S = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(lens_ref, sskew_ref, dec_ref, score_ref, h_ref, h2_ref, e_ref, f_ref):
+    """One batch element's full wavefront.
+
+    lens_ref:  SMEM (2,) int32 — (mA, mB)
+    sskew_ref: VMEM (n_diags, Sp) f32 — S_skew[d, i] = S[i-1, d-i-1]
+    dec_ref:   VMEM (n_diags, Sp) int32 out — decision bits per cell
+    score_ref: SMEM (1,) f32 out — H[mA, mB]
+    h/h2/e/f:  VMEM (1, Sp) f32 scratch
+    """
+    n_diags = sskew_ref.shape[0]
+    sp = sskew_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
+    ma = lens_ref[0]
+    mb = lens_ref[1]
+    d_final = ma + mb
+
+    go_ge = sskew_ref[0, 0]      # gap_open+gap_extend smuggled in row 0
+    ge = sskew_ref[0, 1]
+
+    h_ref[:, :] = jnp.where(lane == 0, 0.0, NEG)
+    h2_ref[:, :] = jnp.full((1, sp), NEG)
+    e_ref[:, :] = jnp.full((1, sp), NEG)
+    f_ref[:, :] = jnp.full((1, sp), NEG)
+    dec_ref[0, :] = jnp.zeros(sp, jnp.int32)
+    score_ref[0] = jnp.where(d_final == 0, 0.0, NEG)
+
+    def shift_down(x):
+        rolled = pltpu.roll(x, shift=1, axis=1)
+        return jnp.where(lane == 0, NEG, rolled)
+
+    def body(d, _):
+        h_prev = h_ref[:, :]
+        h_prev2 = h2_ref[:, :]
+        e_prev = e_ref[:, :]
+        f_prev = f_ref[:, :]
+        j = d - lane
+
+        e_from_h = h_prev + go_ge
+        e_from_e = e_prev + ge
+        e_open = e_from_h >= e_from_e
+        e_val = jnp.where(j >= 1, jnp.maximum(e_from_h, e_from_e), NEG)
+
+        hp1 = shift_down(h_prev)
+        fp1 = shift_down(f_prev)
+        f_from_h = hp1 + go_ge
+        f_from_f = fp1 + ge
+        f_open = f_from_h >= f_from_f
+        f_val = jnp.where(lane >= 1, jnp.maximum(f_from_h, f_from_f), NEG)
+
+        sdiag = sskew_ref[pl.ds(d, 1), :]
+        hd = shift_down(h_prev2) + sdiag  # invalid cells stay ~NEG via sdiag mask
+
+        # priority diag > up(F) > left(E); strict > keeps the earlier choice
+        best = hd
+        choice = jnp.zeros((1, sp), jnp.int32)
+        better_f = f_val > best
+        best = jnp.where(better_f, f_val, best)
+        choice = jnp.where(better_f, 1, choice)
+        better_e = e_val > best
+        best = jnp.where(better_e, e_val, best)
+        choice = jnp.where(better_e, 2, choice)
+
+        dec = choice | jnp.where(e_open, 4, 0) | jnp.where(f_open, 8, 0)
+        dec_ref[pl.ds(d, 1), :] = dec
+        h2_ref[:, :] = h_prev
+        h_ref[:, :] = best
+        e_ref[:, :] = e_val
+        f_ref[:, :] = f_val
+
+        @pl.when(d == d_final)
+        def _():
+            picked = jnp.sum(jnp.where(lane == ma, best, 0.0))
+            score_ref[0] = picked
+
+        return 0
+
+    jax.lax.fori_loop(1, n_diags, body, 0)
+
+
+@partial(jax.jit, static_argnames=("M", "N", "interpret"))
+def gotoh_forward_pallas(
+    pA: jnp.ndarray,      # [B, M, 5] f32
+    pB: jnp.ndarray,      # [B, N, 5] f32
+    lens_a: jnp.ndarray,  # [B] int32
+    lens_b: jnp.ndarray,  # [B] int32
+    subst: jnp.ndarray,   # [5, 5] f32
+    gap_open: jnp.ndarray,
+    gap_extend: jnp.ndarray,
+    M: int,
+    N: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (scores [B] f32, dec [B, n_diags, M+1] uint8) — drop-in for
+    dp.gotoh_forward_scored on square buckets with M == N <= PALLAS_MAX_S."""
+    B = pA.shape[0]
+    n_diags = M + N + 1
+    sp = _round_up(M + 1, 128)
+
+    # MXU outside the kernel: full score matrix, then skewed so the kernel
+    # reads one contiguous row per anti-diagonal
+    S = jnp.einsum("bik,kl,bjl->bij", pA, subst, pB, preferred_element_type=jnp.float32)
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (n_diags, sp), 0)
+    i_ids = jax.lax.broadcasted_iota(jnp.int32, (n_diags, sp), 1)
+    j_ids = d_ids - i_ids
+    valid = (i_ids >= 1) & (i_ids <= M) & (j_ids >= 1) & (j_ids <= N)
+    flat = jnp.clip((i_ids - 1) * N + (j_ids - 1), 0, M * N - 1)
+    sskew = jnp.where(
+        valid[None], jnp.take_along_axis(S.reshape(B, -1)[:, None, :],
+                                         jnp.broadcast_to(flat.reshape(1, 1, -1), (B, 1, n_diags * sp)),
+                                         axis=2).reshape(B, n_diags, sp),
+        NEG,
+    )
+    # smuggle the two gap scalars into the (otherwise unused) row 0
+    sskew = sskew.at[:, 0, 0].set(gap_open + gap_extend)
+    sskew = sskew.at[:, 0, 1].set(gap_extend)
+
+    lens = jnp.stack([lens_a.astype(jnp.int32), lens_b.astype(jnp.int32)], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_diags, sp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_diags, sp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, sp), jnp.float32),
+            pltpu.VMEM((1, sp), jnp.float32),
+            pltpu.VMEM((1, sp), jnp.float32),
+            pltpu.VMEM((1, sp), jnp.float32),
+        ],
+    )
+
+    def kernel(lens_blk, sskew_blk, dec_blk, score_blk, h, h2, e, f):
+        _kernel(
+            lens_blk.at[0],
+            sskew_blk.at[0],
+            dec_blk.at[0],
+            score_blk,
+            h, h2, e, f,
+        )
+
+    dec, scores = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_diags, sp), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lens, sskew)
+    dec_u8 = dec[:, :, : M + 1].astype(jnp.uint8)
+    return scores, dec_u8
