@@ -241,15 +241,22 @@ class MauveAligner:
 
     # -- full pipeline ------------------------------------------------------
     def align(self, genomes: Sequence[Genome]) -> AlignmentResult:
-        ml = self.find_mums(genomes)
+        from mauvealigner_tpu.utils import timing
+
+        timer = timing.GLOBAL
+        with timer.phase("anchoring"):
+            ml = self.find_mums(genomes)
         if self.options.debug:
             from mauvealigner_tpu.core.validate import validate_match_list
 
             validate_match_list(ml, genomes)
-        ml, lcbs = self.determine_lcbs(genomes, ml)
+        with timer.phase("lcb_determination"):
+            ml, lcbs = self.determine_lcbs(genomes, ml)
         if self.options.recursive:
-            ml, lcbs = self.recursive_anchor(genomes, ml, lcbs)
-        ivs = self.build_intervals(genomes, ml, lcbs)
+            with timer.phase("recursive_anchoring"):
+                ml, lcbs = self.recursive_anchor(genomes, ml, lcbs)
+        with timer.phase("gapped_closure"):
+            ivs = self.build_intervals(genomes, ml, lcbs)
         if self.options.debug:
             from mauvealigner_tpu.core.validate import validate_interval_list
 

@@ -262,8 +262,11 @@ def align_profiles_batch(
 
     Integer-count profiles are shipped uint8 and widened on device.
     """
+    from mauvealigner_tpu.utils import timing
+
     B, M, _ = profiles_a.shape
     N = profiles_b.shape[1]
+    timing.GLOBAL.add("dp_cells", float(B) * M * N)
     mA = jnp.asarray(lens_a, dtype=jnp.int32)
     mB = jnp.asarray(lens_b, dtype=jnp.int32)
 
@@ -323,8 +326,11 @@ def align_code_pairs_batch(
     gap_extend: float = DEFAULT_GAP_EXTEND,
 ) -> Tuple[List[np.ndarray], np.ndarray]:
     """Sequence-pair variant of align_profiles_batch (uint8 codes upload)."""
+    from mauvealigner_tpu.utils import timing
+
     B, M = codes_a.shape
     N = codes_b.shape[1]
+    timing.GLOBAL.add("dp_cells", float(B) * M * N)
     mA = jnp.asarray(lens_a, dtype=jnp.int32)
     mB = jnp.asarray(lens_b, dtype=jnp.int32)
     scores_dev, dec = _gotoh_codes(

@@ -91,6 +91,8 @@ def mauve_aligner_cli(argv: List[str]) -> int:
     p.add_argument("--rmax", type=int, default=1000)
     p.add_argument("--debug", action="store_true",
                    help="perform internal consistency checks (very slow)")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-phase wall-clock and GCUPS to stderr")
     a = p.parse_args(argv)
 
     from mauvealigner_tpu.core import mln
@@ -224,6 +226,10 @@ def mauve_aligner_cli(argv: List[str]) -> int:
             res.interval_list, a.backbone_size, a.max_backbone_gap or a.backbone_size
         )
         write_backbone(segs, a.backbone_output, len(genomes))
+    if a.profile:
+        from mauvealigner_tpu.utils import timing
+
+        sys.stderr.write(timing.GLOBAL.report())
     return 0
 
 
