@@ -60,7 +60,7 @@ class ProgressiveOptions:
     recursive: bool = True
     gapped: bool = True
     max_gapped_len: int = 4096
-    refine: bool = True               # iterative refinement (round 1: no-op)
+    refine: bool = True               # iterative window refinement (setRefinement)
     skip_backbone: bool = False
     island_gap_size: int = 20         # src/progressiveMauve.cpp:322
     hmm_identity: float = 0.7         # :321
@@ -170,6 +170,12 @@ class ProgressiveMauve:
         # closure ordered by the guide tree
         plan = closure.tree_plan(tree)
         ivl = self._build_intervals_with_plan(inner, genomes, anchors, lcbs, plan)
+        if o.refine and o.gapped:
+            from mauvealigner_tpu.models.refine import refine_intervals
+
+            ivl, _ = refine_intervals(
+                ivl, plan, gap_open=o.gap_open, gap_extend=o.gap_extend
+            )
         ivl.add_unaligned_intervals()
 
         backbone_rows: List[np.ndarray] = []

@@ -1,0 +1,116 @@
+"""Iterative refinement of progressive alignments.
+
+ProgressiveAligner::setRefinement equivalent (src/progressiveMauve.cpp:578-579):
+after the initial guide-tree closure, alignment windows are re-aligned and a
+replacement is kept only when the sum-of-pairs score improves.
+
+Redesign for batching: every interval is split at clean columns (no gaps in
+any present sequence — safe cut points), windows are re-aligned from their
+ungapped sequences in one batched hierarchical closure pass, and each window
+is accepted/rejected independently by SP score.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mauvealigner_tpu.analysis.sp import match_and_gap_scores
+from mauvealigner_tpu.core.interval import Interval, IntervalList
+from mauvealigner_tpu.genome.sequence import Genome
+from mauvealigner_tpu.models import closure
+
+
+def _window_bounds(iv: Interval, target: int) -> List[Tuple[int, int]]:
+    """Split columns into windows of roughly `target` columns, cutting only
+    at clean columns (every present sequence has a base)."""
+    present = [s for s in range(iv.n_seqs) if iv.starts[s] != 0]
+    if not present or iv.n_cols == 0:
+        return [(0, iv.n_cols)] if iv.n_cols else []
+    clean = np.all(iv.aln[present], axis=0)
+    bounds = [0]
+    pos = 0
+    while pos + target < iv.n_cols:
+        cut_candidates = np.nonzero(clean[pos + target // 2 : pos + 2 * target])[0]
+        if len(cut_candidates) == 0:
+            pos = pos + 2 * target
+            continue
+        cut = pos + target // 2 + int(cut_candidates[np.argmin(np.abs(cut_candidates - target // 2))])
+        if cut <= bounds[-1]:
+            break
+        bounds.append(cut)
+        pos = cut
+    if bounds[-1] != iv.n_cols:
+        bounds.append(iv.n_cols)
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
+def refine_intervals(
+    ivl: IntervalList,
+    plan=None,
+    window: int = 256,
+    rounds: int = 1,
+    gap_open: float = -400.0,
+    gap_extend: float = -30.0,
+) -> Tuple[IntervalList, int]:
+    """Window-polish every multi-sequence interval; returns (refined list,
+    number of windows improved)."""
+    genomes = ivl.genomes
+    improved_total = 0
+    intervals = list(ivl.intervals)
+    for _ in range(rounds):
+        jobs: List[Tuple[int, int, int, np.ndarray]] = []  # (iv idx, a, b, col_codes)
+        groups: List[List[np.ndarray]] = []
+        from mauvealigner_tpu.analysis.sp import interval_column_codes
+
+        for k, iv in enumerate(intervals):
+            if iv.multiplicity() < 2 or iv.n_cols == 0:
+                continue
+            codes = interval_column_codes(iv, genomes)
+            for a, b in _window_bounds(iv, window):
+                win = codes[:, a:b]
+                regs = []
+                for s in range(iv.n_seqs):
+                    row = win[s]
+                    regs.append(row[row < 5].astype(np.int64))
+                if sum(1 for r in regs if len(r)) < 2:
+                    continue
+                jobs.append((k, a, b, win))
+                groups.append(regs)
+        if not jobs:
+            break
+        new_alns = closure.hierarchical_align_region_groups(
+            groups, plan, gap_open=gap_open, gap_extend=gap_extend
+        )
+        # evaluate and apply per interval
+        by_iv: dict = {}
+        for (k, a, b, win), new_aln, regs in zip(jobs, new_alns, groups):
+            old_m, old_g = match_and_gap_scores(win, gap_open=gap_open, gap_extend=gap_extend)
+            new_codes = np.full((win.shape[0], new_aln.shape[1]), 5, np.int8)
+            for s in range(win.shape[0]):
+                cols = np.nonzero(new_aln[s])[0]
+                new_codes[s, cols] = regs[s][: len(cols)]
+            new_m, new_g = match_and_gap_scores(new_codes, gap_open=gap_open, gap_extend=gap_extend)
+            if new_m + new_g > old_m + old_g:
+                by_iv.setdefault(k, []).append((a, b, new_aln))
+        improved_total += sum(len(v) for v in by_iv.values())
+        for k, repls in by_iv.items():
+            iv = intervals[k]
+            repls.sort()
+            pieces = []
+            pos = 0
+            for a, b, new_aln in repls:
+                if a > pos:
+                    pieces.append(iv.aln[:, pos:a])
+                pieces.append(new_aln)
+                pos = b
+            if pos < iv.n_cols:
+                pieces.append(iv.aln[:, pos:])
+            intervals[k] = Interval(iv.starts.copy(), np.concatenate(pieces, axis=1))
+    return (
+        IntervalList(
+            genomes=genomes, intervals=intervals, seq_filenames=list(ivl.seq_filenames)
+        ),
+        improved_total,
+    )
