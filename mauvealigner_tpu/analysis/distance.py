@@ -19,7 +19,10 @@ from mauvealigner_tpu.genome.sequence import Genome
 
 def coverage_distance_matrix(ml: MatchList, seq_lengths: Sequence[int]) -> np.ndarray:
     """Pairwise distance = 1 - shared match coverage fraction
-    (DistanceMatrix over a MatchList; guide-tree input)."""
+    (DistanceMatrix over a MatchList; guide-tree input).
+
+    Coverage is the UNION of match extents (multi-MUM subsets overlap their
+    n-way counterparts, so summing lengths would double-count)."""
     n = len(seq_lengths)
     shared = np.zeros((n, n), np.int64)
     for i in range(n):
@@ -27,13 +30,29 @@ def coverage_distance_matrix(ml: MatchList, seq_lengths: Sequence[int]) -> np.nd
             if i == j:
                 continue
             both = (ml.starts[:, i] != 0) & (ml.starts[:, j] != 0)
-            shared[i, j] = int(ml.lengths[both].sum())
+            if not both.any():
+                continue
+            lefts = np.abs(ml.starts[both, i])
+            rights = lefts + ml.lengths[both] - 1
+            order = np.argsort(lefts)
+            covered = 0
+            cur_l, cur_r = 0, -1
+            for l, r in zip(lefts[order], rights[order]):
+                if l > cur_r + 1:
+                    covered += max(cur_r - cur_l + 1, 0)
+                    cur_l, cur_r = int(l), int(r)
+                else:
+                    cur_r = max(cur_r, int(r))
+            covered += max(cur_r - cur_l + 1, 0)
+            shared[i, j] = covered
     dist = np.ones((n, n))
     for i in range(n):
         dist[i, i] = 0.0
         for j in range(n):
             if i != j:
-                denom = min(seq_lengths[i], seq_lengths[j])
+                # mean-length normalization: min() would hide content present
+                # in the longer genome only
+                denom = (seq_lengths[i] + seq_lengths[j]) / 2
                 dist[i, j] = 1.0 - min(1.0, shared[i, j] / denom) if denom else 1.0
     return dist
 

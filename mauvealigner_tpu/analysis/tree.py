@@ -174,6 +174,48 @@ def neighbor_joining(dist: np.ndarray, names: Sequence[str]) -> TreeNode:
     return root
 
 
+def upgma(dist: np.ndarray, names: Sequence[str]) -> TreeNode:
+    """UPGMA (average-linkage) clustering — the guide-tree style of MUSCLE's
+    default (UPGMB), more robust than NJ for the coarse coverage distances
+    used here; produces a rooted tree whose cherries are min-distance pairs."""
+    n = len(names)
+    if n == 1:
+        return TreeNode(name=names[0])
+    d = (np.array(dist, float) + np.array(dist, float).T) / 2
+    nodes = {i: TreeNode(name=names[i]) for i in range(n)}
+    heights = {i: 0.0 for i in range(n)}
+    sizes = {i: 1 for i in range(n)}
+    active = list(range(n))
+    next_id = n
+    dd = {(i, j): d[i, j] for i in range(n) for j in range(n) if i < j}
+    while len(active) > 1:
+        (i, j), dij = min(
+            ((p, v) for p, v in dd.items() if p[0] in active and p[1] in active),
+            key=lambda t: (t[1], t[0]),
+        )
+        parent = TreeNode()
+        h = dij / 2
+        for child_id in (i, j):
+            child = nodes[child_id]
+            child.length = max(h - heights[child_id], 0.0)
+            child.parent = parent
+            parent.children.append(child)
+        nodes[next_id] = parent
+        heights[next_id] = h
+        sizes[next_id] = sizes[i] + sizes[j]
+        for k in active:
+            if k in (i, j):
+                continue
+            dik = dd[tuple(sorted((i, k)))]
+            djk = dd[tuple(sorted((j, k)))]
+            dd[tuple(sorted((next_id, k)))] = (
+                dik * sizes[i] + djk * sizes[j]
+            ) / (sizes[i] + sizes[j])
+        active = [x for x in active if x not in (i, j)] + [next_id]
+        next_id += 1
+    return nodes[active[0]]
+
+
 # -- rooting / topology -----------------------------------------------------
 
 def reroot_with_outgroup(root: TreeNode, outgroup_names: Set[str]) -> TreeNode:

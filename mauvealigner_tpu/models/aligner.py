@@ -222,20 +222,27 @@ class MauveAligner:
             if len(sub) == 0:
                 continue
             blocks: List[np.ndarray] = []
-            blocks.append(np.ones((n, int(sub.lengths[0])), dtype=bool))
+
+            def anchor_block(a: int) -> np.ndarray:
+                block = np.zeros((n, int(sub.lengths[a])), dtype=bool)
+                block[sub.starts[a] != NO_MATCH] = True
+                return block
+
+            blocks.append(anchor_block(0))
             for a in range(len(sub) - 1):
                 aln = gap_table[(li, a)]
                 if aln.shape[1]:
                     blocks.append(aln)
-                blocks.append(np.ones((n, int(sub.lengths[a + 1])), dtype=bool))
+                blocks.append(anchor_block(a + 1))
             aln_full = np.concatenate(blocks, axis=1)
             starts = np.zeros(n, np.int64)
             for g in range(n):
                 comps = sub.starts[:, g]
-                lefts = np.abs(comps)
-                strand = 1 if comps[0] > 0 else -1
-                left_min = int(lefts.min())
-                starts[g] = strand * left_min
+                present = comps != NO_MATCH
+                if not present.any():
+                    continue
+                strand = 1 if comps[present][0] > 0 else -1
+                starts[g] = strand * int(np.abs(comps[present]).min())
             intervals.append(Interval(starts, aln_full))
         return IntervalList(genomes=list(genomes), intervals=intervals)
 

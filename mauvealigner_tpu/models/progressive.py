@@ -35,7 +35,13 @@ import numpy as np
 
 from mauvealigner_tpu.analysis import backbone as bb
 from mauvealigner_tpu.analysis.distance import coverage_distance_matrix
-from mauvealigner_tpu.analysis.tree import TreeNode, neighbor_joining, parse_newick, write_newick
+from mauvealigner_tpu.analysis.tree import (
+    TreeNode,
+    neighbor_joining,
+    parse_newick,
+    upgma,
+    write_newick,
+)
 from mauvealigner_tpu.core.interval import IntervalList
 from mauvealigner_tpu.core.match import MatchList
 from mauvealigner_tpu.core.sml import build_sml, load_sml
@@ -61,6 +67,7 @@ class ProgressiveOptions:
     gapped: bool = True
     max_gapped_len: int = 4096
     refine: bool = True               # iterative window refinement (setRefinement)
+    subset_lcbs: bool = True          # clade-restricted subset-LCB recovery
     skip_backbone: bool = False
     island_gap_size: int = 20         # src/progressiveMauve.cpp:322
     hmm_identity: float = 0.7         # :321
@@ -68,6 +75,7 @@ class ProgressiveOptions:
     hmm_p_go_unrelated: float = 1e-9   # :320
     input_guide_tree: Optional[str] = None
     output_guide_tree: Optional[str] = None
+    guide_tree_method: str = "upgma"  # "upgma" (MUSCLE UPGMB style) or "nj"
     gap_open: float = dp.DEFAULT_GAP_OPEN
     gap_extend: float = dp.DEFAULT_GAP_EXTEND
     use_sml_cache: bool = True
@@ -127,7 +135,11 @@ class ProgressiveMauve:
                     leaf.name = str(i)
             return tree
         dist = coverage_distance_matrix(ml, [len(g) for g in genomes])
-        tree = neighbor_joining(dist, [str(i) for i in range(len(genomes))])
+        names = [str(i) for i in range(len(genomes))]
+        if o.guide_tree_method == "nj":
+            tree = neighbor_joining(dist, names)
+        else:
+            tree = upgma(dist, names)
         if o.output_guide_tree:
             with open(o.output_guide_tree, "w") as fh:
                 fh.write(write_newick(tree) + "\n")
@@ -170,6 +182,18 @@ class ProgressiveMauve:
         # closure ordered by the guide tree
         plan = closure.tree_plan(tree)
         ivl = self._build_intervals_with_plan(inner, genomes, anchors, lcbs, plan)
+        if o.subset_lcbs and len(genomes) > 2:
+            # clade-restricted anchoring over still-unaligned regions: the
+            # translated-anchor analog recovering subset LCBs
+            from mauvealigner_tpu.models.subset import subset_lcb_pass
+            from mauvealigner_tpu.seeds import get_seed
+
+            seed = get_seed(max(self._seed_weight - 2, 5), 0)
+
+            def _close(kept, sub_lcbs):
+                return inner.build_intervals(genomes, kept, sub_lcbs).intervals
+
+            ivl, n_subset = subset_lcb_pass(genomes, ivl, tree, seed, closure_fn=_close)
         if o.refine and o.gapped:
             from mauvealigner_tpu.models.refine import refine_intervals
 
@@ -229,18 +253,27 @@ class ProgressiveMauve:
             sub = per_lcb[li]
             if len(sub) == 0:
                 continue
-            blocks = [np.ones((n, int(sub.lengths[0])), dtype=bool)]
+
+            def anchor_block(a: int) -> np.ndarray:
+                block = np.zeros((n, int(sub.lengths[a])), dtype=bool)
+                block[sub.starts[a] != 0] = True
+                return block
+
+            blocks = [anchor_block(0)]
             for a in range(len(sub) - 1):
                 aln = gap_table[(li, a)]
                 if aln.shape[1]:
                     blocks.append(aln)
-                blocks.append(np.ones((n, int(sub.lengths[a + 1])), dtype=bool))
+                blocks.append(anchor_block(a + 1))
             aln_full = np.concatenate(blocks, axis=1)
             starts = np.zeros(n, np.int64)
             for g in range(n):
                 comps = sub.starts[:, g]
-                strand = 1 if comps[0] > 0 else -1
-                starts[g] = strand * int(np.abs(comps).min())
+                present = comps != 0
+                if not present.any():
+                    continue
+                strand = 1 if comps[present][0] > 0 else -1
+                starts[g] = strand * int(np.abs(comps[present]).min())
             intervals.append(Interval(starts, aln_full))
         return IntervalList(genomes=list(genomes), intervals=intervals)
 
