@@ -32,8 +32,13 @@ jax.config.update("jax_enable_x64", True)
 # bucketed kernel shapes; caching them across processes keeps driver/bench
 # startup fast (first compile on the TPU tunnel is expensive).
 try:
+    # per-platform cache dirs: axon executables come from a remote compile
+    # service whose host CPU differs from ours, so CPU AOT artifacts must not
+    # be shared across platforms (machine-feature mismatch -> SIGILL risk)
+    _platform = str(jax.config.jax_platforms or "default").split(",")[0] or "default"
     _cache_dir = os.environ.get(
-        "MAUVE_TPU_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+        "MAUVE_TPU_JAX_CACHE",
+        os.path.join(os.path.dirname(__file__), "..", f".jax_cache_{_platform}"),
     )
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
