@@ -270,6 +270,8 @@ def progressive_mauve_cli(argv: List[str]) -> int:
     p.add_argument("--mem-clean", action="store_true", help="accepted; no-op")
     p.add_argument("--debug", action="store_true",
                    help="perform internal consistency checks (very slow)")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-phase wall-clock and GCUPS to stderr")
     a = p.parse_args(argv)
 
     from mauvealigner_tpu.core import mln
@@ -325,6 +327,10 @@ def progressive_mauve_cli(argv: List[str]) -> int:
         bbmod.write_backbone_cols_file(res.backbone_segments, cols_name)
         res.interval_list.backbone_filename = cols_name
     res.interval_list.write_xmfa(a.output)
+    if a.profile:
+        from mauvealigner_tpu.utils import timing
+
+        sys.stderr.write(timing.GLOBAL.report())
     return 0
 
 
