@@ -42,6 +42,8 @@ class AlignerOptions:
     recursive: bool = True
     min_recursion_gap: int = 200      # src/mauveAligner.cpp:899
     max_recursion_rounds: int = 3
+    lcb_extension: bool = True
+    max_extension_iters: int = 4      # SetMaxExtensionIterations, src/mauveAligner.cpp:879
     gapped: bool = True
     max_gapped_len: int = 4096        # --max-gapped-aligner-length analog
     eliminate_overlaps: bool = True
@@ -187,6 +189,78 @@ class MauveAligner:
             )
         return ml, lcbs
 
+    # -- phase 4b: LCB extension --------------------------------------------
+    def extend_lcbs(
+        self, genomes: Sequence[Genome], ml: MatchList, lcbs: List[LCB]
+    ) -> Tuple[MatchList, List[LCB]]:
+        """Extend LCB coverage into the unanchored inter-LCB regions
+        (<= max_extension_iters passes, src/mauveAligner.cpp:879): uncovered
+        regions are re-anchored with a lighter seed; new anchors merge into
+        (or extend) LCBs through re-elimination."""
+        from mauvealigner_tpu.core.sml import build_sml_device
+        from mauvealigner_tpu.models.subset import _build_subgenome, _map_back
+
+        o = self.options
+        n = len(genomes)
+        weight = o.lcb_weight
+        if weight is None:
+            weight = getattr(self, "_seed_weight", 15) * 3 * n
+        if o.collinear:
+            weight = -1
+        seed = get_seed(max(5, getattr(self, "_seed_weight", 15) - 2), 0)
+        for _ in range(o.max_extension_iters):
+            # per-genome uncovered regions (outside every LCB extent)
+            subs, offs = [], []
+            any_work = False
+            for g in range(n):
+                glen = len(genomes[g])
+                covered = np.zeros(glen + 2, bool)
+                for lcb in lcbs:
+                    if lcb.lefts[g]:
+                        covered[lcb.lefts[g] : lcb.rights[g] + 1] = True
+                free = ~covered[1 : glen + 1]
+                d = np.diff(np.concatenate([[0], free.view(np.int8), [0]]))
+                starts_ = np.nonzero(d == 1)[0] + 1
+                ends_ = np.nonzero(d == -1)[0]
+                regions = [
+                    (int(a), int(b))
+                    for a, b in zip(starts_, ends_)
+                    if b - a + 1 >= seed.length
+                ]
+                sub, off = _build_subgenome(genomes[g], regions)
+                subs.append(sub)
+                offs.append(off)
+                if regions:
+                    any_work = True
+            if not any_work:
+                break
+            live = [g for g in range(n) if len(subs[g])]
+            if len(live) < 2:
+                break
+            smls = [build_sml_device(subs[g], seed) for g in live]
+            found = matchops.find_multi_mums_device(
+                [subs[g] for g in live], smls, seed_length=seed.length
+            )
+            if len(found) == 0:
+                break
+            rows = np.zeros((len(found), n), np.int64)
+            for col, g in enumerate(live):
+                rows[:, g] = _map_back(found.starts[:, col], found.lengths, offs[g])
+            ok = (rows != 0).sum(axis=1) >= 2
+            if o.nway_filter:
+                ok = (rows != 0).all(axis=1)
+            if not ok.any():
+                break
+            new_ml = MatchList(rows[ok], found.lengths[ok])
+            before = len(ml)
+            ml = ml.concat(new_ml).dedup().eliminate_overlaps()
+            if o.nway_filter:
+                ml = ml.multiplicity_filter(n)
+            if len(ml) == before:
+                break
+            ml, lcbs = greedy_breakpoint_elimination(ml, weight)
+        return ml, lcbs
+
     # -- phase 5+6: gapped closure and interval assembly --------------------
     def build_intervals(
         self, genomes: Sequence[Genome], ml: MatchList, lcbs: List[LCB]
@@ -259,6 +333,9 @@ class MauveAligner:
             validate_match_list(ml, genomes)
         with timer.phase("lcb_determination"):
             ml, lcbs = self.determine_lcbs(genomes, ml)
+        if self.options.lcb_extension:
+            with timer.phase("lcb_extension"):
+                ml, lcbs = self.extend_lcbs(genomes, ml, lcbs)
         if self.options.recursive:
             with timer.phase("recursive_anchoring"):
                 ml, lcbs = self.recursive_anchor(genomes, ml, lcbs)

@@ -197,55 +197,52 @@ def gotoh_traceback(dec: jnp.ndarray, mA: jnp.ndarray, mB: jnp.ndarray, M: int, 
 
     Returns ops [B, M+N] uint8 emitted end-of-alignment-first (reverse on
     host), plus op counts [B].
+
+    Implemented as a fixed-trip lax.scan with masked per-lane emission
+    (OP_NONE after a lane finishes) — a vmapped while_loop with per-lane
+    op buffers miscompiles on some TPU runtimes at large batch sizes.
     """
     B = dec.shape[0]
     L = M + N
     dec_flat = dec.reshape(B, -1)
 
-    def tb_one(dec_row, ma, mb):
-        def cond(state):
-            i, j, mode, n, ops = state
-            return (i > 0) | (j > 0)
+    def step(state, _):
+        i, j, mode = state
+        active = (i > 0) | (j > 0)
+        idx = jnp.clip((i + j) * (M + 1) + i, 0, dec_flat.shape[1] - 1)
+        byte = jnp.take_along_axis(dec_flat, idx[:, None], axis=1)[:, 0]
+        h_choice = (byte & 3).astype(jnp.uint8)
+        e_open = (byte >> 2) & 1
+        f_open = (byte >> 3) & 1
+        on_top = i == 0
+        on_left = j == 0
+        from_h = jnp.where(
+            on_top, jnp.uint8(2), jnp.where(on_left, jnp.uint8(1), h_choice)
+        )
+        c = jnp.where(mode == 0, from_h, mode)
+        op = jnp.where(c == 0, OP_DIAG, jnp.where(c == 1, OP_UP, OP_LEFT)).astype(
+            jnp.uint8
+        )
+        op = jnp.where(active, op, jnp.uint8(OP_NONE))
+        ni = jnp.where(active & (c != 2), i - 1, i)
+        nj = jnp.where(active & (c != 1), j - 1, j)
+        nmode = jnp.where(
+            c == 0,
+            jnp.uint8(0),
+            jnp.where(
+                c == 1,
+                jnp.where(f_open == 1, jnp.uint8(0), jnp.uint8(1)),
+                jnp.where(e_open == 1, jnp.uint8(0), jnp.uint8(2)),
+            ),
+        ).astype(jnp.uint8)
+        nmode = jnp.where(active, nmode, mode)
+        return (ni, nj, nmode), op
 
-        def body(state):
-            i, j, mode, n, ops = state
-            byte = dec_row[(i + j) * (M + 1) + i]
-            h_choice = byte & 3
-            e_open = (byte >> 2) & 1
-            f_open = (byte >> 3) & 1
-
-            # boundary cells: only one legal move regardless of stored bits
-            on_top = i == 0
-            on_left = j == 0
-
-            def do_H():
-                # choose source; switching to E/F emits that move immediately
-                c = jnp.where(on_top, jnp.uint8(2), jnp.where(on_left, jnp.uint8(1), h_choice))
-                return c
-
-            c = jax.lax.cond(mode == 0, do_H, lambda: mode)
-            # c: 0 = diag (only from H), 1 = up, 2 = left
-            op = jnp.where(c == 0, OP_DIAG, jnp.where(c == 1, OP_UP, OP_LEFT)).astype(jnp.uint8)
-            ni = jnp.where(c == 2, i, i - 1)
-            nj = jnp.where(c == 1, j, j - 1)
-            # next mode: diag -> H; up -> H if f_open else F; left -> H if e_open else E
-            nmode = jnp.where(
-                c == 0,
-                jnp.uint8(0),
-                jnp.where(
-                    c == 1,
-                    jnp.where(f_open == 1, jnp.uint8(0), jnp.uint8(1)),
-                    jnp.where(e_open == 1, jnp.uint8(0), jnp.uint8(2)),
-                ),
-            )
-            ops = ops.at[n].set(op)
-            return (ni, nj, nmode, n + 1, ops)
-
-        init = (ma.astype(jnp.int32), mb.astype(jnp.int32), jnp.uint8(0), jnp.int32(0), jnp.zeros(L, jnp.uint8))
-        i, j, mode, n, ops = jax.lax.while_loop(cond, body, init)
-        return ops, n
-
-    return jax.vmap(tb_one)(dec_flat, mA, mB)
+    init = (mA.astype(jnp.int32), mB.astype(jnp.int32), jnp.zeros(B, jnp.uint8))
+    _, ops_steps = jax.lax.scan(step, init, None, length=L)
+    ops = jnp.moveaxis(ops_steps, 0, 1)  # [B, L]
+    counts = jnp.sum((ops != OP_NONE).astype(jnp.int32), axis=1)
+    return ops, counts
 
 
 def align_profiles_batch(

@@ -123,6 +123,29 @@ def test_identical_sequences_all_diag():
     assert (results[0] == dp.OP_DIAG).all()
 
 
+def test_large_batch_traceback_validity(rng):
+    """Regression: vmapped while_loop tracebacks corrupted at batch >= 1024
+    on the axon TPU runtime; the scan-based traceback must emit exactly
+    la+lb-consuming op strings for every lane at any batch size."""
+    B, M = 1024, 16
+    ca = np.full((B, M), 255, np.uint8)
+    cb = np.full((B, M), 255, np.uint8)
+    la = np.zeros(B, np.int32)
+    lb = np.zeros(B, np.int32)
+    for i in range(B):
+        a = rng.integers(0, 4, size=rng.integers(1, M + 1))
+        b = rng.integers(0, 4, size=rng.integers(1, M + 1))
+        ca[i, : len(a)] = a
+        cb[i, : len(b)] = b
+        la[i], lb[i] = len(a), len(b)
+    ops, _ = dp.align_code_pairs_batch(ca, cb, la, lb)
+    for i in range(B):
+        o = ops[i]
+        assert int(((o == 1) | (o == 2)).sum()) == la[i]
+        assert int(((o == 1) | (o == 3)).sum()) == lb[i]
+        assert not (o == 0).any()
+
+
 def test_ops_to_gap_rows():
     ops = np.array([dp.OP_DIAG, dp.OP_UP, dp.OP_LEFT, dp.OP_DIAG], np.uint8)
     ra, rb = dp.ops_to_gap_rows(ops)
