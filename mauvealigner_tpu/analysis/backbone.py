@@ -151,13 +151,25 @@ def pairwise_homology_posteriors(
     projection with both sequences present.  Batched through the K4 kernel
     with length bucketing."""
     genomes = ivs.genomes
-    jobs = []  # (key, symbols)
+    overlap = 512
+    jobs = []  # (key, chunk_start, symbols_chunk, full_len)
     for k, iv in enumerate(ivs.intervals):
         present = [s for s in range(iv.n_seqs) if iv.starts[s] != 0]
         for ai in range(len(present)):
             for bi in range(ai + 1, len(present)):
                 i, j = present[ai], present[bi]
-                jobs.append(((k, i, j), column_symbols(iv, genomes, i, j)))
+                sym_full = column_symbols(iv, genomes, i, j)
+                T_full = len(sym_full)
+                if T_full <= max_cols:
+                    jobs.append(((k, i, j), 0, sym_full, T_full))
+                else:
+                    # chunk with overlap; posteriors stitched mid-overlap
+                    step = max_cols - overlap
+                    for a in range(0, T_full, step):
+                        b = min(a + max_cols, T_full)
+                        jobs.append(((k, i, j), a, sym_full[a:b], T_full))
+                        if b == T_full:
+                            break
     out: Dict[Tuple[int, int, int], np.ndarray] = {}
     if not jobs:
         return out
@@ -166,7 +178,7 @@ def pairwise_homology_posteriors(
     log_init = jnp.asarray(np.log([0.5, 0.5]))
     # bucket by length
     buckets: Dict[int, List[int]] = {}
-    for idx, (_, sym) in enumerate(jobs):
+    for idx, (_, _, sym, _) in enumerate(jobs):
         T = 1 << max(4, (len(sym) - 1).bit_length())
         buckets.setdefault(min(T, max_cols), []).append(idx)
     for T, idxs in buckets.items():
@@ -176,7 +188,7 @@ def pairwise_homology_posteriors(
             le = np.zeros((B, T, 2), np.float32)
             lengths = np.zeros(B, np.int64)
             for bi, idx in enumerate(chunk):
-                sym = jobs[idx][1][:T]
+                sym = jobs[idx][2]
                 lengths[bi] = len(sym)
                 le[bi, : len(sym)] = log_emit_table[:, sym].T
             post = np.asarray(
@@ -185,8 +197,16 @@ def pairwise_homology_posteriors(
                 )
             )
             for bi, idx in enumerate(chunk):
-                key, sym = jobs[idx]
-                out[key] = post[bi, : len(sym), STATE_H]
+                key, a, sym, T_full = jobs[idx]
+                if key not in out:
+                    out[key] = np.zeros(T_full, np.float64)
+                p = post[bi, : len(sym), STATE_H]
+                if a == 0:
+                    out[key][a : a + len(sym)] = p
+                else:
+                    # skip the first half-overlap (burn-in) when stitching
+                    skip = overlap // 2
+                    out[key][a + skip : a + len(sym)] = p[skip:]
     return out
 
 

@@ -262,6 +262,41 @@ class MauveAligner:
         return ml, lcbs
 
     # -- phase 5+6: gapped closure and interval assembly --------------------
+    @staticmethod
+    def make_collinear_nonoverlapping(sub: MatchList) -> MatchList:
+        """Crop consecutive anchors of one LCB so no pair overlaps in any
+        sequence (residual overlaps would break the interval tiling
+        invariant).  Anchors cropped to nothing are dropped."""
+        from mauvealigner_tpu.core.match import _crop_row_left
+
+        if len(sub) < 2:
+            return sub
+        sub = MatchList(sub.starts.copy(), sub.lengths.copy())
+        prev = 0
+        for a in range(1, len(sub)):
+            if sub.lengths[prev] <= 0:
+                prev = a
+                continue
+            max_overlap = 0
+            for g in range(sub.n_seqs):
+                sp, sc = int(sub.starts[prev, g]), int(sub.starts[a, g])
+                if sp == 0 or sc == 0:
+                    continue
+                lp, lc = abs(sp), abs(sc)
+                if sp > 0:
+                    gap = lc - (lp + int(sub.lengths[prev]))
+                else:
+                    gap = lp - (lc + int(sub.lengths[a]))
+                if gap < 0:
+                    max_overlap = max(max_overlap, -gap)
+            if max_overlap > 0:
+                amt = min(max_overlap, int(sub.lengths[a]))
+                _crop_row_left(sub, a, amt)
+            if sub.lengths[a] > 0:
+                prev = a
+        keep = sub.lengths > 0
+        return sub.select(keep)
+
     def build_intervals(
         self, genomes: Sequence[Genome], ml: MatchList, lcbs: List[LCB]
     ) -> IntervalList:
@@ -272,7 +307,7 @@ class MauveAligner:
         gap_ref: List[Tuple[int, int]] = []  # (lcb index, position between a,a+1)
         per_lcb_matches: List[MatchList] = []
         for li, lcb in enumerate(lcbs):
-            sub = ml.select(lcb.match_indices)
+            sub = self.make_collinear_nonoverlapping(ml.select(lcb.match_indices))
             per_lcb_matches.append(sub)
             for a in range(len(sub) - 1):
                 specs = self._gap_regions(genomes, sub, a, a + 1)

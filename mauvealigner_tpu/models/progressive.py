@@ -230,7 +230,7 @@ class ProgressiveMauve:
         n = len(genomes)
         gap_groups, gap_ref, per_lcb = [], [], []
         for li, lcb in enumerate(lcbs):
-            sub = ml.select(lcb.match_indices)
+            sub = inner.make_collinear_nonoverlapping(ml.select(lcb.match_indices))
             per_lcb.append(sub)
             for a in range(len(sub) - 1):
                 specs = inner._gap_regions(genomes, sub, a, a + 1)

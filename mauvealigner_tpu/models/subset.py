@@ -33,8 +33,10 @@ def uncovered_regions(ivl: IntervalList, seq: int) -> List[Tuple[int, int]]:
     cov = np.zeros(glen + 2, np.int64)
     for iv in ivl.intervals:
         if iv.multiplicity() >= 2 and iv.starts[seq] != 0:
-            l = abs(int(iv.starts[seq]))
-            r = l + int(iv.aln[seq].sum()) - 1
+            l = max(1, abs(int(iv.starts[seq])))
+            r = min(glen, l + int(iv.aln[seq].sum()) - 1)
+            if r < l:
+                continue
             cov[l] += 1
             cov[r + 1] -= 1
     c = np.cumsum(cov[: glen + 1])
