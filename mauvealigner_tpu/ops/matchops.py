@@ -260,7 +260,13 @@ def find_multi_mums_device(
     if r == 0:
         return MatchList.empty(n_seqs)
     if r > cap:
-        r = cap  # capacity overflow: truncated (bounded by cap = N/8)
+        import warnings
+
+        warnings.warn(
+            f"multi-MUM run capacity overflow: {r} runs > cap {cap}; "
+            "result truncated (raise cap for highly repetitive inputs)"
+        )
+        r = cap
     rb = 1 << max(4, (r - 1).bit_length())
     rb = min(rb, cap)
     comp = np.asarray(comp_tab[:rb])[:r]

@@ -390,6 +390,10 @@ def score_alignment_cli(argv: List[str]) -> int:
     p.add_argument("correct")
     p.add_argument("calculated")
     p.add_argument("seqs", nargs="*", help="sequence files (for lengths)")
+    p.add_argument("--evolved-seqs", default="",
+                   help="evolved sequence file: cross-check base identity of "
+                   "the correct alignment (reference third arg, "
+                   "src/scoreAlignment.cpp:106-113)")
     a = p.parse_args(argv)
     from mauvealigner_tpu.analysis.score_alignment import score_alignment
 
@@ -407,6 +411,20 @@ def score_alignment_cli(argv: List[str]) -> int:
         ]
     score = score_alignment(correct, calculated, lengths)
     sys.stdout.write(score.summary())
+    if a.evolved_seqs:
+        from mauvealigner_tpu.analysis.distance import identity_matrix
+        from mauvealigner_tpu.genome.fasta import read_fasta_records
+
+        evolved = read_fasta_records(a.evolved_seqs)
+        if len(evolved) == correct.n_seqs:
+            correct.genomes = evolved
+            ident = identity_matrix(correct, evolved)
+            n = correct.n_seqs
+            vals = [ident[i][j] for i in range(n) for j in range(i + 1, n)]
+            sys.stdout.write(
+                f"correct-alignment base identity (evolved seqs): "
+                f"{float(np.mean(vals)):.4f}\n"
+            )
     return 0
 
 
