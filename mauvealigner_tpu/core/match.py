@@ -141,30 +141,36 @@ class MatchList:
             mult = ml.multiplicity()
             for seq in range(ml.n_seqs):
                 comp = ml.starts[:, seq]
-                present = comp != NO_MATCH
-                idx = np.nonzero(present)[0]
+                idx = np.nonzero(comp != NO_MATCH)[0]
                 if len(idx) < 2:
                     continue
-                lefts = np.abs(comp[idx])
-                order = idx[np.argsort(lefts, kind="stable")]
+                order = idx[np.argsort(np.abs(comp[idx]), kind="stable")]
                 prev = order[0]
                 for cur in order[1:]:
                     prev_r = abs(ml.starts[prev, seq]) + ml.lengths[prev] - 1
                     cur_l = abs(ml.starts[cur, seq])
                     if cur_l <= prev_r and ml.lengths[cur] > 0 and ml.lengths[prev] > 0:
                         overlap = int(prev_r - cur_l + 1)
-                        # crop the "weaker" match: lower multiplicity, then shorter
-                        a, b = (cur, prev)
-                        if (mult[prev], ml.lengths[prev]) < (mult[cur], ml.lengths[cur]):
-                            a, b = prev, cur
-                        # crop `a` on the side overlapping within this sequence
-                        amt = min(overlap, int(ml.lengths[a]))
-                        if ml.starts[a, seq] > 0 and a == cur or ml.starts[a, seq] < 0 and a != cur:
-                            _crop_row_left(ml, a, amt)
+                        # crop the weaker match: lower multiplicity, then shorter
+                        victim_is_cur = not (
+                            (mult[prev], ml.lengths[prev]) < (mult[cur], ml.lengths[cur])
+                        )
+                        victim = cur if victim_is_cur else prev
+                        amt = min(overlap, int(ml.lengths[victim]))
+                        # overlap touches `cur`'s genome-LEFT edge and `prev`'s
+                        # genome-RIGHT edge; genome-left is match-space left
+                        # for forward components and match-space right for
+                        # reverse ones
+                        overlap_on_genome_left = victim_is_cur
+                        forward = ml.starts[victim, seq] > 0
+                        if overlap_on_genome_left == forward:
+                            _crop_row_left(ml, victim, amt)
                         else:
-                            _crop_row_right(ml, a, amt)
+                            _crop_row_right(ml, victim, amt)
                         changed = True
-                    if abs(ml.starts[cur, seq]) + ml.lengths[cur] - 1 > abs(ml.starts[prev, seq]) + ml.lengths[prev] - 1 or ml.lengths[prev] <= 0:
+                    cur_r = abs(ml.starts[cur, seq]) + ml.lengths[cur] - 1
+                    prev_r = abs(ml.starts[prev, seq]) + ml.lengths[prev] - 1
+                    if cur_r > prev_r or ml.lengths[prev] <= 0:
                         prev = cur
             keep = ml.lengths > 0
             if not keep.all():

@@ -143,30 +143,27 @@ def hierarchical_align_region_groups(
         if not jobs:
             continue
         # leaf-leaf merges are plain sequence pairs: ship uint8 codes and
-        # build one-hots on device (the tunnel is bandwidth-starved)
-        code_idx = [i for i, (_, A, B, _, _) in enumerate(jobs) if len(A) == 1 and len(B) == 1]
-        prof_idx = [i for i in range(len(jobs)) if i not in set(code_idx)]
+        # build one-hots on device (the tunnel is bandwidth-starved);
+        # multi-row sides ship uint8 count profiles
+        code_idx, prof_idx = [], []
+        for i, (_, A, B, _, _) in enumerate(jobs):
+            (code_idx if len(A) == 1 and len(B) == 1 else prof_idx).append(i)
         ops_all: List[Optional[np.ndarray]] = [None] * len(jobs)
         if code_idx:
-            got = _batched_code_pair_align(
-                [(jobs[i][1][0][1], jobs[i][2][0][1]) for i in code_idx],
-                subst, gap_open, gap_extend,
-            )
+            code_pairs = []
+            for i in code_idx:
+                (_, A, B, _, _) = jobs[i]
+                (_, codes_a, _), (_, codes_b, _) = A[0], B[0]
+                code_pairs.append((codes_a, codes_b))
+            got = _batched_code_pair_align(code_pairs, subst, gap_open, gap_extend)
             for i, ops in zip(code_idx, got):
                 ops_all[i] = ops
         if prof_idx:
-            got = _batched_profile_pair_align(
-                [
-                    (
-                        _profile_of(jobs[i][1], jobs[i][3]),
-                        jobs[i][3],
-                        _profile_of(jobs[i][2], jobs[i][4]),
-                        jobs[i][4],
-                    )
-                    for i in prof_idx
-                ],
-                subst, gap_open, gap_extend,
-            )
+            prof_pairs = []
+            for i in prof_idx:
+                (_, A, B, nA, nB) = jobs[i]
+                prof_pairs.append((_profile_of(A, nA), nA, _profile_of(B, nB), nB))
+            got = _batched_profile_pair_align(prof_pairs, subst, gap_open, gap_extend)
             for i, ops in zip(prof_idx, got):
                 ops_all[i] = ops
         for (k, A, B, nA, nB), ops in zip(jobs, ops_all):
