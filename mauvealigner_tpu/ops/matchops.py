@@ -72,11 +72,11 @@ def _device_sorted_entries(smls: Sequence[SortedMerList]):
     pos = np.concatenate([s.positions for s in smls]) if smls else np.zeros(0, np.int32)
     if len(keys) == 0:
         return (np.zeros(0, np.int64), np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0, np.int32))
-    # pad to a bucketed size to bound recompiles
+    # pad to a bucketed size to bound recompiles (coarse x4 buckets)
     n = len(keys)
-    bucket = 1 << 12
+    bucket = 1 << 14
     while bucket < n:
-        bucket *= 2
+        bucket *= 4
     pad = bucket - n
     # padding must sort after every real entry: INVALID_KEY's mer (2^61)
     # exceeds any valid mer (weight <= 30 -> < 2^60)
@@ -223,9 +223,11 @@ def _concat_device_smls(smls_dev):
         [jnp.full(k.shape[0], i, jnp.int32) for i, (k, _) in enumerate(smls_dev)]
     )
     n = keys.shape[0]
-    bucket = 1 << 12
+    # coarse (x4) buckets with a high floor: every distinct shape costs a
+    # multi-minute remote compile on the TPU tunnel
+    bucket = 1 << 16
     while bucket < n:
-        bucket *= 2
+        bucket *= 4
     pad = bucket - n
     if pad:
         keys = jnp.concatenate([keys, jnp.full(pad, INVALID_KEY, jnp.int64)])

@@ -151,18 +151,18 @@ def upload_codes(codes: np.ndarray, pattern_len: int, pad_to_multiple: int = 1 <
     shipped 2-bit packed over the tunnel."""
     L = len(codes)
     n = L + pattern_len
+    # coarse (x4) length buckets: every distinct shape is a slow remote
+    # compile on the TPU tunnel
     padded = pad_to_multiple
     while padded < n:
-        padded *= 2
+        padded *= 4
     packed, exc = pack_2bit_host(codes)
-    pb = 1 << 10
-    while pb < len(packed):
-        pb *= 2
+    pb = padded // 4  # tied to `padded`: no extra shape dimension
     packed_padded = np.zeros(pb, np.uint8)
     packed_padded[: len(packed)] = packed
-    eb = 16
+    eb = 1 << 10
     while eb < len(exc):
-        eb *= 2
+        eb *= 4
     exc_padded = np.full(eb, -1, np.int32)
     exc_padded[: len(exc)] = exc
     return unpack_2bit(
