@@ -32,16 +32,19 @@ jax.config.update("jax_enable_x64", True)
 # bucketed kernel shapes; caching them across processes keeps driver/bench
 # startup fast (first compile on the TPU tunnel is expensive).
 try:
-    # per-platform cache dirs: axon executables come from a remote compile
-    # service whose host CPU differs from ours, so CPU AOT artifacts must not
-    # be shared across platforms (machine-feature mismatch -> SIGILL risk)
+    # Persist compiled executables ONLY for the TPU tunnel platform, where a
+    # fresh compile costs minutes via the remote compile service.  CPU
+    # compiles are fast locally, and cached CPU artifacts may have been
+    # produced on the remote service's different host CPU (machine-feature
+    # mismatch -> SIGILL risk), so CPU runs skip the cache entirely.
     _platform = str(jax.config.jax_platforms or "default").split(",")[0] or "default"
-    _cache_dir = os.environ.get(
-        "MAUVE_TPU_JAX_CACHE",
-        os.path.join(os.path.dirname(__file__), "..", f".jax_cache_{_platform}"),
-    )
-    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if _platform not in ("cpu",):
+        _cache_dir = os.environ.get(
+            "MAUVE_TPU_JAX_CACHE",
+            os.path.join(os.path.dirname(__file__), "..", f".jax_cache_{_platform}"),
+        )
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass
 

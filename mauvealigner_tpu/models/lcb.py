@@ -32,12 +32,14 @@ class LCB:
 
 
 def _ranks_and_signs(ml: MatchList) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-sequence order ranks (by |start|) and strand signs of each match."""
+    """Per-sequence order ranks (by |start|, among PRESENT matches only;
+    absent components get rank -1) and strand signs of each match."""
     n, n_seqs = ml.starts.shape
-    ranks = np.zeros((n, n_seqs), np.int64)
+    ranks = np.full((n, n_seqs), -1, np.int64)
     for g in range(n_seqs):
-        order = np.argsort(np.abs(ml.starts[:, g]), kind="stable")
-        ranks[order, g] = np.arange(n)
+        present = np.nonzero(ml.starts[:, g] != NO_MATCH)[0]
+        order = present[np.argsort(np.abs(ml.starts[present, g]), kind="stable")]
+        ranks[order, g] = np.arange(len(order))
     signs = np.sign(ml.starts).astype(np.int8)
     return ranks, signs
 
@@ -54,7 +56,11 @@ def compute_lcb_boundaries(ml: MatchList) -> np.ndarray:
     if n == 0:
         return np.zeros(0, np.int64)
     ranks, signs = _ranks_and_signs(ml)
-    order0 = np.argsort(np.abs(ml.starts[:, 0]), kind="stable")
+    # order by the first present sequence (seq-0-absent subset matches would
+    # otherwise tie at |start| = 0 and interleave arbitrarily)
+    keys = np.abs(ml.starts).astype(np.int64)
+    keys[ml.starts == NO_MATCH] = np.iinfo(np.int64).max
+    order0 = np.lexsort(tuple(keys[:, g] for g in range(n_seqs - 1, -1, -1)))
     inv0 = np.empty(n, np.int64)
     inv0[order0] = np.arange(n)
     # work in seq-0 order
@@ -63,10 +69,14 @@ def compute_lcb_boundaries(ml: MatchList) -> np.ndarray:
     brk = np.zeros(n, dtype=bool)
     brk[0] = True
     if n > 1:
-        same_sign = np.all(s[1:] == s[:-1], axis=1)
+        # same presence pattern and, for every present sequence, same strand
+        # and directly-adjacent rank (ranks are within-presence; absent
+        # components never contribute a break on rank, only on presence)
+        same_sign = np.all(s[1:] == s[:-1], axis=1)  # includes presence (0)
         step = r[1:] - r[:-1]
-        expected = s[1:]  # +1 for forward comps, -1 for reverse
-        adjacent = np.all(step == expected, axis=1)
+        expected = s[1:].astype(np.int64)  # +1 fwd, -1 rev, 0 absent-absent
+        both_present = (s[1:] != 0) & (s[:-1] != 0)
+        adjacent = np.all(np.where(both_present, step == expected, True), axis=1)
         brk[1:] = ~(same_sign & adjacent)
     lcb_in_order0 = np.cumsum(brk) - 1
     return lcb_in_order0[inv0]

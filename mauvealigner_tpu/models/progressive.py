@@ -155,9 +155,14 @@ class ProgressiveMauve:
         return self._seed_weight * 3 * len(genomes) * (o.breakpoint_scale + o.conservation_scale)
 
     def align(self, genomes: Sequence[Genome]) -> ProgressiveResult:
+        from mauvealigner_tpu.utils import timing
+
+        timer = timing.GLOBAL
         o = self.options
-        ml = self.find_matches(genomes)
-        tree = self.guide_tree(genomes, ml)
+        with timer.phase("anchoring"):
+            ml = self.find_matches(genomes)
+        with timer.phase("guide_tree"):
+            tree = self.guide_tree(genomes, ml)
 
         # LCB structure over full-multiplicity anchors (subset-LCB support is
         # recovered by the backbone application step)
@@ -175,13 +180,16 @@ class ProgressiveMauve:
             )
         )
         inner._seed_weight = self._seed_weight
-        nway = ml.multiplicity_filter(len(genomes))
-        anchors, lcbs = inner.determine_lcbs(genomes, nway)
+        with timer.phase("lcb_determination"):
+            nway = ml.multiplicity_filter(len(genomes))
+            anchors, lcbs = inner.determine_lcbs(genomes, nway)
         if o.recursive:
-            anchors, lcbs = inner.recursive_anchor(genomes, anchors, lcbs)
+            with timer.phase("recursive_anchoring"):
+                anchors, lcbs = inner.recursive_anchor(genomes, anchors, lcbs)
         # closure ordered by the guide tree
         plan = closure.tree_plan(tree)
-        ivl = self._build_intervals_with_plan(inner, genomes, anchors, lcbs, plan)
+        with timer.phase("gapped_closure"):
+            ivl = self._build_intervals_with_plan(inner, genomes, anchors, lcbs, plan)
         if o.subset_lcbs and len(genomes) > 2:
             # clade-restricted anchoring over still-unaligned regions: the
             # translated-anchor analog recovering subset LCBs
@@ -193,31 +201,36 @@ class ProgressiveMauve:
             def _close(kept, sub_lcbs):
                 return inner.build_intervals(genomes, kept, sub_lcbs).intervals
 
-            ivl, n_subset = subset_lcb_pass(genomes, ivl, tree, seed, closure_fn=_close)
+            with timer.phase("subset_lcbs"):
+                ivl, n_subset = subset_lcb_pass(
+                    genomes, ivl, tree, seed, closure_fn=_close
+                )
         if o.refine and o.gapped:
             from mauvealigner_tpu.models.refine import refine_intervals
 
-            ivl, _ = refine_intervals(
-                ivl, plan, gap_open=o.gap_open, gap_extend=o.gap_extend
-            )
+            with timer.phase("refinement"):
+                ivl, _ = refine_intervals(
+                    ivl, plan, gap_open=o.gap_open, gap_extend=o.gap_extend
+                )
         ivl.add_unaligned_intervals()
 
         backbone_rows: List[np.ndarray] = []
         segments: List = []
         if not o.skip_backbone and len(genomes) >= 2:
-            gc = bb.compute_gc(genomes)
-            params = bb.adapted_params(
-                gc,
-                identity=o.hmm_identity,
-                go_homologous=o.hmm_p_go_homologous,
-                go_unrelated=o.hmm_p_go_unrelated,
-            )
-            segments = bb.detect_backbone(ivl, params, o.island_gap_size)
-            rows = bb.backbone_seq_coordinates(ivl, segments)
-            rows = bb.merge_coordinate_rows(rows)
-            rows = bb.add_unique_segments(rows, ivl, [len(g) for g in genomes])
-            backbone_rows = rows
-            ivl = bb.apply_backbone(ivl, segments)
+            with timer.phase("homology_backbone"):
+                gc = bb.compute_gc(genomes)
+                params = bb.adapted_params(
+                    gc,
+                    identity=o.hmm_identity,
+                    go_homologous=o.hmm_p_go_homologous,
+                    go_unrelated=o.hmm_p_go_unrelated,
+                )
+                segments = bb.detect_backbone(ivl, params, o.island_gap_size)
+                rows = bb.backbone_seq_coordinates(ivl, segments)
+                rows = bb.merge_coordinate_rows(rows)
+                rows = bb.add_unique_segments(rows, ivl, [len(g) for g in genomes])
+                backbone_rows = rows
+                ivl = bb.apply_backbone(ivl, segments)
         return ProgressiveResult(ivl, lcbs, ml, tree, backbone_rows, segments)
 
     def _build_intervals_with_plan(self, inner, genomes, ml, lcbs, plan) -> IntervalList:
