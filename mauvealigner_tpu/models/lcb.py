@@ -112,27 +112,37 @@ def build_lcbs(ml: MatchList, lcb_ids: np.ndarray) -> List[LCB]:
 def greedy_breakpoint_elimination(
     ml: MatchList, min_weight: float
 ) -> Tuple[MatchList, List[LCB]]:
-    """Repeatedly drop the minimum-weight LCB until every LCB's weight meets
-    min_weight (min_weight < 0 = collinear mode: eliminate to a single LCB).
+    """Drop minimum-weight LCBs until every LCB's weight meets min_weight
+    (min_weight < 0 = collinear mode: eliminate to a single LCB).
 
     Returns (surviving matches sorted along seq 0, final LCBs).
+
+    Removal is cohort-batched: each round removes every LCB lighter than
+    min(min_weight, 2*current_minimum).  This matches one-at-a-time greedy
+    removal except when several same-cohort LCBs would have merged across a
+    removal into an above-threshold block — a bounded deviation that turns
+    hundreds of O(n log n) rounds into a handful.
     """
     cur = ml.sort_by_sequence(0)
     while True:
         if len(cur) == 0:
             return cur, []
         ids = compute_lcb_boundaries(cur)
-        lcbs = build_lcbs(cur, ids)
-        weights = np.array([l.weight for l in lcbs])
+        weights = np.bincount(ids, weights=cur.lengths.astype(np.float64))
+        n_lcbs = len(weights)
         if min_weight < 0:
-            if len(lcbs) <= 1:
-                return cur, lcbs
-        elif weights.min() >= min_weight:
-            return cur, lcbs
-        victim = int(np.argmin(weights))  # first minimum: deterministic
-        drop = np.zeros(len(cur), dtype=bool)
-        drop[lcbs[victim].match_indices] = True
-        cur = cur.select(~drop)
+            # collinear mode: strict one-at-a-time to a single survivor
+            if n_lcbs <= 1:
+                return cur, build_lcbs(cur, ids)
+            victim = int(np.argmin(weights))
+            cur = cur.select(ids != victim)
+            continue
+        wmin = weights.min()
+        if wmin >= min_weight:
+            return cur, build_lcbs(cur, ids)
+        cutoff = min(float(min_weight), wmin * 2 + 1)
+        drop_lcb = weights < cutoff
+        cur = cur.select(~drop_lcb[ids])
 
 
 def lcb_list_summary(lcbs: List[LCB]) -> str:
