@@ -34,21 +34,36 @@ def match_and_gap_scores(
     gap_open: float = dp.DEFAULT_GAP_OPEN,
     gap_extend: float = dp.DEFAULT_GAP_EXTEND,
 ) -> Tuple[float, float]:
-    """(substitution score, gap score) summed over all sequence pairs."""
-    k = col_codes.shape[0]
-    match_score = 0.0
-    gap_score = 0.0
-    for i in range(k):
-        for j in range(i + 1, k):
-            a, b = col_codes[i], col_codes[j]
-            both = (a < 5) & (b < 5)
-            if both.any():
-                match_score += float(subst[a[both], b[both]].sum())
-            gap = ((a == 5) ^ (b == 5)) & ((a < 5) | (b < 5))
-            if gap.any():
-                d = np.diff(np.concatenate([[0], gap.view(np.int8), [0]]))
-                n_runs = int((d == 1).sum())
-                gap_score += n_runs * gap_open + int(gap.sum()) * gap_extend
+    """(substitution score, gap score) summed over all sequence pairs.
+
+    Vectorized over columns via symbol counts: the pairwise substitution sum
+    is (m^T S m - sum_c n_c S_cc)/2 per column, and pairwise gap-run starts
+    between consecutive columns reduce to class-count products.
+    """
+    k, T = col_codes.shape
+    if T == 0 or k < 2:
+        return 0.0, 0.0
+    S5 = np.asarray(subst, dtype=np.float64)
+    counts = np.zeros((5, T), np.int64)
+    for c in range(5):
+        counts[c] = (col_codes == c).sum(axis=0)
+    term1 = np.einsum("ct,cd,dt->t", counts, S5, counts)
+    term2 = np.einsum("ct,c->t", counts, np.diag(S5))
+    match_score = float(((term1 - term2) / 2).sum())
+
+    gapped = col_codes == 5
+    n_gap = gapped.sum(axis=0)
+    n_base = k - n_gap
+    gap_positions = int((n_gap * n_base).sum())
+    # run starts: pairs whose xor flips 0->1 between consecutive columns
+    prev = np.zeros((k, T), bool)
+    prev[:, 1:] = gapped[:, :-1]
+    cls_a = (~prev & ~gapped).sum(axis=0)  # 00
+    cls_b = (~prev & gapped).sum(axis=0)   # 01
+    cls_c = (prev & ~gapped).sum(axis=0)   # 10
+    cls_d = (prev & gapped).sum(axis=0)    # 11
+    run_starts = int((cls_a * cls_b + cls_c * cls_d).sum())
+    gap_score = run_starts * gap_open + gap_positions * gap_extend
     return match_score, gap_score
 
 
