@@ -199,7 +199,25 @@ def mauve_aligner_cli(argv: List[str]) -> int:
         mln.write_match_list(res.mums, fh, a.seqs, [len(g) for g in genomes])
     if a.output_alignment:
         res.interval_list.seq_filenames = list(a.seqs)
-        res.interval_list.write_xmfa(a.output_alignment)
+        fmt = a.alignment_output_format.lower()
+        if fmt in ("xmfa", "mauve"):
+            res.interval_list.write_xmfa(a.output_alignment)
+        elif fmt == "clustal":
+            from mauvealigner_tpu.tools.convert import write_clustal
+
+            with open(a.output_alignment, "w") as fh:
+                write_clustal(res.interval_list, fh)
+        elif fmt == "phylip":
+            from mauvealigner_tpu.tools.convert import write_phylip
+
+            with open(a.output_alignment, "w") as fh:
+                write_phylip(res.interval_list, fh)
+        elif fmt == "mfa":
+            from mauvealigner_tpu.tools.convert import to_multi_fasta
+
+            to_multi_fasta(res.interval_list, a.output_alignment)
+        else:
+            res.interval_list.write_xmfa(a.output_alignment)
     if a.id_matrix:
         from mauvealigner_tpu.analysis.distance import identity_matrix, write_matrix
 

@@ -222,6 +222,45 @@ def to_evo_highway_format(
             )
 
 
+# -- per-LCB alternative alignment formats (gnAlignedSequences output,
+#    src/mauveAligner.cpp:764-781) ------------------------------------------
+
+def write_clustal(ivs: IntervalList, out: TextIO, width: int = 60) -> None:
+    out.write("CLUSTAL W multiple sequence alignment (mauvealigner-tpu)\n\n")
+    names = [n.replace(" ", "_")[:24] or f"seq{i}" for i, n in enumerate(ivs.filenames())]
+    for iv in ivs.intervals:
+        texts = {
+            s: iv.aligned_text(ivs.genomes, s)
+            for s in range(iv.n_seqs)
+            if iv.starts[s] != 0
+        }
+        if not texts:
+            continue
+        n_cols = iv.n_cols
+        for off in range(0, n_cols, width):
+            for s, text in texts.items():
+                out.write(f"{names[s]:<25}{text[off : off + width]}\n")
+            out.write("\n")
+        out.write("\n")
+
+
+def write_phylip(ivs: IntervalList, out: TextIO) -> None:
+    """Sequential PHYLIP of the concatenated multiplicity>=2 blocks."""
+    multi = [iv for iv in ivs.intervals if iv.multiplicity() >= 2]
+    if not multi:
+        out.write("0 0\n")
+        return
+    n = ivs.n_seqs
+    rows = ["" for _ in range(n)]
+    for iv in multi:
+        for s in range(n):
+            rows[s] += iv.aligned_text(ivs.genomes, s)
+    out.write(f"{n} {len(rows[0])}\n")
+    names = [n_.replace(" ", "_")[:10] or f"seq{i}" for i, n_ in enumerate(ivs.filenames())]
+    for s in range(n):
+        out.write(f"{names[s]:<10}{rows[s]}\n")
+
+
 # -- gappiness (src/gappiness.cpp) -----------------------------------------
 
 def gappiness(ivs: IntervalList) -> float:
