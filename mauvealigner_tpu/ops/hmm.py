@@ -18,6 +18,11 @@ import numpy as np
 NEG = -1e30
 
 
+def _log_matmul(A: jnp.ndarray, Bm: jnp.ndarray) -> jnp.ndarray:
+    """(..., S, S) log-space matrix product: C_ij = logsumexp_k A_ik + B_kj."""
+    return jax.nn.logsumexp(A[..., :, :, None] + Bm[..., None, :, :], axis=-2)
+
+
 @partial(jax.jit, static_argnames=())
 def forward_backward(
     log_emit: jnp.ndarray,   # [B, T, S] per-step emission log-probs
@@ -27,37 +32,42 @@ def forward_backward(
 ) -> jnp.ndarray:
     """Returns posterior state probabilities [B, T, S].
 
-    Steps beyond `lengths` are padding: they must not influence the
-    backward pass, which is achieved by giving padding steps zero emission
-    log-prob (identity contribution).
+    Log-depth associative scans over per-step transition matrices (instead
+    of a T-step sequential scan: alignment columns run to hundreds of
+    thousands, and a log-depth tree is both faster and cheaper to compile).
+
+    Steps beyond `lengths` are padding: they contribute zero emission
+    log-prob (identity), so they do not influence the backward pass.
     """
     B, T, S = log_emit.shape
     step_ids = jnp.arange(T)
     pad_mask = step_ids[None, :] < lengths[:, None]  # [B, T]
     le = jnp.where(pad_mask[:, :, None], log_emit, 0.0)
 
-    def fwd_step(alpha, e_t):
-        # alpha: [B, S]; e_t: [B, S]
-        a = jax.nn.logsumexp(alpha[:, :, None] + log_trans[None], axis=1) + e_t
-        return a, a
+    # forward: alpha_t = alpha_0 (x) A_1 (x) ... (x) A_t with
+    # A_t[i, j] = trans[i, j] + emit_t[j]
+    A = log_trans[None, None] + le[:, :, None, :]      # [B, T, S, S]
+    A_fwd = A[:, 1:]                                    # steps 1..T-1
+    prefix = jax.lax.associative_scan(_log_matmul, A_fwd, axis=1)
+    alpha0 = (log_init + le[:, 0])[:, None, :]          # [B, 1, S]
+    alphas_rest = jax.nn.logsumexp(
+        alpha0[:, :, :, None] + prefix, axis=2
+    )                                                   # [B, T-1, S]
+    alphas = jnp.concatenate([alpha0, alphas_rest], axis=1)  # [B, T, S]
 
-    alpha0 = log_init[None] + le[:, 0]
-    _, alphas = jax.lax.scan(fwd_step, alpha0, jnp.moveaxis(le[:, 1:], 1, 0))
-    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)  # [T, B, S]
-
-    def bwd_step(beta, e_next):
-        b = jax.nn.logsumexp(log_trans[None] + (e_next + beta)[:, None, :], axis=2)
-        return b, b
-
-    beta_T = jnp.zeros((B, S))
-    _, betas = jax.lax.scan(
-        bwd_step, beta_T, jnp.moveaxis(le[:, 1:], 1, 0), reverse=True
+    # backward: beta_t = A_{t+1} (x) ... (x) A_{T-1} (x) ones.  A reverse
+    # associative_scan composes right-to-left, so scan the TRANSPOSED
+    # matrices: suffix_T[k] = (A_{k+1} ... A_{T-1})^T.
+    suffix_T = jax.lax.associative_scan(
+        _log_matmul, jnp.swapaxes(A_fwd, -1, -2), axis=1, reverse=True
     )
-    betas = jnp.concatenate([betas, beta_T[None]], axis=0)  # [T, B, S]
+    betas_rest = jax.nn.logsumexp(suffix_T, axis=-2)    # [B, T-1, S] (beta_0..beta_{T-2})
+    beta_T = jnp.zeros((B, 1, S))
+    betas = jnp.concatenate([betas_rest, beta_T], axis=1)
 
     log_post = alphas + betas
     log_post = log_post - jax.nn.logsumexp(log_post, axis=2, keepdims=True)
-    post = jnp.exp(jnp.moveaxis(log_post, 0, 1))  # [B, T, S]
+    post = jnp.exp(log_post)
     return jnp.where(pad_mask[:, :, None], post, 0.0)
 
 
