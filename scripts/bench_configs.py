@@ -134,7 +134,75 @@ def config4(repeat=2):
     }
 
 
-CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4}
+def config5(repeat=1, n=150_000, k=8, n_contigs=6):
+    """Draft-genome workflow: shuffled/inverted multi-contig drafts ->
+    sortContigs against the reference -> progressive alignment (the
+    pod-sharded draft config, run single-chip)."""
+    from mauvealigner_tpu.genome.sequence import Contig, Genome, revcomp_ascii
+    from mauvealigner_tpu.models.aligner import AlignerOptions, MauveAligner
+    from mauvealigner_tpu.models.progressive import ProgressiveMauve, ProgressiveOptions
+    from mauvealigner_tpu.tools.manipulate import contig_placements_from_lcbs, sort_contigs
+    from mauvealigner_tpu.utils import simulate
+
+    rng = np.random.default_rng(37)
+    ref = simulate.random_genome(rng, n, name="ref")
+
+    def make_draft(evolved, name):
+        cuts = np.sort(
+            rng.choice(np.arange(2000, n - 2000), size=n_contigs - 1, replace=False)
+        )
+        edges = np.concatenate([[0], cuts, [len(evolved)]])
+        pieces = []
+        for i, (a, b) in enumerate(zip(edges[:-1], edges[1:])):
+            chunk = evolved.seq[a:b]
+            if rng.random() < 0.4:
+                chunk = revcomp_ascii(chunk)
+            pieces.append((f"{name}_c{i}", chunk))
+        order = rng.permutation(len(pieces))
+        contigs, parts, off = [], [], 0
+        for idx in order:
+            cname, chunk = pieces[idx]
+            contigs.append(Contig(cname, len(chunk), off))
+            parts.append(chunk)
+            off += len(chunk)
+        return Genome(np.concatenate(parts), contigs=contigs, name=name)
+
+    drafts = []
+    for i in range(k - 1):
+        ev, _ = simulate.evolve(ref, rng, sub_rate=0.01, ins_rate=0.0005, del_rate=0.0005)
+        drafts.append(make_draft(ev, f"d{i}"))
+
+    times = []
+    res = None
+    placed_total = 0
+    for _ in range(repeat):
+        t0 = time.time()
+        reordered = []
+        placed_total = 0
+        for d in drafts:
+            al = MauveAligner(
+                AlignerOptions(gapped=False, recursive=False, use_sml_cache=False)
+            )
+            ml = al.find_mums([ref, d])
+            _, lcbs = al.determine_lcbs([ref, d], ml)
+            placements = contig_placements_from_lcbs(d, lcbs, draft_seq_index=1)
+            fixed, log = sort_contigs(d, placements)
+            placed_total += sum(1 for _, s in log if s != 0)
+            reordered.append(fixed)
+        res = ProgressiveMauve(ProgressiveOptions(use_sml_cache=False)).align(
+            [ref] + reordered
+        )
+        times.append(time.time() - t0)
+    return {
+        "config": f"draft_workflow_{k}x{n//1000}kbp",
+        "wallclock_s": round(min(times), 3),
+        "cold_s": round(times[0], 3),
+        "contigs_placed": placed_total,
+        "n_lcbs": len(res.lcbs),
+    }
+
+
+CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or list(CONFIGS)
