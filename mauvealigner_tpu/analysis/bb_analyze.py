@@ -9,13 +9,12 @@ split backbone segments on annotated gene boundaries).
 from __future__ import annotations
 
 import dataclasses
-import math
 from collections import Counter
 from typing import Dict, List, Optional, Sequence, TextIO, Tuple, Union
 
 import numpy as np
 
-from mauvealigner_tpu.genome.sequence import Feature, Genome
+from mauvealigner_tpu.genome.sequence import Genome
 
 
 @dataclasses.dataclass

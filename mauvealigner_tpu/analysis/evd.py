@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import List, Sequence, TextIO, Tuple, Union
+from typing import List, Sequence
 
 import numpy as np
 

@@ -10,7 +10,7 @@ src/scoreALU.cpp:28-60).
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, List, Sequence, Set, TextIO, Tuple, Union
+from typing import List, Sequence, Set, TextIO, Tuple, Union
 
 import numpy as np
 

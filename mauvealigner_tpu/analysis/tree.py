@@ -10,7 +10,6 @@ MuscleInterface::CreateTree's NJ guide-tree construction
 from __future__ import annotations
 
 import dataclasses
-import itertools
 import re
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 

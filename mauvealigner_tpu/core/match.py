@@ -17,7 +17,7 @@ Coordinate convention (identical to the reference's):
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

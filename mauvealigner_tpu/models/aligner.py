@@ -25,10 +25,10 @@ import numpy as np
 
 from mauvealigner_tpu.core.interval import Interval, IntervalList
 from mauvealigner_tpu.core.match import NO_MATCH, MatchList
-from mauvealigner_tpu.core.sml import build_sml, load_sml
+from mauvealigner_tpu.core.sml import build_sml
 from mauvealigner_tpu.genome.sequence import Genome
 from mauvealigner_tpu.models import closure
-from mauvealigner_tpu.models.lcb import LCB, build_lcbs, compute_lcb_boundaries, greedy_breakpoint_elimination
+from mauvealigner_tpu.models.lcb import LCB, greedy_breakpoint_elimination
 from mauvealigner_tpu.ops import dp, matchops
 from mauvealigner_tpu.seeds import default_mer_size, get_seed
 

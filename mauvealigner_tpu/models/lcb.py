@@ -12,7 +12,7 @@ src/mauveAligner.cpp:664-666).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -48,7 +48,7 @@ from mauvealigner_tpu.core.sml import build_sml, load_sml
 from mauvealigner_tpu.genome.sequence import Genome
 from mauvealigner_tpu.models import closure
 from mauvealigner_tpu.models.aligner import AlignerOptions, MauveAligner
-from mauvealigner_tpu.models.lcb import LCB, greedy_breakpoint_elimination
+from mauvealigner_tpu.models.lcb import LCB
 from mauvealigner_tpu.ops import dp, matchops
 from mauvealigner_tpu.seeds import CODING_SEED, default_seed_weight, get_seed, seed_family
 

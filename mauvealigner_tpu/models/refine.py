@@ -12,13 +12,12 @@ is accepted/rejected independently by SP score.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from mauvealigner_tpu.analysis.sp import match_and_gap_scores
 from mauvealigner_tpu.core.interval import Interval, IntervalList
-from mauvealigner_tpu.genome.sequence import Genome
 from mauvealigner_tpu.models import closure
 
 

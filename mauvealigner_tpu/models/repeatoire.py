@@ -322,8 +322,6 @@ class Repeatoire:
 
 def read_repeats_xmfa(src: Union[str, TextIO]) -> List[RepeatFamily]:
     """Read a repeat XMFA (each block = one family; entries share seq 1)."""
-    from mauvealigner_tpu.core.interval import IntervalList
-
     if isinstance(src, str):
         with open(src) as fh:
             return read_repeats_xmfa(fh)

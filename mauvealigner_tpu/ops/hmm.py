@@ -9,7 +9,6 @@ forward/backward scans, batched over many pairwise projections at once.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,13 +15,12 @@ the *work* is sharded —
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from mauvealigner_tpu.ops import dp as dp_ops
 from mauvealigner_tpu.ops import merops

@@ -6,7 +6,6 @@ them under the reference names.
 
 from __future__ import annotations
 
-import sys
 from typing import List, Optional, Sequence, TextIO, Union
 
 import numpy as np

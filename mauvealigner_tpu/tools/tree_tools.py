@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Sequence, Set, TextIO, Tuple
+from typing import Dict, List, Sequence, Set, Tuple
 
 from mauvealigner_tpu.analysis.tree import (
     TreeNode,
