@@ -52,6 +52,10 @@ class AlignerOptions:
     gap_extend: float = dp.DEFAULT_GAP_EXTEND
     use_sml_cache: bool = True
     debug: bool = False  # internal consistency checks (--debug, very slow)
+    # optional anchor scoring callback MatchList -> [n] float weights
+    # (progressive sum-of-pairs schemes, models/anchor_score.py); lcb_weight
+    # must then be in the same units
+    anchor_weight_fn: Optional[object] = None
 
 
 @dataclasses.dataclass
@@ -95,7 +99,7 @@ class MauveAligner:
             weight = getattr(self, "_seed_weight", 15) * 3 * len(genomes)
         if o.collinear:
             weight = -1
-        return greedy_breakpoint_elimination(ml, weight)
+        return greedy_breakpoint_elimination(ml, weight, o.anchor_weight_fn)
 
     # -- phase 4: recursive anchoring ---------------------------------------
     def _gap_regions(
@@ -185,7 +189,9 @@ class MauveAligner:
                 add = add.concat(extra)
             ml = ml.concat(add).dedup()
             ml, lcbs = greedy_breakpoint_elimination(
-                ml, -1 if o.collinear else (self.options.lcb_weight or getattr(self, "_seed_weight", 15) * 3 * n)
+                ml,
+                -1 if o.collinear else (self.options.lcb_weight or getattr(self, "_seed_weight", 15) * 3 * n),
+                o.anchor_weight_fn,
             )
         return ml, lcbs
 
@@ -258,7 +264,7 @@ class MauveAligner:
                 ml = ml.multiplicity_filter(n)
             if len(ml) == before:
                 break
-            ml, lcbs = greedy_breakpoint_elimination(ml, weight)
+            ml, lcbs = greedy_breakpoint_elimination(ml, weight, o.anchor_weight_fn)
         return ml, lcbs
 
     # -- phase 5+6: gapped closure and interval assembly --------------------

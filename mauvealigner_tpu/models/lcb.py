@@ -24,7 +24,7 @@ class LCB:
     """A located collinear block: an ordered run of anchors."""
 
     match_indices: np.ndarray  # indices into the MatchList, in seq-0 order
-    weight: int
+    weight: float  # length units by default; sp-score units under a scoring scheme
     # per-sequence signed extents: left/right coordinates of the block
     lefts: np.ndarray   # int64 [n_seqs] (0 where absent)
     rights: np.ndarray  # int64 [n_seqs]
@@ -82,7 +82,9 @@ def compute_lcb_boundaries(ml: MatchList) -> np.ndarray:
     return lcb_in_order0[inv0]
 
 
-def build_lcbs(ml: MatchList, lcb_ids: np.ndarray) -> List[LCB]:
+def build_lcbs(
+    ml: MatchList, lcb_ids: np.ndarray, match_weights: np.ndarray | None = None
+) -> List[LCB]:
     n, n_seqs = ml.starts.shape
     out: List[LCB] = []
     if n == 0:
@@ -91,7 +93,10 @@ def build_lcbs(ml: MatchList, lcb_ids: np.ndarray) -> List[LCB]:
         idx = np.nonzero(lcb_ids == lid)[0]
         idx = idx[np.argsort(np.abs(ml.starts[idx, 0]), kind="stable")]
         sub = ml.select(idx)
-        weight = int(sub.lengths.sum())
+        if match_weights is None:
+            weight = int(sub.lengths.sum())
+        else:
+            weight = float(match_weights[idx].sum())
         lefts = np.zeros(n_seqs, np.int64)
         rights = np.zeros(n_seqs, np.int64)
         strands = np.zeros(n_seqs, np.int8)
@@ -110,10 +115,15 @@ def build_lcbs(ml: MatchList, lcb_ids: np.ndarray) -> List[LCB]:
 
 
 def greedy_breakpoint_elimination(
-    ml: MatchList, min_weight: float
+    ml: MatchList, min_weight: float, weight_fn=None
 ) -> Tuple[MatchList, List[LCB]]:
     """Drop minimum-weight LCBs until every LCB's weight meets min_weight
     (min_weight < 0 = collinear mode: eliminate to a single LCB).
+
+    weight_fn: optional MatchList -> [n] float per-anchor weights (anchor
+    scoring schemes, models/anchor_score.py); default = match lengths
+    (the original Mauve weight, src/mauveAligner.cpp:648-656).  min_weight
+    must be in the same units as the weights.
 
     Returns (surviving matches sorted along seq 0, final LCBs).
 
@@ -128,18 +138,19 @@ def greedy_breakpoint_elimination(
         if len(cur) == 0:
             return cur, []
         ids = compute_lcb_boundaries(cur)
-        weights = np.bincount(ids, weights=cur.lengths.astype(np.float64))
+        mw = weight_fn(cur) if weight_fn is not None else cur.lengths.astype(np.float64)
+        weights = np.bincount(ids, weights=mw)
         n_lcbs = len(weights)
         if min_weight < 0:
             # collinear mode: strict one-at-a-time to a single survivor
             if n_lcbs <= 1:
-                return cur, build_lcbs(cur, ids)
+                return cur, build_lcbs(cur, ids, mw if weight_fn is not None else None)
             victim = int(np.argmin(weights))
             cur = cur.select(ids != victim)
             continue
         wmin = weights.min()
         if wmin >= min_weight:
-            return cur, build_lcbs(cur, ids)
+            return cur, build_lcbs(cur, ids, mw if weight_fn is not None else None)
         cutoff = min(float(min_weight), wmin * 2 + 1)
         drop_lcb = weights < cutoff
         cur = cur.select(~drop_lcb[ids])

@@ -61,6 +61,11 @@ class ProgressiveOptions:
     seed_family: bool = False
     collinear: bool = False
     breakpoint_penalty: Optional[float] = None
+    # anchor scoring scheme: "sp" (ExtantSumOfPairsScoring, the reference
+    # default), "ancestral", "sp_ancestral", or "length" (original Mauve
+    # length weights) — src/progressiveMauve.cpp:611-625
+    scoring_scheme: str = "sp"
+    lcb_weight_scaling: bool = True   # setUseLcbWeightScaling default
     conservation_scale: float = 0.5   # setConservationDistanceScale default
     breakpoint_scale: float = 0.5     # setBreakpointDistanceScale default
     recursive: bool = True
@@ -124,7 +129,9 @@ class ProgressiveMauve:
         ]
         return matchops.find_multi_mums(genomes, smls)
 
-    def guide_tree(self, genomes: Sequence[Genome], ml: MatchList) -> TreeNode:
+    def guide_tree(
+        self, genomes: Sequence[Genome], ml: MatchList, dist: Optional[np.ndarray] = None
+    ) -> TreeNode:
         o = self.options
         if o.input_guide_tree:
             with open(o.input_guide_tree) as fh:
@@ -134,7 +141,8 @@ class ProgressiveMauve:
                 if not leaf.name.isdigit():
                     leaf.name = str(i)
             return tree
-        dist = coverage_distance_matrix(ml, [len(g) for g in genomes])
+        if dist is None:
+            dist = coverage_distance_matrix(ml, [len(g) for g in genomes])
         names = [str(i) for i in range(len(genomes))]
         if o.guide_tree_method == "nj":
             tree = neighbor_joining(dist, names)
@@ -145,14 +153,49 @@ class ProgressiveMauve:
                 fh.write(write_newick(tree) + "\n")
         return tree
 
-    def _breakpoint_penalty(self, genomes: Sequence[Genome]) -> float:
+    def _breakpoint_penalty(
+        self, genomes: Sequence[Genome], unit_factor: float = 1.0
+    ) -> float:
+        """Minimum LCB weight (setBreakpointPenalty semantics).  unit_factor
+        converts the Mauve length-unit rule into the active scoring scheme's
+        units (expected diag score x combinatorial pair factor)."""
         o = self.options
         if o.collinear:
             return -1.0
         if o.breakpoint_penalty is not None:
             return o.breakpoint_penalty
-        # Mauve weight rule scaled by the breakpoint distance factor
-        return self._seed_weight * 3 * len(genomes) * (o.breakpoint_scale + o.conservation_scale)
+        base = self._seed_weight * 3 * len(genomes) * (
+            o.breakpoint_scale + o.conservation_scale
+        )
+        return base * unit_factor
+
+    def _anchor_scoring(self, genomes: Sequence[Genome], dist: np.ndarray):
+        """(weight_fn, unit_factor) for the configured scoring scheme
+        (AncestralScoring / AncestralSumOfPairsScoring /
+        ExtantSumOfPairsScoring, src/progressiveMauve.cpp:611-625)."""
+        from mauvealigner_tpu.models import anchor_score
+
+        o = self.options
+        if o.scoring_scheme == "length":
+            return None, 1.0
+        n = len(genomes)
+        scales = None
+        if o.lcb_weight_scaling and o.scoring_scheme == "sp":
+            scales = anchor_score.pair_scales(
+                dist, o.breakpoint_scale, o.conservation_scale
+            )
+            pair_factor = float(np.triu(scales, 1).sum())
+        elif o.scoring_scheme == "sp":
+            pair_factor = n * (n - 1) / 2.0
+        elif o.scoring_scheme == "ancestral":
+            pair_factor = float(n)
+        elif o.scoring_scheme == "sp_ancestral":
+            pair_factor = float(n - 1)
+        else:
+            raise ValueError(f"unknown scoring scheme {o.scoring_scheme!r}")
+        weight_fn = anchor_score.make_weight_fn(genomes, o.scoring_scheme, scales)
+        unit_factor = anchor_score.expected_diag(genomes) * max(pair_factor, 1e-9)
+        return weight_fn, unit_factor
 
     def align(self, genomes: Sequence[Genome]) -> ProgressiveResult:
         from mauvealigner_tpu.utils import timing
@@ -161,15 +204,19 @@ class ProgressiveMauve:
         o = self.options
         with timer.phase("anchoring"):
             ml = self.find_matches(genomes)
+        dist = coverage_distance_matrix(ml, [len(g) for g in genomes])
         with timer.phase("guide_tree"):
-            tree = self.guide_tree(genomes, ml)
+            tree = self.guide_tree(genomes, ml, dist)
+        weight_fn, unit_factor = self._anchor_scoring(genomes, dist)
 
         # LCB structure over full-multiplicity anchors (subset-LCB support is
         # recovered by the backbone application step)
         inner = MauveAligner(
             AlignerOptions(
                 seed_size=self._seed_weight,
-                lcb_weight=None if o.collinear else self._breakpoint_penalty(genomes),
+                lcb_weight=None
+                if o.collinear
+                else self._breakpoint_penalty(genomes, unit_factor),
                 collinear=o.collinear,
                 recursive=o.recursive,
                 gapped=o.gapped,
@@ -177,6 +224,7 @@ class ProgressiveMauve:
                 gap_open=o.gap_open,
                 gap_extend=o.gap_extend,
                 use_sml_cache=o.use_sml_cache,
+                anchor_weight_fn=weight_fn,
             )
         )
         inner._seed_weight = self._seed_weight

@@ -34,17 +34,18 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(lens_ref, sskew_ref, dec_ref, score_ref, h_ref, h2_ref, e_ref, f_ref):
     """One batch element's full wavefront.
 
-    lens_ref:  SMEM (2,) int32 — (mA, mB)
+    lens_ref:  scalar-prefetch (B, 2) int32 — (mA, mB) per element
     sskew_ref: VMEM (n_diags, Sp) f32 — S_skew[d, i] = S[i-1, d-i-1]
     dec_ref:   VMEM (n_diags, Sp) int32 out — decision bits per cell
-    score_ref: SMEM (1,) f32 out — H[mA, mB]
+    score_ref: VMEM (8, 128) f32 out — H[mA, mB] broadcast across the tile
     h/h2/e/f:  VMEM (1, Sp) f32 scratch
     """
     n_diags = sskew_ref.shape[0]
     sp = sskew_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
-    ma = lens_ref[0]
-    mb = lens_ref[1]
+    b = pl.program_id(0)
+    ma = lens_ref[b, 0]
+    mb = lens_ref[b, 1]
     d_final = ma + mb
 
     go_ge = sskew_ref[0, 0]      # gap_open+gap_extend smuggled in row 0
@@ -55,13 +56,13 @@ def _kernel(lens_ref, sskew_ref, dec_ref, score_ref, h_ref, h2_ref, e_ref, f_ref
     e_ref[:, :] = jnp.full((1, sp), NEG)
     f_ref[:, :] = jnp.full((1, sp), NEG)
     dec_ref[0, :] = jnp.zeros(sp, jnp.int32)
-    score_ref[0] = jnp.where(d_final == 0, 0.0, NEG)
+    score_ref[:, :] = jnp.full((8, 128), jnp.where(d_final == 0, 0.0, NEG))
 
     def shift_down(x):
         rolled = pltpu.roll(x, shift=1, axis=1)
         return jnp.where(lane == 0, NEG, rolled)
 
-    def body(d, _):
+    def body(d, carry):
         h_prev = h_ref[:, :]
         h_prev2 = h2_ref[:, :]
         e_prev = e_ref[:, :]
@@ -103,11 +104,13 @@ def _kernel(lens_ref, sskew_ref, dec_ref, score_ref, h_ref, h2_ref, e_ref, f_ref
         @pl.when(d == d_final)
         def _():
             picked = jnp.sum(jnp.where(lane == ma, best, 0.0))
-            score_ref[0] = picked
+            score_ref[:, :] = jnp.full((8, 128), picked)
 
-        return 0
+        return carry
 
-    jax.lax.fori_loop(1, n_diags, body, 0)
+    # int32 loop index: under global x64 a Python-int bound makes the index
+    # i64, and Mosaic's i64->i32 demotion rule recurses forever
+    jax.lax.fori_loop(jnp.int32(1), jnp.int32(n_diags), body, jnp.int32(0))
 
 
 @partial(jax.jit, static_argnames=("M", "N", "interpret"))
@@ -150,15 +153,14 @@ def gotoh_forward_pallas(
     lens = jnp.stack([lens_a.astype(jnp.int32), lens_b.astype(jnp.int32)], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_diags, sp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_diags, sp), lambda b, lens: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, n_diags, sp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_diags, sp), lambda b, lens: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b, lens: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, sp), jnp.float32),
@@ -170,10 +172,10 @@ def gotoh_forward_pallas(
 
     def kernel(lens_blk, sskew_blk, dec_blk, score_blk, h, h2, e, f):
         _kernel(
-            lens_blk.at[0],
+            lens_blk,
             sskew_blk.at[0],
             dec_blk.at[0],
-            score_blk,
+            score_blk.at[0],
             h, h2, e, f,
         )
 
@@ -181,10 +183,10 @@ def gotoh_forward_pallas(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((B, n_diags, sp), jnp.int32),
-            jax.ShapeDtypeStruct((B,), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(lens, sskew)
     dec_u8 = dec[:, :, : M + 1].astype(jnp.uint8)
-    return scores, dec_u8
+    return scores[:, 0, 0], dec_u8

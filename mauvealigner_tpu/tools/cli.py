@@ -283,6 +283,15 @@ def progressive_mauve_cli(argv: List[str]) -> int:
                    help="re-enter with an existing alignment: apply the given "
                    ".bbcols backbone to the input XMFA (first positional arg)")
     p.add_argument("--max-gapped-aligner-length", type=int, default=4096)
+    p.add_argument("--scoring-scheme", default="sp",
+                   choices=["sp", "ancestral", "sp_ancestral", "length"],
+                   help="anchor scoring scheme (src/progressiveMauve.cpp:611-625)")
+    p.add_argument("--no-weight-scaling", action="store_true",
+                   help="disable pairwise-distance LCB weight scaling")
+    p.add_argument("--conservation-distance-scale", type=float, default=0.5)
+    p.add_argument("--bp-dist-scale", type=float, default=0.5)
+    p.add_argument("--breakpoint-penalty", type=float, default=None,
+                   help="explicit minimum LCB weight (sp-score units)")
     p.add_argument("--disable-cache", action="store_true",
                    help="disable the SML disk cache")
     p.add_argument("--mem-clean", action="store_true", help="accepted; no-op")
@@ -316,6 +325,11 @@ def progressive_mauve_cli(argv: List[str]) -> int:
         coding_seeds=a.coding_seeds or not a.solid_seeds,
         seed_family=a.seed_family,
         collinear=a.collinear,
+        scoring_scheme=a.scoring_scheme,
+        lcb_weight_scaling=not a.no_weight_scaling,
+        conservation_scale=a.conservation_distance_scale,
+        breakpoint_scale=a.bp_dist_scale,
+        breakpoint_penalty=a.breakpoint_penalty,
         gapped=not a.skip_gapped_alignment,
         max_gapped_len=a.max_gapped_aligner_length,
         use_sml_cache=not a.disable_cache,
