@@ -50,6 +50,7 @@ class AlignerOptions:
     nway_filter: bool = True
     gap_open: float = dp.DEFAULT_GAP_OPEN
     gap_extend: float = dp.DEFAULT_GAP_EXTEND
+    subst: Optional[np.ndarray] = None  # 5x5 substitution scores; None = HOXD70
     use_sml_cache: bool = True
     debug: bool = False  # internal consistency checks (--debug, very slow)
     # optional anchor scoring callback MatchList -> [n] float weights
@@ -323,6 +324,7 @@ class MauveAligner:
         if o.gapped and gap_groups:
             gap_alns = closure.align_region_groups(
                 gap_groups,
+                subst=o.subst if o.subst is not None else dp.HOXD70,
                 gap_open=o.gap_open,
                 gap_extend=o.gap_extend,
                 max_len=o.max_gapped_len,

@@ -83,6 +83,10 @@ class ProgressiveOptions:
     guide_tree_method: str = "upgma"  # "upgma" (MUSCLE UPGMB style) or "nj"
     gap_open: float = dp.DEFAULT_GAP_OPEN
     gap_extend: float = dp.DEFAULT_GAP_EXTEND
+    subst: Optional[np.ndarray] = None  # custom 5x5 scores (--substitution-matrix)
+    # floor for the scaled breakpoint penalty (setMinimumBreakpointPenalty,
+    # src/progressiveMauve.cpp:648-651)
+    min_scaled_penalty: Optional[float] = None
     use_sml_cache: bool = True
 
 
@@ -167,7 +171,10 @@ class ProgressiveMauve:
         base = self._seed_weight * 3 * len(genomes) * (
             o.breakpoint_scale + o.conservation_scale
         )
-        return base * unit_factor
+        penalty = base * unit_factor
+        if o.min_scaled_penalty is not None:
+            penalty = max(penalty, o.min_scaled_penalty)
+        return penalty
 
     def _anchor_scoring(self, genomes: Sequence[Genome], dist: np.ndarray):
         """(weight_fn, unit_factor) for the configured scoring scheme
@@ -197,13 +204,22 @@ class ProgressiveMauve:
         unit_factor = anchor_score.expected_diag(genomes) * max(pair_factor, 1e-9)
         return weight_fn, unit_factor
 
-    def align(self, genomes: Sequence[Genome]) -> ProgressiveResult:
+    def align(
+        self, genomes: Sequence[Genome], matches: Optional[MatchList] = None
+    ) -> ProgressiveResult:
+        """matches: pre-computed match list (--match-input phase re-entry,
+        src/progressiveMauve.cpp:367-385); skips the anchor search."""
         from mauvealigner_tpu.utils import timing
 
         timer = timing.GLOBAL
         o = self.options
-        with timer.phase("anchoring"):
-            ml = self.find_matches(genomes)
+        if matches is not None:
+            avg = int(np.mean([len(g) for g in genomes]))
+            self._seed_weight = o.seed_weight or default_seed_weight(avg)
+            ml = matches
+        else:
+            with timer.phase("anchoring"):
+                ml = self.find_matches(genomes)
         dist = coverage_distance_matrix(ml, [len(g) for g in genomes])
         with timer.phase("guide_tree"):
             tree = self.guide_tree(genomes, ml, dist)
@@ -223,6 +239,7 @@ class ProgressiveMauve:
                 max_gapped_len=o.max_gapped_len,
                 gap_open=o.gap_open,
                 gap_extend=o.gap_extend,
+                subst=o.subst,
                 use_sml_cache=o.use_sml_cache,
                 anchor_weight_fn=weight_fn,
             )
@@ -302,6 +319,7 @@ class ProgressiveMauve:
             gap_alns = closure.hierarchical_align_region_groups(
                 gap_groups,
                 plan,
+                subst=o.subst if o.subst is not None else dp.HOXD70,
                 gap_open=o.gap_open,
                 gap_extend=o.gap_extend,
                 max_len=o.max_gapped_len,

@@ -53,6 +53,42 @@ DEFAULT_GAP_OPEN = -400.0
 DEFAULT_GAP_EXTEND = -30.0
 
 
+def read_substitution_matrix(path: str) -> np.ndarray:
+    """NCBI-format substitution matrix file -> [5, 5] float32.
+
+    Parity with readSubstitutionMatrix / --substitution-matrix
+    (src/progressiveMauve.cpp:666-687): '#' comments, a header row of
+    residue symbols, then one row per residue.  A/C/G/T columns map to codes
+    0-3; every other symbol (N, ambiguity codes, '*') folds into the
+    ambiguity row/column 4 as the minimum of the contributing scores.
+    """
+    order = {"A": 0, "C": 1, "G": 2, "T": 3}
+    header: List[str] = []
+    out = np.full((5, 5), np.nan, np.float32)
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            fields = line.split()
+            if not header:
+                header = [f.upper() for f in fields]
+                continue
+            sym = fields[0].upper()
+            scores = [float(x) for x in fields[1 : len(header) + 1]]
+            i = order.get(sym, 4)
+            for col_sym, val in zip(header, scores):
+                j = order.get(col_sym, 4)
+                if np.isnan(out[i, j]) or val < out[i, j]:
+                    out[i, j] = val
+    if np.isnan(out[:4, :4]).any():
+        raise ValueError(f"substitution matrix {path!r} is missing A/C/G/T entries")
+    # missing ambiguity entries default to the worst ACGT mismatch
+    fallback = out[:4, :4].min()
+    out = np.where(np.isnan(out), fallback, out)
+    return out.astype(np.float32)
+
+
 def one_hot_profile(codes: np.ndarray, length: int) -> np.ndarray:
     """codes int array -> [length, 5] one-hot profile, zero-padded."""
     out = np.zeros((length, 5), dtype=np.float32)

@@ -22,6 +22,12 @@ from mauvealigner_tpu.tools.common import load_genome, load_genomes, open_out
 TOOLS: Dict[str, Callable[[List[str]], int]] = {}
 
 
+def _pkg_version() -> str:
+    from mauvealigner_tpu import __version__
+
+    return __version__
+
+
 def tool(name: str):
     def deco(fn):
         TOOLS[name] = fn
@@ -289,9 +295,31 @@ def progressive_mauve_cli(argv: List[str]) -> int:
     p.add_argument("--no-weight-scaling", action="store_true",
                    help="disable pairwise-distance LCB weight scaling")
     p.add_argument("--conservation-distance-scale", type=float, default=0.5)
-    p.add_argument("--bp-dist-scale", type=float, default=0.5)
-    p.add_argument("--breakpoint-penalty", type=float, default=None,
+    p.add_argument("--max-breakpoint-distance-scale", "--bp-dist-scale",
+                   dest="bp_dist_scale", type=float, default=0.5)
+    p.add_argument("--weight", "--breakpoint-penalty", dest="breakpoint_penalty",
+                   type=float, default=None,
                    help="explicit minimum LCB weight (sp-score units)")
+    p.add_argument("--min-scaled-penalty", type=float, default=None,
+                   help="floor for the scaled breakpoint penalty")
+    p.add_argument("--bp-dist-estimate-min-score", type=float, default=None,
+                   help="accepted for reference compatibility; pairwise distances "
+                   "here come from match coverage, not a scored estimate")
+    p.add_argument("--gap-open", type=float, default=None)
+    p.add_argument("--gap-extend", type=float, default=None)
+    p.add_argument("--substitution-matrix", default="",
+                   help="NCBI-format substitution matrix file")
+    p.add_argument("--muscle-args", default="",
+                   help="accepted for reference compatibility; no MUSCLE "
+                   "subprocess exists (gapped alignment is on-device DP)")
+    p.add_argument("--penalize-repeats", action="store_true",
+                   help="accepted for reference compatibility; anchors here are "
+                   "unique MUMs so repeat penalization does not apply")
+    p.add_argument("--no-recursion", action="store_true")
+    p.add_argument("--match-input", default="",
+                   help="read matches from a file, skip the anchor search")
+    p.add_argument("--version", action="version",
+                   version="%(prog)s (mauvealigner_tpu) " + _pkg_version())
     p.add_argument("--disable-cache", action="store_true",
                    help="disable the SML disk cache")
     p.add_argument("--mem-clean", action="store_true", help="accepted; no-op")
@@ -330,6 +358,8 @@ def progressive_mauve_cli(argv: List[str]) -> int:
         conservation_scale=a.conservation_distance_scale,
         breakpoint_scale=a.bp_dist_scale,
         breakpoint_penalty=a.breakpoint_penalty,
+        min_scaled_penalty=a.min_scaled_penalty,
+        recursive=not a.no_recursion,
         gapped=not a.skip_gapped_alignment,
         max_gapped_len=a.max_gapped_aligner_length,
         use_sml_cache=not a.disable_cache,
@@ -342,13 +372,29 @@ def progressive_mauve_cli(argv: List[str]) -> int:
         input_guide_tree=a.input_guide_tree or None,
         output_guide_tree=a.output_guide_tree or (a.output + ".guide_tree"),
     )
+    if a.gap_open is not None:
+        opts.gap_open = a.gap_open
+    if a.gap_extend is not None:
+        # the reference's --gap-extend writes opt_gap_open
+        # (src/progressiveMauve.cpp:673); that bug is deliberately NOT kept
+        opts.gap_extend = a.gap_extend
+    if a.substitution_matrix:
+        from mauvealigner_tpu.ops.dp import read_substitution_matrix
+
+        opts.subst = read_substitution_matrix(a.substitution_matrix)
+    if a.muscle_args:
+        sys.stderr.write("--muscle-args ignored: gapped alignment is on-device DP\n")
     pm = ProgressiveMauve(opts)
     if a.mums:
         ml = pm.find_matches(genomes)
         with open_out(a.output) as fh:
             mln.write_match_list(ml, fh, a.seqs, [len(g) for g in genomes])
         return 0
-    res = pm.align(genomes)
+    matches = None
+    if a.match_input:
+        with open(a.match_input) as fh:
+            matches, _, _ = mln.read_match_list(fh)
+    res = pm.align(genomes, matches=matches)
     res.interval_list.seq_filenames = list(a.seqs)
     from mauvealigner_tpu.analysis import backbone as bbmod
 
