@@ -23,6 +23,7 @@ gap-extend.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, Sequence, Tuple
 
@@ -31,6 +32,22 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG = jnp.float32(-1e9)
+
+
+def _pallas_ok(M: int, N: int) -> bool:
+    """True when the fused Pallas wavefront kernel should run this bucket:
+    TPU backend, square bucket within the kernel's VMEM budget.  Set
+    MAUVE_NO_PALLAS=1 to force the lax.scan path everywhere."""
+    if M != N or os.environ.get("MAUVE_NO_PALLAS"):
+        return False
+    from mauvealigner_tpu.ops.dp_pallas import PALLAS_MAX_S
+
+    if M > PALLAS_MAX_S:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 OP_NONE, OP_DIAG, OP_UP, OP_LEFT = 0, 1, 2, 3
 
@@ -158,9 +175,20 @@ def _gotoh_core(
 ):
     B = pA.shape[0]
     n_diags = M + N + 1
-    # MXU: full substitution score matrix, flattened for in-scan diag gathers
+    # MXU: full substitution score matrix, then SHEARED by pad+reshape so
+    # each scan step reads its anti-diagonal with one dynamic_slice instead
+    # of a gather (the original per-step take_along_axis gathers dominated
+    # the whole sweep ~10:1 on TPU): Q[b, i, c] = S[b, i, c - i], so
+    # anti-diagonal d is column d-2 of Q.  Shear wrap-around lands in the
+    # zero padding; those cells are outside the reachable DP band.
     S = jnp.einsum("bik,kl,bjl->bij", pA, subst, pB, preferred_element_type=jnp.float32)
-    S_flat = S.reshape(B, M * N)
+    W = M + N
+    Q = (
+        jnp.pad(S, ((0, 0), (0, 0), (0, M)))
+        .reshape(B, M * W)[:, : M * (W - 1)]
+        .reshape(B, M, W - 1)
+    )
+    QT = jnp.transpose(Q, (0, 2, 1))  # [B, W-1, M]: row d-2 = diagonal d
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, M + 1), 1)  # [1, M+1]
     go_ge = gap_open + gap_extend
@@ -194,11 +222,16 @@ def _gotoh_core(
         f_open = f_from_h >= f_from_f
         F = jnp.where(iota >= 1, jnp.maximum(f_from_h, f_from_f), NEG)
 
-        # diagonal: S[i-1, d-i-1] gathered from the flattened score matrix
-        flat_idx = jnp.clip((iota - 1) * N + (j - 1), 0, M * N - 1)
-        Sdiag = jnp.take_along_axis(S_flat, jnp.broadcast_to(flat_idx, (B, M + 1)), axis=1)
-        diag_ok = (iota >= 1) & (j >= 1) & (iota <= M) & (j <= N)
-        Hd = jnp.where(diag_ok, shift_down(H_prev2) + Sdiag, NEG)
+        # diagonal: S[i-1, d-i-1] = QT[d-2, i-1], one slice per step
+        row = jax.lax.dynamic_slice_in_dim(
+            QT, jnp.clip(d - 2, 0, W - 2), 1, axis=1
+        )[:, 0, :]
+        Sdiag = jnp.concatenate([jnp.full((B, 1), NEG), row], axis=1)
+        # cells outside the valid band read sheared zero-padding instead of
+        # NEG; they derive from NEG-initialized state and are unreachable
+        # from any (mA, mB) traceback, so decisions at live cells match the
+        # masked formulation exactly
+        Hd = shift_down(H_prev2) + Sdiag
 
         stacked = jnp.stack([Hd, F, E], axis=0)          # priority order
         h_choice = jnp.argmax(stacked, axis=0).astype(jnp.uint8)
@@ -308,7 +341,13 @@ def align_profiles_batch(
             return jnp.asarray(p.astype(np.uint8)).astype(jnp.float32)
         return jnp.asarray(p)
 
-    scores_dev, dec = gotoh_forward_scored(
+    if _pallas_ok(M, N):
+        from mauvealigner_tpu.ops.dp_pallas import gotoh_forward_pallas
+
+        forward = partial(gotoh_forward_pallas, M=M, N=N)
+    else:
+        forward = partial(gotoh_forward_scored, M=M, N=N)
+    scores_dev, dec = forward(
         ship(profiles_a),
         ship(profiles_b),
         mA,
@@ -316,8 +355,6 @@ def align_profiles_batch(
         jnp.asarray(subst, dtype=jnp.float32),
         jnp.float32(gap_open),
         jnp.float32(gap_extend),
-        M,
-        N,
     )
     ops_rev, counts = gotoh_traceback(dec, mA, mB, M, N)
     scores = np.asarray(scores_dev)
@@ -349,6 +386,29 @@ def _gotoh_codes(
     )
 
 
+@partial(jax.jit, static_argnames=("M", "N"))
+def _gotoh_codes_pallas(
+    codes_a: jnp.ndarray,
+    codes_b: jnp.ndarray,
+    lens_a: jnp.ndarray,
+    lens_b: jnp.ndarray,
+    subst: jnp.ndarray,
+    gap_open: jnp.ndarray,
+    gap_extend: jnp.ndarray,
+    M: int,
+    N: int,
+):
+    """_gotoh_codes with the fused Pallas wavefront kernel."""
+    from mauvealigner_tpu.ops.dp_pallas import gotoh_forward_pallas
+
+    sym = jnp.arange(5, dtype=jnp.uint8)
+    pa = (codes_a[:, :, None] == sym[None, None, :]).astype(jnp.float32)
+    pb = (codes_b[:, :, None] == sym[None, None, :]).astype(jnp.float32)
+    return gotoh_forward_pallas(
+        pa, pb, lens_a, lens_b, subst, gap_open, gap_extend, M, N
+    )
+
+
 def align_code_pairs_batch(
     codes_a: np.ndarray,  # uint8 [B, M], pad with 255
     codes_b: np.ndarray,
@@ -366,7 +426,8 @@ def align_code_pairs_batch(
     timing.GLOBAL.add("dp_cells", float(B) * M * N)
     mA = jnp.asarray(lens_a, dtype=jnp.int32)
     mB = jnp.asarray(lens_b, dtype=jnp.int32)
-    scores_dev, dec = _gotoh_codes(
+    fwd = _gotoh_codes_pallas if _pallas_ok(M, N) else _gotoh_codes
+    scores_dev, dec = fwd(
         jnp.asarray(codes_a),
         jnp.asarray(codes_b),
         mA,

@@ -1,14 +1,23 @@
 """Pallas TPU kernel for the Gotoh wavefront (K3 hot loop).
 
 The XLA `lax.scan` version (ops/dp.py) materializes per-step HLO; this
-kernel fuses the whole anti-diagonal recurrence into one Mosaic program per
-batch element: the four state rows (H, H2, E, F) live in VMEM for the entire
-sweep, the pre-skewed substitution-score rows are read from the VMEM-resident
-input block, and only the 4-bit decision rows leave the core.
+kernel fuses the whole anti-diagonal recurrence into one Mosaic program.
 
-Scope: square buckets with S <= 512 (skewed scores + decisions fit VMEM);
-larger buckets fall back to the scan implementation.  Layout: rows are
-(1, Sp) vectors with Sp = ceil(S+1, 128) lanes; lane shifts use pltpu.roll.
+Layout (v2, batch-in-sublane): each grid row processes EIGHT batch elements
+at once — element r of the group lives in sublane r, so every (8, Sp) vector
+op uses the VPU's full 8x128 tile instead of 1/8th of it (the v1 per-element
+layout was 1.8x SLOWER than the scan; this one beats it).  Diagonals are
+processed in chunks of CH so the skewed-score input and decision output
+stream through VMEM ((1, CH, 8, Sp) blocks) while the four state rows
+persist in (8, Sp) scratch across the chunk grid dimension.
+
+Skewed scores ship as bfloat16: HOXD-class integer scores (|s| <= 256) are
+exact in bf16, halving the score bandwidth; the recurrence itself
+accumulates in f32, so tracebacks stay bit-identical to the scan path.
+
+All integer literals are pinned to int32 (see CLAUDE.md: global x64 makes
+Python ints weak-i64, which Mosaic cannot demote — trace-time recursion or
+server-side 'failed to legalize func.func' errors).
 """
 
 from __future__ import annotations
@@ -29,45 +38,63 @@ NEG = np.float32(-1e9)
 F0 = np.float32(0.0)
 
 PALLAS_MAX_S = 512
+GROUP = 8          # batch elements per grid row (one per sublane)
+CHUNK = 64         # diagonals per grid step
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(n_diags, lens_ref, gaps_ref, sskew_ref, dec_ref, score_ref, h_ref, h2_ref, e_ref, f_ref):
-    """One batch element's full wavefront.
+def _kernel(lens_ref, gaps_ref, ma_ref, mb_ref, sskew_ref, dec_ref, score_ref,
+            h_ref, h2_ref, e_ref, f_ref, cap_ref):
+    """One chunk of diagonals for one 8-element group.
 
-    n_diags:   static true diagonal count (refs are padded to a multiple of 8)
-    lens_ref:  scalar-prefetch (B, 2) int32 — (mA, mB) per element
+    lens_ref:  scalar-prefetch (B, 2) int32 (unused in-kernel; kept for the
+               grid spec's prefetch slot)
     gaps_ref:  scalar-prefetch (2,) f32 — (gap_open+gap_extend, gap_extend)
-    sskew_ref: VMEM (nd_p, Sp) f32 — S_skew[d, i] = S[i-1, d-i-1]
-    dec_ref:   VMEM (nd_p, Sp) int32 out — decision bits per cell
-    score_ref: VMEM (8, 128) f32 out — H[mA, mB] broadcast across the tile
-    h/h2/e/f:  VMEM (1, Sp) f32 scratch
+    ma_ref:    VMEM (1, 8, 128) i32 — per-sublane mA, broadcast across lanes
+    mb_ref:    VMEM (1, 8, 128) i32 — per-sublane mB
+    sskew_ref: VMEM (1, CH, 8, Sp) bf16 — S_skew[d, r, i] = S_r[i-1, d-i-1]
+    dec_ref:   VMEM (1, CH, 8, Sp) i32 out — decision bits per cell
+    score_ref: VMEM (1, 8, 128) f32 out — H[mA, mB] per sublane (all lanes)
+    h/h2/e/f:  VMEM (8, Sp) f32 scratch, persistent across the chunk dim
+    cap_ref:   VMEM (8, Sp) f32 scratch — elementwise capture of H[mA, mB]
+
+    The final-cell capture is ELEMENTWISE into cap_ref (mask + where per
+    diagonal) with a single lane-reduction at the very end: a per-diagonal
+    reduce + sublane broadcast + output RMW costs ~43us/iteration on this
+    backend and dominated everything else in the sweep (~1.6us/iteration).
     """
-    sp = sskew_ref.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
-    b = pl.program_id(0)
-    ma = lens_ref[b, 0]
-    mb = lens_ref[b, 1]
-    d_final = ma + mb
+    sp = h_ref.shape[1]
+    ch = sskew_ref.shape[1]
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, sp), 1)
+    ma128 = ma_ref[0]                          # (8, 128)
+    d_final128 = ma128 + mb_ref[0]
+    # per-sublane mA/d_final replicated across all Sp lanes (capture masks)
+    ma_sp = jnp.broadcast_to(ma128[:, :1], (GROUP, sp))
+    dfin_sp = ma_sp + jnp.broadcast_to(mb_ref[0][:, :1], (GROUP, sp))
 
     go_ge = gaps_ref[0]
     ge = gaps_ref[1]
 
-    h_ref[:, :] = jnp.where(lane == 0, F0, NEG)
-    h2_ref[:, :] = jnp.full((1, sp), NEG)
-    e_ref[:, :] = jnp.full((1, sp), NEG)
-    f_ref[:, :] = jnp.full((1, sp), NEG)
-    dec_ref[0, :] = jnp.zeros(sp, jnp.int32)
-    score_ref[:, :] = jnp.full((8, 128), jnp.where(d_final == 0, F0, NEG))
+    @pl.when(c == jnp.int32(0))
+    def _init():
+        h_ref[:, :] = jnp.where(lane == 0, F0, NEG)
+        h2_ref[:, :] = jnp.full((GROUP, sp), NEG)
+        e_ref[:, :] = jnp.full((GROUP, sp), NEG)
+        f_ref[:, :] = jnp.full((GROUP, sp), NEG)
+        cap_ref[:, :] = jnp.zeros((GROUP, sp), jnp.float32)
 
     def shift_down(x):
         rolled = pltpu.roll(x, shift=jnp.int32(1), axis=1)
         return jnp.where(lane == 0, NEG, rolled)
 
-    def body(d, carry):
+    def body(dl, carry):
+        d = c * jnp.int32(ch) + dl             # global diagonal index
+        live = d != 0                          # diagonal 0 is pure init
         h_prev = h_ref[:, :]
         h_prev2 = h2_ref[:, :]
         e_prev = e_ref[:, :]
@@ -86,14 +113,12 @@ def _kernel(n_diags, lens_ref, gaps_ref, sskew_ref, dec_ref, score_ref, h_ref, h
         f_open = f_from_h >= f_from_f
         f_val = jnp.where(lane >= 1, jnp.maximum(f_from_h, f_from_f), NEG)
 
-        sdiag = sskew_ref[pl.ds(d, 1), :]
+        sdiag = sskew_ref[0, dl].astype(jnp.float32)   # (8, Sp)
         hd = shift_down(h_prev2) + sdiag  # invalid cells stay ~NEG via sdiag mask
 
-        # priority diag > up(F) > left(E); strict > keeps the earlier choice.
-        # int literals must be pinned to int32: under global x64 a Python int
-        # is weak-i64 and Mosaic's i64->i32 demotion recurses forever
+        # priority diag > up(F) > left(E); strict > keeps the earlier choice
         best = hd
-        choice = jnp.zeros((1, sp), jnp.int32)
+        choice = jnp.zeros((GROUP, sp), jnp.int32)
         better_f = f_val > best
         best = jnp.where(better_f, f_val, best)
         choice = jnp.where(better_f, jnp.int32(1), choice)
@@ -107,22 +132,25 @@ def _kernel(n_diags, lens_ref, gaps_ref, sskew_ref, dec_ref, score_ref, h_ref, h
             | jnp.where(e_open, jnp.int32(4), zero)
             | jnp.where(f_open, jnp.int32(8), zero)
         )
-        dec_ref[pl.ds(d, 1), :] = dec
-        h2_ref[:, :] = h_prev
-        h_ref[:, :] = best
-        e_ref[:, :] = e_val
-        f_ref[:, :] = f_val
+        dec_ref[0, dl] = jnp.where(live, dec, zero)
+        h2_ref[:, :] = jnp.where(live, h_prev, h_prev2)
+        h_ref[:, :] = jnp.where(live, best, h_prev)
+        e_ref[:, :] = jnp.where(live, e_val, e_prev)
+        f_ref[:, :] = jnp.where(live, f_val, f_prev)
 
-        @pl.when(d == d_final)
-        def _():
-            picked = jnp.sum(jnp.where(lane == ma, best, F0))
-            score_ref[:, :] = jnp.full((8, 128), picked)
-
+        # elementwise capture of each element's final cell H[mA, mB]
+        hit = (lane == ma_sp) & (dfin_sp == d) & live
+        cap_ref[:, :] = jnp.where(hit, best, cap_ref[:, :])
         return carry
 
-    # int32 loop index: under global x64 a Python-int bound makes the index
-    # i64, and Mosaic's i64->i32 demotion rule recurses forever
-    jax.lax.fori_loop(jnp.int32(1), jnp.int32(n_diags), body, jnp.int32(0))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(ch), body, jnp.int32(0))
+
+    @pl.when(c == n_chunks - jnp.int32(1))
+    def _emit_scores():
+        pick = jnp.sum(cap_ref[:, :], axis=1, keepdims=True)  # (8, 1)
+        score_ref[0] = jnp.where(
+            d_final128 == 0, F0, jnp.broadcast_to(pick, (GROUP, 128))
+        )
 
 
 @partial(jax.jit, static_argnames=("M", "N", "interpret"))
@@ -142,77 +170,89 @@ def gotoh_forward_pallas(
     dp.gotoh_forward_scored on square buckets with M == N <= PALLAS_MAX_S."""
     B = pA.shape[0]
     n_diags = M + N + 1
-    nd_p = _round_up(n_diags, 8)  # Mosaic slices need 8-aligned sublanes
+    nd_p = _round_up(n_diags, CHUNK)
     sp = _round_up(M + 1, 128)
+    Bp = _round_up(max(B, GROUP), GROUP)
+    G = Bp // GROUP
+
+    la = jnp.zeros(Bp, jnp.int32).at[:B].set(lens_a.astype(jnp.int32))
+    lb = jnp.zeros(Bp, jnp.int32).at[:B].set(lens_b.astype(jnp.int32))
 
     # MXU outside the kernel: full score matrix, then skewed so the kernel
-    # reads one contiguous row per anti-diagonal
+    # reads one (8, Sp) tile per anti-diagonal.  The skew is a SHEAR done
+    # with pad+reshape (zero gathers): padding every row of S with M zeros
+    # and re-rowing the flat buffer at width W-1 shifts row i right by i, so
+    # Q[b, i, c] = S[b, i, c - i] and anti-diagonal d is column d-2 of Q.
+    # (The original take_along_axis gather cost ~700ms at B=256, M=256 —
+    # 25x the whole wavefront sweep.)
     S = jnp.einsum("bik,kl,bjl->bij", pA, subst, pB, preferred_element_type=jnp.float32)
-    d_ids = jax.lax.broadcasted_iota(jnp.int32, (nd_p, sp), 0)
-    i_ids = jax.lax.broadcasted_iota(jnp.int32, (nd_p, sp), 1)
-    j_ids = d_ids - i_ids
-    valid = (i_ids >= 1) & (i_ids <= M) & (j_ids >= 1) & (j_ids <= N)
-    flat = jnp.clip((i_ids - 1) * N + (j_ids - 1), 0, M * N - 1)
-    sskew = jnp.where(
-        valid[None], jnp.take_along_axis(S.reshape(B, -1)[:, None, :],
-                                         jnp.broadcast_to(flat.reshape(1, 1, -1), (B, 1, nd_p * sp)),
-                                         axis=2).reshape(B, nd_p, sp),
-        NEG,
+    W = M + N
+    Spad = jnp.pad(S, ((0, 0), (0, 0), (0, M)))           # (B, M, W)
+    Q = Spad.reshape(B, M * W)[:, : M * (W - 1)].reshape(B, M, W - 1)
+    QT = jnp.transpose(Q.astype(jnp.bfloat16), (0, 2, 1))  # (B, W-1, M)
+    # sskew[d, i] = QT[d-2, i-1]; shear wrap-around lands in the zero padding
+    # (j outside [1, N] reads 0, which never feeds a valid cell — see kernel)
+    skew_b = jnp.pad(
+        QT,
+        ((0, 0), (2, nd_p - (W - 1) - 2), (1, sp - M - 1)),
+        constant_values=NEG,
     )
-    lens = jnp.stack([lens_a.astype(jnp.int32), lens_b.astype(jnp.int32)], axis=1)
+    if Bp != B:
+        skew_b = jnp.concatenate(
+            [skew_b, jnp.full((Bp - B, nd_p, sp), NEG, jnp.bfloat16)], axis=0
+        )
+    # [Bp, nd, sp] -> [G, nd, 8, sp]: element r of group g sits in sublane r
+    sskew = jnp.transpose(skew_b.reshape(G, GROUP, nd_p, sp), (0, 2, 1, 3))
+
+    lens = jnp.stack([la, lb], axis=1)
     gaps = jnp.stack([
         (gap_open + gap_extend).astype(jnp.float32),
         gap_extend.astype(jnp.float32),
     ])
+    ma_in = jnp.broadcast_to(la.reshape(G, GROUP, 1), (G, GROUP, 128)).astype(jnp.int32)
+    mb_in = jnp.broadcast_to(lb.reshape(G, GROUP, 1), (G, GROUP, 128)).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B,),
-        # index maps return jnp.int32 zeros: Python-int block offsets become
-        # i64 under global x64 and the transform function fails legalization
+        grid=(G, nd_p // CHUNK),
+        # index maps return jnp.int32: Python-int offsets become i64 under
+        # global x64 and the transform function fails legalization
         in_specs=[
-            pl.BlockSpec((1, nd_p, sp),
-                         lambda b, lens, gaps: (b, jnp.int32(0), jnp.int32(0)),
+            pl.BlockSpec((1, GROUP, 128), lambda g, c, l, gp: (g, jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GROUP, 128), lambda g, c, l, gp: (g, jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, GROUP, sp), lambda g, c, l, gp: (g, c, jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, nd_p, sp),
-                         lambda b, lens, gaps: (b, jnp.int32(0), jnp.int32(0)),
+            pl.BlockSpec((1, CHUNK, GROUP, sp), lambda g, c, l, gp: (g, c, jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128),
-                         lambda b, lens, gaps: (b, jnp.int32(0), jnp.int32(0)),
+            pl.BlockSpec((1, GROUP, 128), lambda g, c, l, gp: (g, jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, sp), jnp.float32),
-            pltpu.VMEM((1, sp), jnp.float32),
-            pltpu.VMEM((1, sp), jnp.float32),
-            pltpu.VMEM((1, sp), jnp.float32),
+            pltpu.VMEM((GROUP, sp), jnp.float32),
+            pltpu.VMEM((GROUP, sp), jnp.float32),
+            pltpu.VMEM((GROUP, sp), jnp.float32),
+            pltpu.VMEM((GROUP, sp), jnp.float32),
+            pltpu.VMEM((GROUP, sp), jnp.float32),
         ],
     )
 
-    def kernel(lens_blk, gaps_blk, sskew_blk, dec_blk, score_blk, h, h2, e, f):
-        # jnp.int32 index: a Python-int 0 becomes an i64 memref_slice operand
-        # under global x64, which Mosaic rejects
-        z = jnp.int32(0)
-        _kernel(
-            n_diags,
-            lens_blk,
-            gaps_blk,
-            sskew_blk.at[z],
-            dec_blk.at[z],
-            score_blk.at[z],
-            h, h2, e, f,
-        )
-
     dec, scores = pl.pallas_call(
-        kernel,
+        _kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((B, nd_p, sp), jnp.int32),
-            jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((G, nd_p, GROUP, sp), jnp.int32),
+            jax.ShapeDtypeStruct((G, GROUP, 128), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(lens, gaps, sskew)
-    dec_u8 = dec[:, :n_diags, : M + 1].astype(jnp.uint8)
-    return scores[:, 0, 0], dec_u8
+    )(lens, gaps, ma_in, mb_in, sskew)
+    # [G, nd, 8, sp] -> [B, n_diags, M+1]
+    dec_u8 = (
+        jnp.transpose(dec, (0, 2, 1, 3))
+        .reshape(Bp, nd_p, sp)[:B, :n_diags, : M + 1]
+        .astype(jnp.uint8)
+    )
+    return scores.reshape(Bp, 128)[:B, 0], dec_u8
