@@ -60,6 +60,7 @@ class RepeatoireOptions:
     posterior_threshold: float = 0.5
     subsume_overlap: float = 0.8  # component coverage fraction -> subsumed
     onlydirect: bool = False
+    find_novel_subsets: bool = False  # --novel-subsets (default false, :1725)
 
 
 @dataclasses.dataclass
@@ -84,6 +85,14 @@ class RepeatFamily:
         lens = self.component_lengths()
         lefts = np.abs(self.starts)
         return np.stack([lefts, lefts + lens - 1], axis=1)
+
+
+def _project_family(fam: RepeatFamily, comps: Sequence[int]) -> RepeatFamily:
+    """Component-subset projection (MatchProjectionAdapter analog,
+    src/MatchRecord.h:242): keep the given rows, drop all-gap columns."""
+    rows = fam.aln[list(comps)]
+    keep = rows.any(axis=0)
+    return RepeatFamily(fam.starts[list(comps)].copy(), rows[:, keep])
 
 
 class Repeatoire:
@@ -139,6 +148,8 @@ class Repeatoire:
         fams.sort(key=lambda t: (-t[0], -t[1]))
         covered = np.zeros(len(genome) + 2, dtype=bool)
         out: List[RepeatFamily] = []
+        processed: List[RepeatFamily] = []
+        spawned_sigs: set = set()
         for _, _, fam in fams:
             spans = fam.spans()
             total = int((spans[:, 1] - spans[:, 0] + 1).sum())
@@ -153,7 +164,73 @@ class Repeatoire:
                 continue
             for l, r in fam.spans():
                 covered[l : r + 1] = True
+            if o.find_novel_subsets:
+                out.extend(self._novel_subsets(fam, processed, spawned_sigs))
+            processed.append(fam)
             out.append(fam)
+        return out
+
+    # -- novel subset generation (processNovelSubsetMatches,
+    #    src/repeatoire.cpp:1474-1608; gated by --novel-subsets, :1725) ------
+    def _novel_subsets(
+        self, fam: RepeatFamily, processed: List[RepeatFamily], seen: set
+    ) -> List[RepeatFamily]:
+        """Spawn subset records: when an already-extended family M_j lies
+        within the procrastination window of a strict subset (>=2, <mult) of
+        the current family's component ends, the shared components of M_j
+        become a new record (reference classification at
+        src/repeatoire.cpp:963-989; spawn at :1514-1596).  Spawns whose M_i
+        projection is already subsumed by M_j carry nothing novel and are
+        dropped (:1560-1573)."""
+        w = self.flank_window(fam.multiplicity)
+        spans_i = fam.spans()
+        out: List[RepeatFamily] = []
+        for mj in processed:
+            if mj.multiplicity <= 2:
+                continue
+            spans_j = mj.spans()
+            for rel_orient in (1, -1):
+                # pairs (x, y): component x of fam adjacent (within w) to
+                # component y of mj with the given relative orientation
+                pairs: List[Tuple[int, int]] = []
+                used_y: set = set()
+                for x in range(fam.multiplicity):
+                    o_x = 1 if fam.starts[x] > 0 else -1
+                    for y in range(mj.multiplicity):
+                        o_y = 1 if mj.starts[y] > 0 else -1
+                        if o_x * o_y != rel_orient:
+                            continue
+                        if y in used_y:
+                            continue
+                        # adjacency: gap between the two spans on the genome
+                        # (may be slightly negative when gapped extension
+                        # overlapped the records, like the reference's
+                        # behind-the-end window scan)
+                        gap = max(
+                            spans_i[x, 0] - spans_j[y, 1],
+                            spans_j[y, 0] - spans_i[x, 1],
+                        ) - 1
+                        if -w <= gap <= w:
+                            pairs.append((x, y))
+                            used_y.add(y)
+                            break
+                shared = len(pairs)
+                if shared < 2 or shared >= fam.multiplicity:
+                    continue
+                if shared == mj.multiplicity:
+                    continue  # subset of mj itself, not novel (:983-986)
+                ys = [y for _, y in pairs]
+                sig = tuple(sorted(int(mj.starts[y]) for y in ys))
+                if sig in seen:
+                    continue  # same components as a previous spawn (:1494-1500)
+                # nothing novel if fam's shared spans sit inside mj's (:1560-1573)
+                if any(
+                    spans_j[y, 0] <= spans_i[x, 0] and spans_i[x, 1] <= spans_j[y, 1]
+                    for x, y in pairs
+                ):
+                    continue
+                seen.add(sig)
+                out.append(_project_family(mj, ys))
         return out
 
     def _gapped_extend(self, genome: Genome, fam: RepeatFamily) -> RepeatFamily:

@@ -426,6 +426,9 @@ def repeatoire_cli(argv: List[str]) -> int:
     p.add_argument("--onlydirect", action="store_true")
     p.add_argument("--minreplen", type=int, default=0, help="minimum repeat length")
     p.add_argument("--no-extend", action="store_true")
+    p.add_argument("--novel-subsets", action="store_true",
+                   help="find novel subset matches (reference default false, "
+                   "src/repeatoire.cpp:1725)")
     p.add_argument("--output", default="reps.xmfa", help="XMFA output")
     p.add_argument("--xml", default="", help="XML output")
     p.add_argument("--highest", default="", help="per-multiplicity stats output")
@@ -447,6 +450,7 @@ def repeatoire_cli(argv: List[str]) -> int:
         only_direct=a.onlydirect,
         min_length=a.minreplen,
         extend=not a.no_extend,
+        find_novel_subsets=a.novel_subsets,
     )
     fams = Repeatoire(opts).find_repeats(genome)
     write_repeats_xmfa(fams, genome, a.output)

@@ -108,6 +108,37 @@ def test_outputs(rng, tmp_path):
     assert "multiplicity" in buf2.getvalue()
 
 
+def test_novel_subsets(rng):
+    # Y appears 4x; X appears 3x, with two X copies right-adjacent to two Y
+    # copies.  With --novel-subsets the shared-component projection of Y
+    # (multiplicity 2) is spawned as its own record
+    # (processNovelSubsetMatches, src/repeatoire.cpp:1474-1608).
+    Y = simulate.random_genome(rng, 300).seq
+    X = simulate.random_genome(rng, 250).seq
+    sp = lambda: simulate.random_genome(rng, 400).seq
+    g = Genome(
+        np.concatenate(
+            [sp(), Y, X, sp(), Y, X, sp(), Y, sp(), Y, sp(), X, sp()]
+        )
+    )
+    base = Repeatoire(RepeatoireOptions(z=9)).find_repeats(g)
+    novel = Repeatoire(
+        RepeatoireOptions(z=9, find_novel_subsets=True)
+    ).find_repeats(g)
+
+    def mult2_pairs(fams):
+        return [
+            f
+            for f in fams
+            if f.multiplicity == 2
+            # spans near the two adjacent Y copies (left ends 401, 1351)
+            and sorted(abs(int(s)) // 100 for s in f.starts) == [4, 13]
+        ]
+
+    assert not mult2_pairs(base)
+    assert mult2_pairs(novel), [f.spans() for f in novel]
+
+
 def test_repeatoire_cli(rng, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     g, _ = _genome_with_repeats(rng, n_copies=3, unit_len=120)
