@@ -157,35 +157,33 @@ def device_mum_candidates(
     rel = strand_s ^ ref_strand
     inv = jnp.where(rel == 0, pos_s.astype(jnp.int64) - ref_pos, pos_s.astype(jnp.int64) + ref_pos)
 
-    # order-independent 128-bit group signature over kept entries
+    # order-independent 64-bit group signature over kept entries.  64 bits
+    # keep the run-grouping sort at 4 keys instead of 6 (each extra key adds
+    # bitonic passes over the whole array); with ~2^21 groups the birthday
+    # collision odds are ~2^-23, and a collision only matters if the two
+    # groups are ALSO diagonal-adjacent, which the p0 continuity check makes
+    # astronomically unlikely.
     token = (seq_s.astype(jnp.int64) << 33) | (rel.astype(jnp.int64) << 32) | (
         inv & jnp.int64(0xFFFFFFFF)
     )
-    m1 = _mix64(token + 1, _MIX_C1)
-    m2 = _mix64(token + 7, _MIX_C2)
+    m1 = _mix64(_mix64(token + 1, _MIX_C1) ^ _mix64(token + 7, _MIX_C2), _MIX_C3)
     zero64 = jnp.zeros(N, jnp.int64)
     sig1 = zero64.at[seg_id].add(jnp.where(kept, m1, 0))
-    sig2 = zero64.at[seg_id].add(jnp.where(kept, m2, 0))
 
     is_rep = kept & (idx == ref_idx)
     rep_sig1 = sig1[seg_id] + count_here.astype(jnp.int64) * _MIX_C3
-    rep_sig2 = sig2[seg_id] ^ count_here.astype(jnp.int64)
 
     # sort segment representatives to the front, grouped by signature, by p0
     not_rep = (~is_rep).astype(jnp.int32)
     s1_hi = (rep_sig1 >> 32).astype(jnp.int32)
     s1_lo = rep_sig1.astype(jnp.uint32)
-    s2_hi = (rep_sig2 >> 32).astype(jnp.int32)
-    s2_lo = rep_sig2.astype(jnp.uint32)
-    (nr_s, a_s, b_s, c_s, d_s, p0_s, segid_s) = jax.lax.sort(
-        (not_rep, s1_hi, s1_lo, s2_hi, s2_lo, pos_s, seg_id), num_keys=6
+    (nr_s, a_s, b_s, p0_s, segid_s) = jax.lax.sort(
+        (not_rep, s1_hi, s1_lo, pos_s, seg_id), num_keys=4
     )
     rep_valid = nr_s == 0
     prev_same_sig = (
         (a_s == jnp.concatenate([a_s[:1], a_s[:-1]]))
         & (b_s == jnp.concatenate([b_s[:1], b_s[:-1]]))
-        & (c_s == jnp.concatenate([c_s[:1], c_s[:-1]]))
-        & (d_s == jnp.concatenate([d_s[:1], d_s[:-1]]))
     )
     prev_p0 = jnp.concatenate([p0_s[:1] - 2, p0_s[:-1]])
     cont = prev_same_sig & (p0_s == prev_p0 + 1)
@@ -224,10 +222,13 @@ def _concat_device_smls(smls_dev):
     )
     n = keys.shape[0]
     # coarse (x4) buckets with a high floor: every distinct shape costs a
-    # multi-minute remote compile on the TPU tunnel
+    # multi-minute remote compile on the TPU tunnel.  Above 1M entries the
+    # bucket step drops to x2: the multi-key sorts in device_mum_candidates
+    # scale ~n log^2 n, so x4 padding at the top end costs more than an
+    # extra cached compile.
     bucket = 1 << 16
     while bucket < n:
-        bucket *= 4
+        bucket *= 4 if bucket < (1 << 20) else 2
     pad = bucket - n
     if pad:
         keys = jnp.concatenate([keys, jnp.full(pad, INVALID_KEY, jnp.int64)])
