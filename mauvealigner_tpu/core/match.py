@@ -132,6 +132,23 @@ class MatchList:
         overlap with the previous interval.  Matches cropped to length <=0
         are removed.
         """
+        # native host runtime fast path (bit-identical; native/mauve_native.cpp)
+        from mauvealigner_tpu import native
+
+        mod = native.get()
+        if mod is not None and hasattr(mod, "eliminate_overlaps") and len(self):
+            n, n_seqs = self.starts.shape
+            s_out, l_out = mod.eliminate_overlaps(
+                np.ascontiguousarray(self.starts, dtype=np.int64).tobytes(),
+                np.ascontiguousarray(self.lengths, dtype=np.int64).tobytes(),
+                n,
+                n_seqs,
+            )
+            starts = np.frombuffer(s_out, np.int64).reshape(n, n_seqs)
+            lengths = np.frombuffer(l_out, np.int64)
+            keep = lengths > 0
+            out = MatchList(starts[keep].copy(), lengths[keep].copy())
+            return out.select(out.multiplicity() >= 1)
         ml = MatchList(self.starts.copy(), self.lengths.copy())
         changed = True
         iters = 0

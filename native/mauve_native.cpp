@@ -9,6 +9,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -190,6 +191,94 @@ PyObject* extend_matches(PyObject*, PyObject* args) {
   return Py_BuildValue("(NN)", s_out, l_out);
 }
 
+// eliminate_overlaps(starts: bytes (int64 LE [n, n_seqs]), lengths: bytes
+// (int64 LE [n]), n, n_seqs) -> (starts', lengths')
+// Pairwise overlap resolution within each sequence (EliminateOverlaps_v2
+// semantics); bit-identical to the Python reference loop in
+// core/match.py::eliminate_overlaps.  Rows cropped to length <= 0 remain in
+// the output (the caller filters them).
+PyObject* eliminate_overlaps(PyObject*, PyObject* args) {
+  Py_buffer sbuf, lbuf;
+  Py_ssize_t n, n_seqs;
+  if (!PyArg_ParseTuple(args, "y*y*nn", &sbuf, &lbuf, &n, &n_seqs))
+    return nullptr;
+  std::vector<int64_t> starts((int64_t*)sbuf.buf, (int64_t*)sbuf.buf + n * n_seqs);
+  std::vector<int64_t> lengths((int64_t*)lbuf.buf, (int64_t*)lbuf.buf + n);
+  PyBuffer_Release(&sbuf);
+  PyBuffer_Release(&lbuf);
+
+  Py_BEGIN_ALLOW_THREADS
+  // multiplicity is invariant under cropping (components never vanish)
+  std::vector<int64_t> mult(n, 0);
+  for (Py_ssize_t i = 0; i < n; i++)
+    for (Py_ssize_t j = 0; j < n_seqs; j++)
+      if (starts[i * n_seqs + j] != 0) mult[i]++;
+
+  std::vector<char> removed(n, 0);
+  std::vector<Py_ssize_t> order;
+  order.reserve(n);
+  auto llabs64 = [](int64_t v) { return v < 0 ? -v : v; };
+
+  bool changed = true;
+  int iters = 0;
+  while (changed && iters < 8) {
+    changed = false;
+    iters++;
+    for (Py_ssize_t seq = 0; seq < n_seqs; seq++) {
+      order.clear();
+      for (Py_ssize_t i = 0; i < n; i++)
+        if (!removed[i] && starts[i * n_seqs + seq] != 0) order.push_back(i);
+      if (order.size() < 2) continue;
+      std::stable_sort(order.begin(), order.end(),
+                       [&](Py_ssize_t a, Py_ssize_t b) {
+                         return llabs64(starts[a * n_seqs + seq]) <
+                                llabs64(starts[b * n_seqs + seq]);
+                       });
+      Py_ssize_t prev = order[0];
+      for (size_t oi = 1; oi < order.size(); oi++) {
+        Py_ssize_t cur = order[oi];
+        int64_t prev_r = llabs64(starts[prev * n_seqs + seq]) + lengths[prev] - 1;
+        int64_t cur_l = llabs64(starts[cur * n_seqs + seq]);
+        if (cur_l <= prev_r && lengths[cur] > 0 && lengths[prev] > 0) {
+          int64_t overlap = prev_r - cur_l + 1;
+          // crop the weaker match: lower multiplicity, then shorter
+          bool prev_weaker =
+              mult[prev] < mult[cur] ||
+              (mult[prev] == mult[cur] && lengths[prev] < lengths[cur]);
+          bool victim_is_cur = !prev_weaker;
+          Py_ssize_t victim = victim_is_cur ? cur : prev;
+          int64_t amt = overlap < lengths[victim] ? overlap : lengths[victim];
+          bool overlap_on_genome_left = victim_is_cur;
+          bool forward = starts[victim * n_seqs + seq] > 0;
+          if (overlap_on_genome_left == forward) {
+            // match-space left crop: forward components advance
+            for (Py_ssize_t j = 0; j < n_seqs; j++)
+              if (starts[victim * n_seqs + j] > 0) starts[victim * n_seqs + j] += amt;
+          } else {
+            for (Py_ssize_t j = 0; j < n_seqs; j++)
+              if (starts[victim * n_seqs + j] < 0) starts[victim * n_seqs + j] -= amt;
+          }
+          lengths[victim] -= amt;
+          changed = true;
+        }
+        int64_t cur_r = llabs64(starts[cur * n_seqs + seq]) + lengths[cur] - 1;
+        prev_r = llabs64(starts[prev * n_seqs + seq]) + lengths[prev] - 1;
+        if (cur_r > prev_r || lengths[prev] <= 0) prev = cur;
+      }
+    }
+    for (Py_ssize_t i = 0; i < n; i++)
+      if (lengths[i] <= 0) removed[i] = 1;
+  }
+  Py_END_ALLOW_THREADS
+
+  PyObject* s_out = PyBytes_FromStringAndSize(
+      (const char*)starts.data(), (Py_ssize_t)(starts.size() * sizeof(int64_t)));
+  PyObject* l_out = PyBytes_FromStringAndSize(
+      (const char*)lengths.data(), (Py_ssize_t)(lengths.size() * sizeof(int64_t)));
+  if (!s_out || !l_out) { Py_XDECREF(s_out); Py_XDECREF(l_out); return nullptr; }
+  return Py_BuildValue("(NN)", s_out, l_out);
+}
+
 PyMethodDef kMethods[] = {
     {"parse_fasta", parse_fasta, METH_VARARGS,
      "parse_fasta(data) -> (seq_bytes, [(name, length), ...])"},
@@ -197,6 +286,8 @@ PyMethodDef kMethods[] = {
     {"revcomp", revcomp, METH_VARARGS, "IUPAC ASCII reverse complement"},
     {"extend_matches", extend_matches, METH_VARARGS,
      "maximal base-level extension of a match table"},
+    {"eliminate_overlaps", eliminate_overlaps, METH_VARARGS,
+     "pairwise overlap resolution within each sequence"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -68,6 +68,33 @@ def test_extend_matches_native_vs_numpy(mod, rng):
     assert (native_result.lengths >= 200).any()
 
 
+def test_eliminate_overlaps_native_vs_numpy(mod, rng):
+    # random overlapping match tables, mixed strands and absent components
+    for trial in range(20):
+        n = int(rng.integers(2, 40))
+        n_seqs = int(rng.integers(2, 5))
+        starts = np.zeros((n, n_seqs), np.int64)
+        for j in range(n_seqs):
+            pos = rng.integers(1, 500, size=n)
+            sign = rng.choice([-1, 1], size=n)
+            absent = rng.random(n) < 0.2
+            starts[:, j] = np.where(absent, 0, sign * pos)
+        # every row needs multiplicity >= 1
+        starts[starts.sum(axis=1) == 0, 0] = 7
+        lengths = rng.integers(5, 80, size=n).astype(np.int64)
+        ml = MatchList(starts, lengths)
+
+        native_result = ml.eliminate_overlaps()
+        saved = native._module, native._tried
+        native._module, native._tried = None, True
+        try:
+            numpy_result = ml.eliminate_overlaps()
+        finally:
+            native._module, native._tried = saved
+        assert np.array_equal(native_result.starts, numpy_result.starts), trial
+        assert np.array_equal(native_result.lengths, numpy_result.lengths), trial
+
+
 def test_read_fasta_native_path(tmp_path, mod):
     path = str(tmp_path / "x.fa")
     with open(path, "w") as fh:
