@@ -112,7 +112,7 @@ def _mix64(x: jnp.ndarray, c: np.int64) -> jnp.ndarray:
     return x
 
 
-@partial(jax.jit, static_argnames=("n_seqs", "cap"))
+@partial(jax.jit, static_argnames=("n_seqs", "cap", "min_multi"))
 def device_mum_candidates(
     keys: jnp.ndarray,      # int64[N] canonical keys (strand LSB); INVALID padding
     seq_ids: jnp.ndarray,   # int32[N]
@@ -128,6 +128,7 @@ def device_mum_candidates(
     run's FIRST window (0 = absent), span_tab int32[cap, 2] = [p0_min, p0_max]
     reference window positions, n_runs int32).
     """
+    assert min_multi >= 2, "representative compaction requires min_multi >= 2"
     N = keys.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
 
@@ -173,14 +174,23 @@ def device_mum_candidates(
     is_rep = kept & (idx == ref_idx)
     rep_sig1 = sig1[seg_id] + count_here.astype(jnp.int64) * _MIX_C3
 
-    # sort segment representatives to the front, grouped by signature, by p0
-    not_rep = (~is_rep).astype(jnp.int32)
-    s1_hi = (rep_sig1 >> 32).astype(jnp.int32)
-    s1_lo = rep_sig1.astype(jnp.uint32)
-    (nr_s, a_s, b_s, p0_s, segid_s) = jax.lax.sort(
-        (not_rep, s1_hi, s1_lo, pos_s, seg_id), num_keys=4
+    # compact representatives into an N/2 buffer, then sort THAT, grouped by
+    # signature then p0.  A qualifying segment has >= min_multi >= 2 entries
+    # (min_multi < 2 callers go through the host path), so representatives
+    # can never overflow N/2; the sort runs at half size with one fewer key.
+    M = N // 2
+    rep_rank = jnp.cumsum(is_rep.astype(jnp.int32)) - 1
+    rrow = jnp.where(is_rep, jnp.minimum(rep_rank, M), M)
+    zero_m = jnp.zeros(M + 1, jnp.int32)
+    vb = zero_m.at[rrow].set(1, mode="drop")
+    hb = zero_m.at[rrow].set((rep_sig1 >> 32).astype(jnp.int32), mode="drop")
+    lb = zero_m.at[rrow].set(rep_sig1.astype(jnp.int32), mode="drop")
+    pb = zero_m.at[rrow].set(pos_s, mode="drop")
+    sb = zero_m.at[rrow].set(seg_id, mode="drop")
+    (nv_s, a_s, b_s, p0_s, segid_s) = jax.lax.sort(
+        (1 - vb[:M], hb[:M], lb[:M], pb[:M], sb[:M]), num_keys=4
     )
-    rep_valid = nr_s == 0
+    rep_valid = nv_s == 0
     prev_same_sig = (
         (a_s == jnp.concatenate([a_s[:1], a_s[:-1]]))
         & (b_s == jnp.concatenate([b_s[:1], b_s[:-1]]))
@@ -252,10 +262,10 @@ def find_multi_mums_device(
     per genome, sorted, INVALID-tailed (see core.sml.build_sml_device).
     """
     n_seqs = len(genomes)
+    mask = np.ones(n_seqs, np.int32) if seq_mask is None else np.asarray(seq_mask, np.int32)
     keys, seq_ids, pos = _concat_device_smls(smls_dev)
     N = keys.shape[0]
     cap = max(1 << 14, N >> 3)
-    mask = np.ones(n_seqs, np.int32) if seq_mask is None else np.asarray(seq_mask, np.int32)
     comp_tab, span_tab, n_runs = device_mum_candidates(
         keys, seq_ids, pos, jnp.asarray(mask), n_seqs, cap, min_multi
     )
