@@ -46,13 +46,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(lens_ref, gaps_ref, ma_ref, mb_ref, sskew_ref, dec_ref, score_ref,
+def _kernel(gaps_ref, ma_ref, mb_ref, sskew_ref, dec_ref, score_ref,
             h_ref, h2_ref, e_ref, f_ref, cap_ref):
     """One chunk of diagonals for one 8-element group.
 
-    lens_ref:  scalar-prefetch (B, 2) int32 (unused in-kernel; kept for the
-               grid spec's prefetch slot)
     gaps_ref:  scalar-prefetch (2,) f32 — (gap_open+gap_extend, gap_extend)
+               (per-element lengths live in ma/mb VMEM operands, NOT in
+               scalar prefetch: a (B, 2) SMEM operand is lane-padded to
+               (B, 128) and overflows the 1MB SMEM at B = 2048)
     ma_ref:    VMEM (1, 8, 128) i32 — per-sublane mA, broadcast across lanes
     mb_ref:    VMEM (1, 8, 128) i32 — per-sublane mB
     sskew_ref: VMEM (1, CH, 8, Sp) bf16 — S_skew[d, r, i] = S_r[i-1, d-i-1]
@@ -204,7 +205,6 @@ def gotoh_forward_pallas(
     # [Bp, nd, sp] -> [G, nd, 8, sp]: element r of group g sits in sublane r
     sskew = jnp.transpose(skew_b.reshape(G, GROUP, nd_p, sp), (0, 2, 1, 3))
 
-    lens = jnp.stack([la, lb], axis=1)
     gaps = jnp.stack([
         (gap_open + gap_extend).astype(jnp.float32),
         gap_extend.astype(jnp.float32),
@@ -213,22 +213,22 @@ def gotoh_forward_pallas(
     mb_in = jnp.broadcast_to(lb.reshape(G, GROUP, 1), (G, GROUP, 128)).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(G, nd_p // CHUNK),
         # index maps return jnp.int32: Python-int offsets become i64 under
         # global x64 and the transform function fails legalization
         in_specs=[
-            pl.BlockSpec((1, GROUP, 128), lambda g, c, l, gp: (g, jnp.int32(0), jnp.int32(0)),
+            pl.BlockSpec((1, GROUP, 128), lambda g, c, gp: (g, jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GROUP, 128), lambda g, c, l, gp: (g, jnp.int32(0), jnp.int32(0)),
+            pl.BlockSpec((1, GROUP, 128), lambda g, c, gp: (g, jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK, GROUP, sp), lambda g, c, l, gp: (g, c, jnp.int32(0), jnp.int32(0)),
+            pl.BlockSpec((1, CHUNK, GROUP, sp), lambda g, c, gp: (g, c, jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, CHUNK, GROUP, sp), lambda g, c, l, gp: (g, c, jnp.int32(0), jnp.int32(0)),
+            pl.BlockSpec((1, CHUNK, GROUP, sp), lambda g, c, gp: (g, c, jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GROUP, 128), lambda g, c, l, gp: (g, jnp.int32(0), jnp.int32(0)),
+            pl.BlockSpec((1, GROUP, 128), lambda g, c, gp: (g, jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -248,7 +248,7 @@ def gotoh_forward_pallas(
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(lens, gaps, ma_in, mb_in, sskew)
+    )(gaps, ma_in, mb_in, sskew)
     # [G, nd, 8, sp] -> [B, n_diags, M+1]
     dec_u8 = (
         jnp.transpose(dec, (0, 2, 1, 3))
