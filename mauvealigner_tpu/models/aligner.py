@@ -316,9 +316,25 @@ class MauveAligner:
         for li, lcb in enumerate(lcbs):
             sub = self.make_collinear_nonoverlapping(ml.select(lcb.match_indices))
             per_lcb_matches.append(sub)
+            if len(sub) < 2:
+                continue
+            # vectorized _gap_regions over all consecutive anchor pairs
+            sa, sb = sub.starts[:-1], sub.starts[1:]
+            la = sub.lengths[:-1, None]
+            lb = sub.lengths[1:, None]
+            fwd = sa > 0
+            left = np.where(fwd, np.abs(sa) + la, np.abs(sb) + lb)
+            right = np.where(fwd, np.abs(sb) - 1, np.abs(sa) - 1)
+            strand = np.where(fwd, 1, -1)
+            absent = (sa == NO_MATCH) | (sb == NO_MATCH)
+            left[absent], right[absent], strand[absent] = 1, 0, 0
             for a in range(len(sub) - 1):
-                specs = self._gap_regions(genomes, sub, a, a + 1)
-                regions = [self._extract_region(genomes[g], *specs[g]) for g in range(n)]
+                regions = [
+                    self._extract_region(
+                        genomes[g], int(left[a, g]), int(right[a, g]), int(strand[a, g])
+                    )
+                    for g in range(n)
+                ]
                 gap_groups.append(regions)
                 gap_ref.append((li, a))
         if o.gapped and gap_groups:

@@ -120,7 +120,7 @@ def hierarchical_align_region_groups(
             if len(r) > 0:
                 st[s] = [(s, np.asarray(r), np.ones(len(r), bool))]
         state.append(st)
-        if any(len(r) > max_len for r in regs):
+        if regs and max(map(len, regs)) > max_len:
             results[k] = _unaligned_blocks(regs)
 
     for node, left, right in plan:
