@@ -117,21 +117,28 @@ class ProgressiveMauve:
         avg = int(np.mean([len(g) for g in genomes]))
         weight = o.seed_weight or default_seed_weight(avg)
         self._seed_weight = weight
+        from mauvealigner_tpu.core.sml import build_sml_device
+
         if o.seed_family:
             # search with all three spaced family members, longest first
             # (src/progressiveMauve.cpp:504-548); results are merged+deduped
             ml: Optional[MatchList] = None
             for seed in seed_family(weight):
-                smls = [build_sml(g, seed) for g in genomes]
-                cur = matchops.find_multi_mums(genomes, smls)
+                smls_dev = [build_sml_device(g, seed) for g in genomes]
+                cur = matchops.find_multi_mums_device(
+                    genomes, smls_dev, seed_length=seed.length
+                )
                 ml = cur if ml is None else ml.concat(cur).dedup()
             return ml if ml is not None else MatchList.empty(len(genomes))
         seed = get_seed(weight, self._seed_rank())
-        smls = [
-            load_sml(g, seed) if o.use_sml_cache and g.filename else build_sml(g, seed)
-            for g in genomes
-        ]
-        return matchops.find_multi_mums(genomes, smls)
+        if o.use_sml_cache and all(g.filename for g in genomes):
+            smls = [load_sml(g, seed) for g in genomes]
+            return matchops.find_multi_mums(genomes, smls)
+        # device-resident path: SML arrays never cross the tunnel
+        smls_dev = [build_sml_device(g, seed) for g in genomes]
+        return matchops.find_multi_mums_device(
+            genomes, smls_dev, seed_length=seed.length
+        )
 
     def guide_tree(
         self, genomes: Sequence[Genome], ml: MatchList, dist: Optional[np.ndarray] = None
