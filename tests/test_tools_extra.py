@@ -1,0 +1,166 @@
+"""End-to-end CLI coverage for the less-traveled tools:
+scoreProcrastAlignment, scoreALU, transposeCoordinates, mauveToXMFA,
+calculateBackboneCoverage2, extractBackbone2, getOrthologList,
+randomGeneSample."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mauvealigner_tpu.genome import write_fasta
+from mauvealigner_tpu.genome.sequence import Genome
+from mauvealigner_tpu.tools.cli import main
+from mauvealigner_tpu.utils import simulate
+
+
+def _genome_with_repeats(rng, n_copies=3, unit_len=150, spacer=300):
+    unit = simulate.random_genome(rng, unit_len).seq
+    parts = [simulate.random_genome(rng, spacer).seq]
+    lefts = []
+    pos = spacer
+    for _ in range(n_copies):
+        parts.append(unit.copy())
+        lefts.append(pos + 1)
+        pos += unit_len
+        parts.append(simulate.random_genome(rng, spacer).seq)
+        pos += spacer
+    return Genome(np.concatenate(parts), name="reps"), lefts, unit_len
+
+
+@pytest.fixture
+def repeat_workdir(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    g, lefts, unit_len = _genome_with_repeats(rng)
+    write_fasta(g, "g.fa")
+    rc = main(["repeatoire", "--sequence=g.fa", "--z=9", "--output=reps.xmfa"])
+    assert rc == 0
+    return lefts, unit_len
+
+
+def test_score_procrast_alignment(repeat_workdir, capsys):
+    # a computed repeat alignment scored against itself is perfect
+    rc = main(["scoreProcrastAlignment", "reps.xmfa", "reps.xmfa"])
+    assert rc == 0
+    out = capsys.readouterr().out.lower()
+    assert "sensitivity" in out or "sn" in out
+
+
+def test_score_alu(repeat_workdir, capsys):
+    lefts, unit_len = repeat_workdir
+    # RepeatMasker .out records covering the planted units
+    with open("rm.out", "w") as fh:
+        fh.write("   SW   perc perc perc  query    begin  end  (left)  strand"
+                 "  repeat        class/family\n\n")
+        for l in lefts:
+            fh.write(
+                f"  225  10.0  0.0  0.0  reps  {l}  {l + unit_len - 1}  (0)  +"
+                f"  AluY  SINE/Alu\n"
+            )
+    rc = main(["scoreALU", "reps.xmfa", "rm.out"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "annotated" in out or "recovered" in out or "detected" in out
+
+
+@pytest.fixture
+def aligned_workdir(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    anc = simulate.random_genome(rng, 1500)
+    der, _ = simulate.evolve(anc, rng, sub_rate=0.01, ins_rate=0.001, del_rate=0.001)
+    write_fasta(anc, "a.fa")
+    write_fasta(der, "b.fa")
+    rc = main(
+        ["progressiveMauve", "a.fa", "b.fa", "--seed-weight=9", "--output=pm.xmfa"]
+    )
+    assert rc == 0
+    assert os.path.exists("pm.xmfa.backbone")
+    return anc, der
+
+
+def test_calculate_backbone_coverage2(aligned_workdir, capsys):
+    rc = main(["calculateBackboneCoverage2", "pm.xmfa.backbone", "a.fa", "b.fa"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    covs = [float(l.split()[1]) for l in out.splitlines() if l.startswith("seq")]
+    assert len(covs) == 2 and all(0.0 <= c <= 1.0 for c in covs)
+    assert max(covs) > 0.5  # mostly-homologous pair
+
+
+def test_extract_backbone2(aligned_workdir):
+    rc = main(["extractBackbone2", "pm.xmfa.backbone", "bbseqs.fa", "a.fa", "b.fa"])
+    assert rc == 0
+    assert os.path.getsize("bbseqs.fa") > 0
+
+
+def test_mauve_to_xmfa(aligned_workdir):
+    from mauvealigner_tpu.core import mln
+    from mauvealigner_tpu.core.interval import IntervalList
+
+    ivl = IntervalList.read_xmfa("pm.xmfa")
+    with open("aln.mln", "w") as fh:
+        mln.write_interval_list(ivl, fh)
+    rc = main(["mauveToXMFA", "aln.mln", "roundtrip.xmfa", "a.fa", "b.fa"])
+    assert rc == 0
+    ivl2 = IntervalList.read_xmfa("roundtrip.xmfa")
+    assert len(ivl2.intervals) == len(ivl.intervals)
+
+
+def test_transpose_coordinates(aligned_workdir):
+    from mauvealigner_tpu.core import mln
+
+    rc = main(["mauveAligner", "a.fa", "b.fa", "--seed-size=9", "--mums",
+               "--output=m.mln"])
+    assert rc == 0
+    ml, _, _ = mln.read_match_list("m.mln")
+    # one masked region of 100bp removed at position 1 of sequence 0:
+    # every seq-0 coordinate >= 1 shifts right by 100
+    with open("regions.tsv", "w") as fh:
+        fh.write("0\t1\t100\n")
+    rc = main(["transposeCoordinates", "m.mln", "regions.tsv", "t.mln"])
+    assert rc == 0
+    ml2, _, _ = mln.read_match_list("t.mln")
+    assert len(ml2) == len(ml)
+    before = np.abs(ml.starts[:, 0])
+    after = np.abs(ml2.starts[:, 0])
+    assert ((after - before)[before > 0] == 100).all()
+    # other sequence untouched
+    assert np.array_equal(ml.starts[:, 1], ml2.starts[:, 1])
+
+
+GBK_TEMPLATE = """LOCUS       anc{length:>17} bp    DNA     linear   UNA
+FEATURES             Location/Qualifiers
+     CDS             101..400
+                     /gene="orfA"
+     CDS             complement(601..900)
+                     /gene="orfB"
+ORIGIN
+{origin}
+//
+"""
+
+
+def _write_gbk(path, seq_text):
+    rows = []
+    for i in range(0, len(seq_text), 60):
+        chunk = seq_text[i : i + 60]
+        grouped = " ".join(chunk[j : j + 10] for j in range(0, len(chunk), 10))
+        rows.append(f"{i + 1:>9} {grouped}")
+    with open(path, "w") as fh:
+        fh.write(GBK_TEMPLATE.format(length=len(seq_text), origin="\n".join(rows)))
+
+
+def test_get_ortholog_list_and_random_gene_sample(aligned_workdir, rng):
+    anc, _ = aligned_workdir
+    _write_gbk("a.gbk", anc.to_string().lower())
+    rc = main(["getOrthologList", "pm.xmfa", "pm.xmfa.backbone", "orthos.tsv",
+               "a.gbk", "b.fa"])
+    assert rc == 0
+    lines = [l for l in open("orthos.tsv").read().splitlines() if l.strip()]
+    assert len(lines) == 2  # both CDS features reported
+    # nearly-identical genomes: each CDS should map to an ortholog in seq 1
+    assert any("1:" in l for l in lines)
+    rc = main(["randomGeneSample", "pm.xmfa", "pm.xmfa.backbone", "sample.tsv",
+               "--count=1", "a.gbk", "b.fa"])
+    assert rc == 0
+    assert len(open("sample.tsv").read().splitlines()) == 1
