@@ -17,6 +17,7 @@ from mauvealigner_tpu.parallel.sharded import (
     make_mesh,
     sharded_pack_sort,
     sharded_gotoh_scores,
+    sharded_hmm_posteriors,
     multichip_pipeline_step,
 )
 
@@ -24,5 +25,6 @@ __all__ = [
     "make_mesh",
     "sharded_pack_sort",
     "sharded_gotoh_scores",
+    "sharded_hmm_posteriors",
     "multichip_pipeline_step",
 ]

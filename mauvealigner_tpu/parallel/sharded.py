@@ -113,6 +113,31 @@ def sharded_gotoh_scores(
     )(pa, pb, lens_a, lens_b)
 
 
+def sharded_hmm_posteriors(
+    log_emit: jnp.ndarray,   # [B, T, S] (B must divide by mesh size)
+    log_trans: jnp.ndarray,  # [S, S] (replicated)
+    log_init: jnp.ndarray,   # [S] (replicated)
+    lengths: jnp.ndarray,    # [B]
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Batch-sharded K4 forward/backward: each device decodes its slice of
+    the pairwise-projection batch with the log-depth associative scan
+    (homology backbone phase, data-parallel over alignment pairs)."""
+    from mauvealigner_tpu.ops import hmm as hmm_ops
+
+    def local(le, lens):
+        return hmm_ops.forward_backward(le, log_trans, log_init, lens)
+
+    spec = P(AXIS)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )(log_emit, lengths)
+
+
 def multichip_pipeline_step(
     mesh: Mesh,
     codes_a: jnp.ndarray,
@@ -124,9 +149,11 @@ def multichip_pipeline_step(
     dp_la: jnp.ndarray,
     dp_lb: jnp.ndarray,
 ):
-    """One full sharded anchoring + DP step (jit target for the dry run).
+    """One full sharded anchoring + DP + HMM step (jit target for the dry
+    run).
 
-    Returns (sml_a keys, sml_b keys, shared-mer count, dp scores).
+    Returns (sml_a keys, sml_b keys, shared-mer count, dp scores,
+    per-element homology posterior means).
     """
     ka, _ = sharded_pack_sort(codes_a, offsets, pattern_len, mesh)
     kb, _ = sharded_pack_sort(codes_b, offsets, pattern_len, mesh)
@@ -138,4 +165,19 @@ def multichip_pipeline_step(
     idx = jnp.clip(idx, 0, mer_b.shape[0] - 1)
     shared = jnp.sum((mer_b[idx] == mer_a) & (ka != merops.INVALID_KEY))
     scores = sharded_gotoh_scores(dp_pa, dp_pb, dp_la, dp_lb, mesh)
-    return ka, kb, shared, scores
+    # K4 slice: batch-sharded homology posterior decode on tiny shapes;
+    # positive DP scores emit in favor of state 0 ("homologous")
+    B = dp_pa.shape[0]
+    hi = jnp.where(scores[:, None] > jnp.float32(0.0), -0.1, -2.0)
+    lo = jnp.where(scores[:, None] > jnp.float32(0.0), -2.0, -0.1)
+    le = jnp.stack(
+        [jnp.broadcast_to(hi, (B, 8)), jnp.broadcast_to(lo, (B, 8))], axis=-1
+    ).astype(jnp.float32)
+    post = sharded_hmm_posteriors(
+        le,
+        jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]], jnp.float32)),
+        jnp.log(jnp.asarray([0.5, 0.5], jnp.float32)),
+        jnp.full((B,), 8, jnp.int32),
+        mesh,
+    )
+    return ka, kb, shared, scores, post[:, :, 0].mean(axis=1)

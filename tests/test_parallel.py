@@ -72,7 +72,7 @@ def test_multichip_pipeline_step_runs(make_dna):
     pb = pa.copy()
     la = np.full(B, 8, np.int32)
     lb = np.full(B, 8, np.int32)
-    ka, kb, shared, scores = multichip_pipeline_step(
+    ka, kb, shared, scores, hom = multichip_pipeline_step(
         mesh,
         jnp.asarray(ca),
         jnp.asarray(cb),
@@ -87,3 +87,6 @@ def test_multichip_pipeline_step_runs(make_dna):
     assert np.asarray(scores).shape == (B,)
     # identical profiles: perfect match score = 8 * HOXD70 diagonal min
     assert (np.asarray(scores) > 0).all()
+    # positive scores drive the dry-run HMM toward the homologous state
+    hom = np.asarray(hom)
+    assert hom.shape == (B,) and (hom > 0.5).all()
