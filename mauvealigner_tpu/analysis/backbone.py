@@ -184,7 +184,10 @@ def pairwise_homology_posteriors(
     for T, idxs in buckets.items():
         for off in range(0, len(idxs), 64):
             chunk = idxs[off : off + 64]
-            B = len(chunk)
+            # pad the batch to a power-of-two bucket: every distinct (B, T)
+            # is its own multi-minute remote compile; zero-length padding
+            # rows are inert in forward_backward
+            B = 1 << max(3, (len(chunk) - 1).bit_length())
             le = np.zeros((B, T, 2), np.float32)
             lengths = np.zeros(B, np.int64)
             for bi, idx in enumerate(chunk):

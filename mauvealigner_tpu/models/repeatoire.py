@@ -342,15 +342,19 @@ class Repeatoire:
                 sym[c] = bb.SYM_TRANSVERSION
         gc = bb.compute_gc([genome])
         params = bb.adapted_params(gc, identity=self.options.hmm_identity, denovo=True)
-        le = params.log_emit_table()[:, sym].T[None]
+        # pad T to a power-of-two bucket: every distinct shape is a slow
+        # remote compile on the TPU backend
+        Tp = 1 << max(4, (T - 1).bit_length())
+        le = np.zeros((1, Tp, 2), np.float32)
+        le[0, :T] = params.log_emit_table()[:, sym].T
         post = np.asarray(
             hmm_ops.forward_backward(
-                jnp.asarray(le.astype(np.float32)),
+                jnp.asarray(le),
                 jnp.asarray(params.log_trans()),
                 jnp.asarray(np.log([0.9, 0.1])),
                 jnp.asarray(np.array([T])),
             )
-        )[0, :, bb.STATE_H]
+        )[0, :T, bb.STATE_H]
         bad = np.nonzero(post < self.options.posterior_threshold)[0]
         return int(bad[0]) if len(bad) else T
 
