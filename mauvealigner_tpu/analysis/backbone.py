@@ -195,7 +195,7 @@ def pairwise_homology_posteriors(
                 lengths[bi] = len(sym)
                 le[bi, : len(sym)] = log_emit_table[:, sym].T
             post = np.asarray(
-                hmm_ops.forward_backward(
+                hmm_ops.forward_backward_state0(
                     jnp.asarray(le), log_trans, log_init, jnp.asarray(lengths)
                 )
             )
@@ -203,7 +203,7 @@ def pairwise_homology_posteriors(
                 key, a, sym, T_full = jobs[idx]
                 if key not in out:
                     out[key] = np.zeros(T_full, np.float64)
-                p = post[bi, : len(sym), STATE_H]
+                p = post[bi, : len(sym)]
                 if a == 0:
                     out[key][a : a + len(sym)] = p
                 else:

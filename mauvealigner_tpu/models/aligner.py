@@ -160,8 +160,15 @@ class MauveAligner:
                     seed = get_seed(w, 0)
                     if any(len(r) < seed.length for r in regions):
                         continue
-                    smls = [build_sml(r, seed) for r in regions]
-                    sub_ml = matchops.find_multi_mums(regions, smls)
+                    # device-resident per-gap search: the host SML path
+                    # downloads the full sorted key arrays per gap (MBs over
+                    # the tunnel); this one returns only the match table
+                    from mauvealigner_tpu.core.sml import build_sml_device
+
+                    smls_dev = [build_sml_device(r, seed) for r in regions]
+                    sub_ml = matchops.find_multi_mums_device(
+                        regions, smls_dev, seed_length=seed.length
+                    )
                     sub_ml = sub_ml.multiplicity_filter(n)
                     if len(sub_ml) == 0:
                         continue

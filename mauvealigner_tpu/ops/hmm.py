@@ -71,6 +71,18 @@ def forward_backward(
 
 
 @jax.jit
+def forward_backward_state0(
+    log_emit: jnp.ndarray,   # [B, T, S]
+    log_trans: jnp.ndarray,  # [S, S]
+    log_init: jnp.ndarray,   # [S]
+    lengths: jnp.ndarray,    # [B]
+) -> jnp.ndarray:
+    """Posterior of state 0 only, [B, T] — halves the device->host transfer
+    for the (dominant) homology-backbone consumer, which reads only P(H)."""
+    return forward_backward(log_emit, log_trans, log_init, lengths)[:, :, 0]
+
+
+@jax.jit
 def viterbi(
     log_emit: jnp.ndarray,   # [B, T, S]
     log_trans: jnp.ndarray,  # [S, S]

@@ -30,6 +30,10 @@ class PhaseTimer:
     def add(self, counter: str, value: float) -> None:
         self.counters[counter] = self.counters.get(counter, 0.0) + value
 
+    def reset(self) -> None:
+        self.phases.clear()
+        self.counters.clear()
+
     def gcups(self, phase: str, cells_counter: str) -> Optional[float]:
         t = self.phases.get(phase)
         c = self.counters.get(cells_counter)
