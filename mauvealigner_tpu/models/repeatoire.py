@@ -87,6 +87,30 @@ class RepeatFamily:
         return np.stack([lefts, lefts + lens - 1], axis=1)
 
 
+def _column_symbols(flanks: List[np.ndarray], aln: np.ndarray) -> np.ndarray:
+    """Per-column HMM symbols from the pairwise agreement fraction: random
+    unrelated columns agree on ~25% of pairs, homologous ones on most.
+    Fully vectorized (a per-column np.unique loop here once dominated the
+    whole repeatoire pipeline)."""
+    k, T = aln.shape
+    if T == 0:
+        return np.zeros(0, np.int8)
+    col_codes = np.full((k, T), 5, np.int8)  # 5 = gap
+    for i in range(k):
+        cols = np.nonzero(aln[i])[0]
+        col_codes[i, cols] = np.minimum(flanks[i][: len(cols)], 4)
+    counts = np.stack([(col_codes == b).sum(axis=0) for b in range(4)])  # [4, T]
+    n_bases = counts.sum(axis=0)
+    n_gap = (col_codes == 5).sum(axis=0)
+    pairs_total = n_bases * (n_bases - 1) / 2.0
+    pairs_agree = (counts * (counts - 1) / 2.0).sum(axis=0)
+    agree_ok = pairs_agree >= 0.5 * np.maximum(pairs_total, 1e-9)
+    sym = np.where(agree_ok, bb.SYM_MATCH, bb.SYM_TRANSVERSION).astype(np.int8)
+    sym[n_gap * 2 > k] = bb.SYM_GAP
+    sym[n_bases < 2] = bb.SYM_GAP
+    return sym
+
+
 def _project_family(fam: RepeatFamily, comps: Sequence[int]) -> RepeatFamily:
     """Component-subset projection (MatchProjectionAdapter analog,
     src/MatchRecord.h:242): keep the given rows, drop all-gap columns."""
@@ -132,6 +156,150 @@ class Repeatoire:
         o = self.options
         return max(4, int(o.window_base * math.exp(-o.window_decay * multiplicity)))
 
+    # -- batched gapped extension -------------------------------------------
+    def _gapped_extend_batch(
+        self, genome: Genome, fams: List[RepeatFamily]
+    ) -> List[RepeatFamily]:
+        """Extend every family in lockstep waves.  Per wave, every family
+        still extending contributes its current flank-alignment job; all
+        jobs run in ONE batched closure call and ONE bucketed HMM pass.
+        Equivalent to running _gapped_extend per family (extension reads
+        only the genome), but ~16 device dispatches instead of 2 per
+        family."""
+        o = self.options
+        n = len(fams)
+        cur = list(fams)
+        DIRS = (1, -1)  # right, then left (match space)
+        dir_idx = np.zeros(n, np.int8)   # 0/1 -> DIRS index, 2 -> done
+        rounds = np.zeros(n, np.int32)
+        while True:
+            jobs = []  # (family index, direction, window, flanks)
+            for i in range(n):
+                while dir_idx[i] < 2:
+                    d = DIRS[dir_idx[i]]
+                    fam = cur[i]
+                    w = self.flank_window(fam.multiplicity)
+                    lens = fam.component_lengths()
+                    flanks = [
+                        self._flank_codes(genome, int(fam.starts[k]), int(lens[k]), d, w)
+                        for k in range(fam.multiplicity)
+                    ]
+                    if all(len(f) == 0 for f in flanks):
+                        dir_idx[i] += 1
+                        rounds[i] = 0
+                        continue
+                    jobs.append((i, d, w, flanks))
+                    break
+            if not jobs:
+                break
+            # align_region_groups expects uniform group arity: batch per
+            # multiplicity class (a wave has few distinct multiplicities)
+            alns: List[Optional[np.ndarray]] = [None] * len(jobs)
+            by_mult: dict = {}
+            for ji, (_, _, _, flanks) in enumerate(jobs):
+                by_mult.setdefault(len(flanks), []).append(ji)
+            for jis in by_mult.values():
+                got = closure.align_region_groups(
+                    [jobs[ji][3] for ji in jis],
+                    gap_open=o.gap_open,
+                    gap_extend=o.gap_extend,
+                    max_len=4096,
+                )
+                for ji, aln in zip(jis, got):
+                    alns[ji] = aln
+            prefixes = self._homologous_prefix_batch(
+                genome, [j[3] for j in jobs], alns
+            )
+            for (i, d, w, flanks), aln, hom_cols in zip(jobs, alns, prefixes):
+                advance = True
+                if aln.shape[1] and hom_cols:
+                    fam = cur[i]
+                    ext = aln[:, :hom_cols]
+                    added_per_comp = ext.sum(axis=1).astype(np.int64)
+                    if d < 0:
+                        new_aln = np.concatenate([ext[:, ::-1], fam.aln], axis=1)
+                    else:
+                        new_aln = np.concatenate([fam.aln, ext], axis=1)
+                    new_starts = fam.starts.copy()
+                    for k in range(fam.multiplicity):
+                        s = int(fam.starts[k])
+                        fwd = s > 0
+                        genome_right = (d > 0) == fwd
+                        if not genome_right:
+                            new_starts[k] = (1 if fwd else -1) * (
+                                abs(s) - int(added_per_comp[k])
+                            )
+                    cur[i] = RepeatFamily(new_starts, new_aln)
+                    keep_going = hom_cols == aln.shape[1] and all(
+                        len(f) == w for f in flanks
+                    )
+                    rounds[i] += 1
+                    advance = (not keep_going) or rounds[i] >= o.max_extension_rounds
+                if advance:
+                    dir_idx[i] += 1
+                    rounds[i] = 0
+        return cur
+
+    def _homologous_prefix_batch(
+        self,
+        genome: Genome,
+        flanks_list: List[List[np.ndarray]],
+        alns: List[np.ndarray],
+    ) -> List[int]:
+        """Batched _homologous_prefix: symbol classification is vectorized
+        per job; the HMM decodes run in length-bucketed batches."""
+        import jax.numpy as jnp
+
+        from mauvealigner_tpu.ops import hmm as hmm_ops
+
+        params = self._hmm_params(genome)
+        log_trans = jnp.asarray(params.log_trans())
+        log_init = jnp.asarray(np.log([0.9, 0.1]))
+        emit_table = params.log_emit_table()
+        syms = [
+            _column_symbols(flanks, aln) for flanks, aln in zip(flanks_list, alns)
+        ]
+        out = [0] * len(syms)
+        buckets: dict = {}
+        for idx, sym in enumerate(syms):
+            T = len(sym)
+            if T == 0:
+                continue
+            Tp = 1 << max(4, (T - 1).bit_length())
+            buckets.setdefault(Tp, []).append(idx)
+        thr = self.options.posterior_threshold
+        for Tp, idxs in buckets.items():
+            for off in range(0, len(idxs), 64):
+                chunk = idxs[off : off + 64]
+                B = 1 << max(3, (len(chunk) - 1).bit_length())
+                le = np.zeros((B, Tp, 2), np.float32)
+                lengths = np.zeros(B, np.int64)
+                for bi, idx in enumerate(chunk):
+                    sym = syms[idx]
+                    lengths[bi] = len(sym)
+                    le[bi, : len(sym)] = emit_table[:, sym].T
+                post = np.asarray(
+                    hmm_ops.forward_backward_state0(
+                        jnp.asarray(le), log_trans, log_init, jnp.asarray(lengths)
+                    )
+                )
+                for bi, idx in enumerate(chunk):
+                    T = len(syms[idx])
+                    bad = np.nonzero(post[bi, :T] < thr)[0]
+                    out[idx] = int(bad[0]) if len(bad) else T
+        return out
+
+    def _hmm_params(self, genome: Genome):
+        cached = getattr(self, "_hmm_params_cache", None)
+        if cached is None or cached[0] is not genome:
+            gc = bb.compute_gc([genome])
+            params = bb.adapted_params(
+                gc, identity=self.options.hmm_identity, denovo=True
+            )
+            self._hmm_params_cache = (genome, params)
+            cached = self._hmm_params_cache
+        return cached[1]
+
     # -- step 3-5: procrastinated gapped extension --------------------------
     def build_families(self, genome: Genome, ml: MatchList) -> List[RepeatFamily]:
         o = self.options
@@ -146,6 +314,15 @@ class Repeatoire:
             )
         # procrastination queue: highest multiplicity first, then longest
         fams.sort(key=lambda t: (-t[0], -t[1]))
+        # optimistic batched extension: a family's extension depends only on
+        # the genome, never on `covered`, so extending every candidate in
+        # lockstep waves (one batched DP + one batched HMM call per wave)
+        # yields byte-identical output to the sequential loop — subsumed
+        # candidates just waste their share of the batch (~25% measured)
+        extended = {}
+        if o.extend and fams:
+            ext_list = self._gapped_extend_batch(genome, [f for _, _, f in fams])
+            extended = {id(f): e for (_, _, f), e in zip(fams, ext_list)}
         covered = np.zeros(len(genome) + 2, dtype=bool)
         out: List[RepeatFamily] = []
         processed: List[RepeatFamily] = []
@@ -159,7 +336,7 @@ class Repeatoire:
             if total and already / total >= o.subsume_overlap:
                 continue  # subsumed by previously processed families
             if o.extend:
-                fam = self._gapped_extend(genome, fam)
+                fam = extended[id(fam)]
             if fam.n_cols < max(o.min_length, 1):
                 continue
             for l, r in fam.spans():
@@ -309,54 +486,7 @@ class Repeatoire:
         """Number of leading columns that stay homologous: HMM posterior on
         column classes vs the consensus (detectAndApplyBackbone analog,
         src/repeatoire.cpp:1324)."""
-        import jax.numpy as jnp
-
-        from mauvealigner_tpu.ops import hmm as hmm_ops
-
-        k, T = aln.shape
-        if T == 0:
-            return 0
-        # column codes: 5 = gap
-        col_codes = np.full((k, T), 5, np.int8)
-        for i in range(k):
-            cols = np.nonzero(aln[i])[0]
-            col_codes[i, cols] = np.minimum(flanks[i][: len(cols)], 4)
-        # per-column symbol from the pairwise agreement fraction: random
-        # unrelated columns agree on ~25% of pairs, homologous ones on most
-        sym = np.zeros(T, np.int8)
-        for c in range(T):
-            col = col_codes[:, c]
-            bases = col[col < 4]
-            n_gap = int((col == 5).sum())
-            if len(bases) < 2:
-                sym[c] = bb.SYM_GAP
-                continue
-            _, counts = np.unique(bases, return_counts=True)
-            pairs_total = len(bases) * (len(bases) - 1) / 2
-            pairs_agree = float((counts * (counts - 1) / 2).sum())
-            if n_gap * 2 > len(col):
-                sym[c] = bb.SYM_GAP
-            elif pairs_total and pairs_agree / pairs_total >= 0.5:
-                sym[c] = bb.SYM_MATCH
-            else:
-                sym[c] = bb.SYM_TRANSVERSION
-        gc = bb.compute_gc([genome])
-        params = bb.adapted_params(gc, identity=self.options.hmm_identity, denovo=True)
-        # pad T to a power-of-two bucket: every distinct shape is a slow
-        # remote compile on the TPU backend
-        Tp = 1 << max(4, (T - 1).bit_length())
-        le = np.zeros((1, Tp, 2), np.float32)
-        le[0, :T] = params.log_emit_table()[:, sym].T
-        post = np.asarray(
-            hmm_ops.forward_backward(
-                jnp.asarray(le),
-                jnp.asarray(params.log_trans()),
-                jnp.asarray(np.log([0.9, 0.1])),
-                jnp.asarray(np.array([T])),
-            )
-        )[0, :T, bb.STATE_H]
-        bad = np.nonzero(post < self.options.posterior_threshold)[0]
-        return int(bad[0]) if len(bad) else T
+        return self._homologous_prefix_batch(genome, [flanks], [aln])[0]
 
     # -- step 6: SP score ---------------------------------------------------
     def sp_score(self, genome: Genome, fam: RepeatFamily) -> float:
