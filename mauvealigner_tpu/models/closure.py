@@ -27,7 +27,10 @@ from mauvealigner_tpu.ops import dp
 PROFILE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 NodeId = Union[int, str]
-Row = Tuple[int, np.ndarray, np.ndarray]  # (seq_id, codes, gap_row)
+# merge-node state: (member seq ids int32 [m], column codes int8 [m, n_cols];
+# values 0..4 are bases (4 = N), 5 = gap)
+State = Tuple[np.ndarray, np.ndarray]
+GAP = 5
 
 
 def chain_plan(n_seqs: int) -> List[Tuple[NodeId, NodeId, NodeId]]:
@@ -63,21 +66,19 @@ def tree_plan(tree) -> List[Tuple[NodeId, NodeId, NodeId]]:
     return steps
 
 
-def _profile_of(rows: List[Row], n_cols: int) -> np.ndarray:
-    prof = np.zeros((n_cols, 5), np.float32)
-    for _, codes, row in rows:
-        cols = np.nonzero(row)[0]
-        prof[cols, np.minimum(codes[: len(cols)], 4)] += 1.0
+def _profile_of(cc: np.ndarray) -> np.ndarray:
+    """[m, n_cols] column codes -> [n_cols, 5] float32 base counts (gaps
+    excluded)."""
+    prof = np.empty((cc.shape[1], 5), np.float32)
+    for b in range(5):
+        prof[:, b] = (cc == b).sum(axis=0)
     return prof
 
 
-def _expand(rows: List[Row], ops: np.ndarray, consumes: np.ndarray) -> List[Row]:
-    out = []
-    for seq, codes, row in rows:
-        new = np.zeros(len(ops), dtype=bool)
-        new[consumes] = row
-        out.append((seq, codes, new))
-    return out
+def _expand(cc: np.ndarray, n_ops: int, consumes: np.ndarray) -> np.ndarray:
+    new = np.full((cc.shape[0], n_ops), GAP, np.int8)
+    new[:, consumes] = cc
+    return new
 
 
 def _unaligned_blocks(regs: Sequence[np.ndarray]) -> np.ndarray:
@@ -113,18 +114,19 @@ def hierarchical_align_region_groups(
     if plan is None:
         plan = chain_plan(n_seqs)
     results: List[Optional[np.ndarray]] = [None] * n_groups
-    state: List[Dict[NodeId, List[Row]]] = []
+    state: List[Dict[NodeId, State]] = []
     for k, regs in enumerate(groups):
-        st: Dict[NodeId, List[Row]] = {}
+        st: Dict[NodeId, State] = {}
         for s, r in enumerate(regs):
             if len(r) > 0:
-                st[s] = [(s, np.asarray(r), np.ones(len(r), bool))]
+                cc = np.minimum(np.asarray(r), 4).astype(np.int8)[None, :]
+                st[s] = (np.array([s], np.int32), cc)
         state.append(st)
         if regs and max(map(len, regs)) > max_len:
             results[k] = _unaligned_blocks(regs)
 
     for node, left, right in plan:
-        jobs = []  # (k, rowsA, rowsB, nA, nB)
+        jobs = []  # (k, (idsA, ccA), (idsB, ccB))
         for k in range(n_groups):
             if results[k] is not None:
                 continue
@@ -135,41 +137,51 @@ def hierarchical_align_region_groups(
             if A is None or B is None:
                 st[node] = A if B is None else B
                 continue
-            nA, nB = len(A[0][2]), len(B[0][2])
-            if nA > max_len or nB > max_len:
+            if A[1].shape[1] > max_len or B[1].shape[1] > max_len:
                 results[k] = _unaligned_blocks(groups[k])
                 continue
-            jobs.append((k, A, B, nA, nB))
+            jobs.append((k, A, B))
         if not jobs:
             continue
         # leaf-leaf merges are plain sequence pairs: ship uint8 codes and
         # build one-hots on device (the tunnel is bandwidth-starved);
         # multi-row sides ship uint8 count profiles
         code_idx, prof_idx = [], []
-        for i, (_, A, B, _, _) in enumerate(jobs):
-            (code_idx if len(A) == 1 and len(B) == 1 else prof_idx).append(i)
+        for i, (_, A, B) in enumerate(jobs):
+            (code_idx if len(A[0]) == 1 and len(B[0]) == 1 else prof_idx).append(i)
         ops_all: List[Optional[np.ndarray]] = [None] * len(jobs)
         if code_idx:
-            code_pairs = []
-            for i in code_idx:
-                (_, A, B, _, _) = jobs[i]
-                (_, codes_a, _), (_, codes_b, _) = A[0], B[0]
-                code_pairs.append((codes_a, codes_b))
+            code_pairs = [(jobs[i][1][1][0], jobs[i][2][1][0]) for i in code_idx]
             got = _batched_code_pair_align(code_pairs, subst, gap_open, gap_extend)
             for i, ops in zip(code_idx, got):
                 ops_all[i] = ops
         if prof_idx:
             prof_pairs = []
             for i in prof_idx:
-                (_, A, B, nA, nB) = jobs[i]
-                prof_pairs.append((_profile_of(A, nA), nA, _profile_of(B, nB), nB))
+                (_, A, B) = jobs[i]
+                prof_pairs.append(
+                    (
+                        _profile_of(A[1]),
+                        A[1].shape[1],
+                        _profile_of(B[1]),
+                        B[1].shape[1],
+                    )
+                )
             got = _batched_profile_pair_align(prof_pairs, subst, gap_open, gap_extend)
             for i, ops in zip(prof_idx, got):
                 ops_all[i] = ops
-        for (k, A, B, nA, nB), ops in zip(jobs, ops_all):
+        for (k, A, B), ops in zip(jobs, ops_all):
             consumes_a = (ops == dp.OP_DIAG) | (ops == dp.OP_UP)
             consumes_b = (ops == dp.OP_DIAG) | (ops == dp.OP_LEFT)
-            state[k][node] = _expand(A, ops, consumes_a) + _expand(B, ops, consumes_b)
+            state[k][node] = (
+                np.concatenate([A[0], B[0]]),
+                np.concatenate(
+                    [
+                        _expand(A[1], len(ops), consumes_a),
+                        _expand(B[1], len(ops), consumes_b),
+                    ]
+                ),
+            )
 
     for k in range(n_groups):
         if results[k] is not None:
@@ -178,20 +190,17 @@ def hierarchical_align_region_groups(
         if not st:
             results[k] = np.zeros((n_seqs, 0), dtype=bool)
             continue
-        rows = max(st.values(), key=lambda rs: len(rs))
-        n_cols = len(rows[0][2]) if rows else 0
-        aln = np.zeros((n_seqs, n_cols), dtype=bool)
-        placed = set()
-        for seq, _, row in rows:
-            aln[seq] = row
-            placed.add(seq)
+        ids, cc = max(st.values(), key=lambda t: len(t[0]))
+        aln = np.zeros((n_seqs, cc.shape[1]), dtype=bool)
+        aln[ids] = cc != GAP
+        placed = set(ids.tolist())
         # any sequence whose region never merged (shouldn't happen with a
         # complete plan) falls back to unaligned emission
         leftovers = [
             s
             for other in st.values()
-            if other is not rows
-            for (s, _, _) in other
+            if other[0] is not ids
+            for s in other[0].tolist()
             if s not in placed
         ]
         if leftovers:
