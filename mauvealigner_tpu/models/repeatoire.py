@@ -192,21 +192,23 @@ class Repeatoire:
                     break
             if not jobs:
                 break
-            # align_region_groups expects uniform group arity: batch per
-            # multiplicity class (a wave has few distinct multiplicities)
-            alns: List[Optional[np.ndarray]] = [None] * len(jobs)
-            by_mult: dict = {}
-            for ji, (_, _, _, flanks) in enumerate(jobs):
-                by_mult.setdefault(len(flanks), []).append(ji)
-            for jis in by_mult.values():
-                got = closure.align_region_groups(
-                    [jobs[ji][3] for ji in jis],
-                    gap_open=o.gap_open,
-                    gap_extend=o.gap_extend,
-                    max_len=4096,
-                )
-                for ji, aln in zip(jis, got):
-                    alns[ji] = aln
+            # align_region_groups expects uniform group arity: pad every
+            # job's flank list with empty regions to the wave maximum (empty
+            # regions never enter a merge, so per-group results are
+            # unchanged) — ONE closure call per wave instead of one per
+            # multiplicity class
+            arity = max(len(j[3]) for j in jobs)
+            empty = np.zeros(0, np.int64)
+            padded = [
+                list(j[3]) + [empty] * (arity - len(j[3])) for j in jobs
+            ]
+            got = closure.align_region_groups(
+                padded,
+                gap_open=o.gap_open,
+                gap_extend=o.gap_extend,
+                max_len=4096,
+            )
+            alns = [aln[: len(j[3])] for j, aln in zip(jobs, got)]
             prefixes = self._homologous_prefix_batch(
                 genome, [j[3] for j in jobs], alns
             )
