@@ -314,6 +314,33 @@ def gotoh_traceback(dec: jnp.ndarray, mA: jnp.ndarray, mB: jnp.ndarray, M: int, 
     return ops, counts
 
 
+@partial(jax.jit, static_argnames=("M", "N"))
+def gotoh_traceback_packed(
+    dec: jnp.ndarray,
+    mA: jnp.ndarray,
+    mB: jnp.ndarray,
+    scores: jnp.ndarray,
+    M: int,
+    N: int,
+):
+    """gotoh_traceback with scores/counts bitcast into the ops byte matrix:
+    ONE device->host transfer returns everything (each blocking np.asarray
+    costs a full tunnel round trip, and three per DP call dominated the
+    closure phase)."""
+    ops, counts = gotoh_traceback(dec, mA, mB, M, N)
+    b = ops.shape[0]
+    sb = jax.lax.bitcast_convert_type(scores.astype(jnp.float32), jnp.uint8).reshape(b, 4)
+    cb = jax.lax.bitcast_convert_type(counts.astype(jnp.int32), jnp.uint8).reshape(b, 4)
+    return jnp.concatenate([ops, sb, cb], axis=1)
+
+
+def _unpack_results(buf: np.ndarray, L: int):
+    ops = buf[:, :L]
+    scores = buf[:, L : L + 4].copy().view(np.float32).reshape(-1)
+    counts = buf[:, L + 4 : L + 8].copy().view(np.int32).reshape(-1)
+    return scores, ops, counts
+
+
 def align_profiles_batch(
     profiles_a: np.ndarray,
     profiles_b: np.ndarray,
@@ -356,10 +383,9 @@ def align_profiles_batch(
         jnp.float32(gap_open),
         jnp.float32(gap_extend),
     )
-    ops_rev, counts = gotoh_traceback(dec, mA, mB, M, N)
-    scores = np.asarray(scores_dev)
-    ops_rev = np.asarray(ops_rev)
-    counts = np.asarray(counts)
+    scores, ops_rev, counts = _unpack_results(
+        np.asarray(gotoh_traceback_packed(dec, mA, mB, scores_dev, M, N)), M + N
+    )
     out = [ops_rev[b, : counts[b]][::-1].copy() for b in range(B)]
     return out, scores
 
@@ -438,10 +464,9 @@ def align_code_pairs_batch(
         M,
         N,
     )
-    ops_rev, counts = gotoh_traceback(dec, mA, mB, M, N)
-    scores = np.asarray(scores_dev)
-    ops_rev = np.asarray(ops_rev)
-    counts = np.asarray(counts)
+    scores, ops_rev, counts = _unpack_results(
+        np.asarray(gotoh_traceback_packed(dec, mA, mB, scores_dev, M, N)), M + N
+    )
     out = [ops_rev[b, : counts[b]][::-1].copy() for b in range(B)]
     return out, scores
 
