@@ -124,9 +124,10 @@ def device_mum_candidates(
 ):
     """Unique multi-MUM candidate runs, fully on device.
 
-    Returns (comp_tab int32[cap, n_seqs] signed 1-based window starts at the
-    run's FIRST window (0 = absent), span_tab int32[cap, 2] = [p0_min, p0_max]
-    reference window positions, n_runs int32).
+    Returns (packed int32[cap, n_seqs + 2], n_runs int32): columns
+    0..n_seqs-1 are signed 1-based window starts at the run's FIRST window
+    (0 = absent), the last two columns are [p0_min, p0_max] reference
+    window positions.
     """
     assert min_multi >= 2, "representative compaction requires min_multi >= 2"
     N = keys.shape[0]
@@ -220,7 +221,12 @@ def device_mum_candidates(
     comp_tab = comp_tab.at[comp_row, jnp.clip(seq_s, 0, n_seqs - 1)].set(
         signed_pos, mode="drop"
     )
-    return comp_tab[:cap], span_tab[:cap], n_runs
+    # pack comp and span side by side, with n_runs in an extra leading row:
+    # the caller downloads ONE row-sliced buffer (each blocking transfer
+    # costs a full tunnel round trip, including the n_runs scalar sync)
+    packed = jnp.concatenate([comp_tab[:cap], span_tab[:cap]], axis=1)
+    head = jnp.zeros((1, n_seqs + 2), jnp.int32).at[0, 0].set(n_runs.astype(jnp.int32))
+    return jnp.concatenate([head, packed], axis=0)
 
 
 def _concat_device_smls(smls_dev):
@@ -266,10 +272,14 @@ def find_multi_mums_device(
     keys, seq_ids, pos = _concat_device_smls(smls_dev)
     N = keys.shape[0]
     cap = max(1 << 14, N >> 3)
-    comp_tab, span_tab, n_runs = device_mum_candidates(
+    packed_tab = device_mum_candidates(
         keys, seq_ids, pos, jnp.asarray(mask), n_seqs, cap, min_multi
     )
-    r = int(n_runs)
+    # single fixed-size download covers the run count AND the common case of
+    # few runs; only large results need a second (row 0 holds n_runs)
+    first = min(1 + (1 << 12), cap + 1)
+    head = np.asarray(packed_tab[:first])
+    r = int(head[0, 0])
     if r == 0:
         return MatchList.empty(n_seqs)
     if r > cap:
@@ -280,10 +290,12 @@ def find_multi_mums_device(
             "result truncated (raise cap for highly repetitive inputs)"
         )
         r = cap
-    rb = 1 << max(4, (r - 1).bit_length())
-    rb = min(rb, cap)
-    comp = np.asarray(comp_tab[:rb])[:r]
-    span = np.asarray(span_tab[:rb])[:r]
+    if r <= first - 1:
+        packed = head[1 : r + 1]
+    else:
+        rb = min((1 << max(4, (r - 1).bit_length())) + 1, cap + 1)
+        packed = np.asarray(packed_tab[:rb])[1 : r + 1]
+    comp, span = packed[:, :n_seqs], packed[:, n_seqs:]
     ok = (span[:, 0] >= 0) & (span[:, 1] >= span[:, 0])
     comp, span = comp[ok], span[ok]
     run_len = span[:, 1] - span[:, 0]
