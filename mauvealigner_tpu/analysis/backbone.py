@@ -17,7 +17,7 @@ forward-backward kernel (ops/hmm.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, TextIO, Tuple, Union
+from typing import Dict, List, Optional, Sequence, TextIO, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -146,10 +146,15 @@ def pairwise_homology_posteriors(
     ivs: IntervalList,
     params: HmmParams,
     max_cols: int = 1 << 16,
+    threshold: Optional[float] = None,
 ) -> Dict[Tuple[int, int, int], np.ndarray]:
     """P(Homologous) per column for every (interval, i, j) pairwise
     projection with both sequences present.  Batched through the K4 kernel
-    with length bucketing."""
+    with length bucketing.
+
+    With `threshold` set, the comparison runs on device and bool arrays
+    come back (a quarter of the f32 transfer) — the backbone detector only
+    consumes the thresholded posterior."""
     genomes = ivs.genomes
     overlap = 512
     jobs = []  # (key, chunk_start, symbols_chunk, full_len)
@@ -194,15 +199,28 @@ def pairwise_homology_posteriors(
                 sym = jobs[idx][2]
                 lengths[bi] = len(sym)
                 le[bi, : len(sym)] = log_emit_table[:, sym].T
-            post = np.asarray(
-                hmm_ops.forward_backward_state0(
-                    jnp.asarray(le), log_trans, log_init, jnp.asarray(lengths)
+            if threshold is None:
+                post = np.asarray(
+                    hmm_ops.forward_backward_state0(
+                        jnp.asarray(le), log_trans, log_init, jnp.asarray(lengths)
+                    )
                 )
-            )
+            else:
+                post = np.asarray(
+                    hmm_ops.forward_backward_state0_gt(
+                        jnp.asarray(le),
+                        log_trans,
+                        log_init,
+                        jnp.asarray(lengths),
+                        jnp.float32(threshold),
+                    )
+                ).astype(bool)
             for bi, idx in enumerate(chunk):
                 key, a, sym, T_full = jobs[idx]
                 if key not in out:
-                    out[key] = np.zeros(T_full, np.float64)
+                    out[key] = np.zeros(
+                        T_full, bool if threshold is not None else np.float64
+                    )
                 p = post[bi, : len(sym)]
                 if a == 0:
                     out[key][a : a + len(sym)] = p
@@ -231,17 +249,16 @@ def detect_backbone(
     (src/progressiveMauve.cpp:242-243): per sequence per column, homologous
     iff some partner's pair-HMM posterior exceeds the threshold; gap runs
     longer than island_gap_size are never backbone."""
-    posts = pairwise_homology_posteriors(ivs, params)
+    posts = pairwise_homology_posteriors(ivs, params, threshold=posterior_threshold)
     segments: List[BackboneColumnSegment] = []
     for k, iv in enumerate(ivs.intervals):
         present = [s for s in range(iv.n_seqs) if iv.starts[s] != 0]
         if not present:
             continue
         hom = np.zeros((iv.n_seqs, iv.n_cols), bool)
-        for (kk, i, j), p in posts.items():
+        for (kk, i, j), good in posts.items():
             if kk != k:
                 continue
-            good = p > posterior_threshold
             hom[i] |= good & iv.aln[i]
             hom[j] |= good & iv.aln[j]
         # BigGapsDetector: long gap runs are not backbone for that sequence

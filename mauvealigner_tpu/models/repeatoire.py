@@ -280,15 +280,17 @@ class Repeatoire:
                     sym = syms[idx]
                     lengths[bi] = len(sym)
                     le[bi, : len(sym)] = emit_table[:, sym].T
-                post = np.asarray(
-                    hmm_ops.forward_backward_state0(
-                        jnp.asarray(le), log_trans, log_init, jnp.asarray(lengths)
+                prefixes = np.asarray(
+                    hmm_ops.forward_backward_prefix(
+                        jnp.asarray(le),
+                        log_trans,
+                        log_init,
+                        jnp.asarray(lengths),
+                        jnp.float32(thr),
                     )
                 )
                 for bi, idx in enumerate(chunk):
-                    T = len(syms[idx])
-                    bad = np.nonzero(post[bi, :T] < thr)[0]
-                    out[idx] = int(bad[0]) if len(bad) else T
+                    out[idx] = int(prefixes[bi])
         return out
 
     def _hmm_params(self, genome: Genome):

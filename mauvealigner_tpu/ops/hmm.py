@@ -83,6 +83,39 @@ def forward_backward_state0(
 
 
 @jax.jit
+def forward_backward_state0_gt(
+    log_emit: jnp.ndarray,
+    log_trans: jnp.ndarray,
+    log_init: jnp.ndarray,
+    lengths: jnp.ndarray,
+    threshold: jnp.ndarray,  # scalar
+) -> jnp.ndarray:
+    """uint8 [B, T]: 1 where P(state 0) > threshold.  The backbone detector
+    consumes only the thresholded posterior, and a u8 matrix is a quarter of
+    the f32 transfer."""
+    post0 = forward_backward(log_emit, log_trans, log_init, lengths)[:, :, 0]
+    return (post0 > threshold).astype(jnp.uint8)
+
+
+@jax.jit
+def forward_backward_prefix(
+    log_emit: jnp.ndarray,
+    log_trans: jnp.ndarray,
+    log_init: jnp.ndarray,
+    lengths: jnp.ndarray,
+    threshold: jnp.ndarray,  # scalar
+) -> jnp.ndarray:
+    """int32 [B]: number of leading steps whose P(state 0) stays >= threshold
+    (first crossing ends the prefix; padding never counts)."""
+    post0 = forward_backward(log_emit, log_trans, log_init, lengths)[:, :, 0]
+    T = post0.shape[1]
+    iota = jnp.arange(T, dtype=jnp.int32)
+    bad = (iota[None, :] < lengths[:, None]) & (post0 < threshold)
+    first_bad = jnp.min(jnp.where(bad, iota[None, :], T), axis=1)
+    return jnp.minimum(first_bad, lengths).astype(jnp.int32)
+
+
+@jax.jit
 def viterbi(
     log_emit: jnp.ndarray,   # [B, T, S]
     log_trans: jnp.ndarray,  # [S, S]
