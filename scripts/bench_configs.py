@@ -134,7 +134,7 @@ def config4(repeat=2):
     }
 
 
-def config5(repeat=1, n=150_000, k=8, n_contigs=6):
+def config5(repeat=2, n=150_000, k=8, n_contigs=6):
     """Draft-genome workflow: shuffled/inverted multi-contig drafts ->
     sortContigs against the reference -> progressive alignment (the
     pod-sharded draft config, run single-chip)."""
