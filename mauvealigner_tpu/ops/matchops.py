@@ -237,12 +237,13 @@ def _concat_device_smls(smls_dev):
         [jnp.full(k.shape[0], i, jnp.int32) for i, (k, _) in enumerate(smls_dev)]
     )
     n = keys.shape[0]
-    # coarse (x4) buckets with a high floor: every distinct shape costs a
-    # multi-minute remote compile on the TPU tunnel.  Above 1M entries the
-    # bucket step drops to x2: the multi-key sorts in device_mum_candidates
-    # scale ~n log^2 n, so x4 padding at the top end costs more than an
-    # extra cached compile.
-    bucket = 1 << 16
+    # coarse (x4) buckets: every distinct shape costs a multi-minute remote
+    # compile on the TPU tunnel, but sort cost tracks the PADDED size, so a
+    # low floor matters for the per-gap recursion searches (a 2 kbp gap
+    # padded to 1M entries paid a full megabase-scale sort).  Above 1M
+    # entries the step drops to x2: the multi-key sorts scale ~n log^2 n,
+    # so x4 padding at the top end costs more than an extra cached compile.
+    bucket = 1 << 12
     while bucket < n:
         bucket *= 4 if bucket < (1 << 20) else 2
     pad = bucket - n

@@ -146,7 +146,7 @@ def unpack_2bit(
     return codes
 
 
-def upload_codes(codes: np.ndarray, pattern_len: int, pad_to_multiple: int = 1 << 16) -> jnp.ndarray:
+def upload_codes(codes: np.ndarray, pattern_len: int, pad_to_multiple: int = 1 << 12) -> jnp.ndarray:
     """Host codes -> device int32 code array, padded to a bucketed length,
     shipped 2-bit packed over the tunnel."""
     L = len(codes)
