@@ -187,8 +187,10 @@ def pairwise_homology_posteriors(
         T = 1 << max(4, (len(sym) - 1).bit_length())
         buckets.setdefault(min(T, max_cols), []).append(idx)
     for T, idxs in buckets.items():
-        for off in range(0, len(idxs), 64):
-            chunk = idxs[off : off + 64]
+        # memory-based chunk cap (64 rows only at the 65536-column maximum)
+        cap_rows = max(64, (1 << 25) // max(T * 8, 1))
+        for off in range(0, len(idxs), cap_rows):
+            chunk = idxs[off : off + cap_rows]
             # pad the batch to a power-of-two bucket: every distinct (B, T)
             # is its own multi-minute remote compile; zero-length padding
             # rows are inert in forward_backward

@@ -271,8 +271,12 @@ class Repeatoire:
             buckets.setdefault(Tp, []).append(idx)
         thr = self.options.posterior_threshold
         for Tp, idxs in buckets.items():
-            for off in range(0, len(idxs), 64):
-                chunk = idxs[off : off + 64]
+            # memory-based chunk cap: short-column jobs batch by the
+            # thousands (64-row chunks sized for 65536-column backbone
+            # slabs forced hundreds of tiny dispatches here)
+            cap = max(64, (1 << 25) // max(Tp * 8, 1))
+            for off in range(0, len(idxs), cap):
+                chunk = idxs[off : off + cap]
                 B = 1 << max(3, (len(chunk) - 1).bit_length())
                 le = np.zeros((B, Tp, 2), np.float32)
                 lengths = np.zeros(B, np.int64)
