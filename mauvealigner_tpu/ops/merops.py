@@ -152,10 +152,11 @@ def upload_codes(codes: np.ndarray, pattern_len: int, pad_to_multiple: int = 1 <
     L = len(codes)
     n = L + pattern_len
     # coarse (x4) length buckets: every distinct shape is a slow remote
-    # compile on the TPU tunnel
+    # compile on the TPU tunnel.  Above 1M the step drops to x2 — sort cost
+    # tracks the padded size, and a 4.6 Mbp genome must not pad to 16.7M.
     padded = pad_to_multiple
     while padded < n:
-        padded *= 4
+        padded *= 4 if padded < (1 << 20) else 2
     packed, exc = pack_2bit_host(codes)
     pb = padded // 4  # tied to `padded`: no extra shape dimension
     packed_padded = np.zeros(pb, np.uint8)
