@@ -179,57 +179,26 @@ def pairwise_homology_posteriors(
     if not jobs:
         return out
     log_emit_table = params.log_emit_table()  # [2, 4]
-    log_trans = jnp.asarray(params.log_trans())
-    log_init = jnp.asarray(np.log([0.5, 0.5]))
-    # bucket by length
-    buckets: Dict[int, List[int]] = {}
-    for idx, (_, _, sym, _) in enumerate(jobs):
-        T = 1 << max(4, (len(sym) - 1).bit_length())
-        buckets.setdefault(min(T, max_cols), []).append(idx)
-    for T, idxs in buckets.items():
-        # memory-based chunk cap (64 rows only at the 65536-column maximum)
-        cap_rows = max(64, (1 << 25) // max(T * 8, 1))
-        for off in range(0, len(idxs), cap_rows):
-            chunk = idxs[off : off + cap_rows]
-            # pad the batch to a power-of-two bucket: every distinct (B, T)
-            # is its own multi-minute remote compile; zero-length padding
-            # rows are inert in forward_backward
-            B = 1 << max(3, (len(chunk) - 1).bit_length())
-            le = np.zeros((B, T, 2), np.float32)
-            lengths = np.zeros(B, np.int64)
-            for bi, idx in enumerate(chunk):
-                sym = jobs[idx][2]
-                lengths[bi] = len(sym)
-                le[bi, : len(sym)] = log_emit_table[:, sym].T
-            if threshold is None:
-                post = np.asarray(
-                    hmm_ops.forward_backward_state0(
-                        jnp.asarray(le), log_trans, log_init, jnp.asarray(lengths)
-                    )
-                )
-            else:
-                post = np.asarray(
-                    hmm_ops.forward_backward_state0_gt(
-                        jnp.asarray(le),
-                        log_trans,
-                        log_init,
-                        jnp.asarray(lengths),
-                        jnp.float32(threshold),
-                    )
-                ).astype(bool)
-            for bi, idx in enumerate(chunk):
-                key, a, sym, T_full = jobs[idx]
-                if key not in out:
-                    out[key] = np.zeros(
-                        T_full, bool if threshold is not None else np.float64
-                    )
-                p = post[bi, : len(sym)]
-                if a == 0:
-                    out[key][a : a + len(sym)] = p
-                else:
-                    # skip the first half-overlap (burn-in) when stitching
-                    skip = overlap // 2
-                    out[key][a + skip : a + len(sym)] = p[skip:]
+    emits = [
+        log_emit_table[:, sym].T.astype(np.float32) for (_, _, sym, _) in jobs
+    ]
+    decoded = hmm_ops.bucketed_decode(
+        emits,
+        params.log_trans(),
+        np.log([0.5, 0.5]),
+        mode="posterior0" if threshold is None else "threshold0",
+        threshold=0.5 if threshold is None else threshold,
+        max_cols=max_cols,
+    )
+    for (key, a, sym, T_full), p in zip(jobs, decoded):
+        if key not in out:
+            out[key] = np.zeros(T_full, bool if threshold is not None else np.float64)
+        if a == 0:
+            out[key][a : a + len(sym)] = p
+        else:
+            # skip the first half-overlap (burn-in) when stitching
+            skip = overlap // 2
+            out[key][a + skip : a + len(sym)] = p[skip:]
     return out
 
 

@@ -103,27 +103,33 @@ class MauveAligner:
         return greedy_breakpoint_elimination(ml, weight, o.anchor_weight_fn)
 
     # -- phase 4: recursive anchoring ---------------------------------------
+    @staticmethod
+    def _gap_region_table(sub: MatchList):
+        """Vectorized gap-region specs for every consecutive anchor pair of
+        an LCB: (left, right, strand) int64 arrays [m-1, n_seqs]; left>right
+        means empty, strand 0 means an absent component."""
+        sa, sb = sub.starts[:-1], sub.starts[1:]
+        la = sub.lengths[:-1, None]
+        lb = sub.lengths[1:, None]
+        fwd = sa > 0
+        left = np.where(fwd, np.abs(sa) + la, np.abs(sb) + lb)
+        right = np.where(fwd, np.abs(sb) - 1, np.abs(sa) - 1)
+        strand = np.where(fwd, 1, -1)
+        absent = (sa == NO_MATCH) | (sb == NO_MATCH)
+        left[absent], right[absent], strand[absent] = 1, 0, 0
+        return left, right, strand
+
     def _gap_regions(
         self, genomes: Sequence[Genome], lcb_matches: MatchList, a: int, b: int
     ) -> List[Tuple[int, int, int]]:
         """Per-seq (left, right, strand) of the gap between anchors a and b
-        (indices into lcb_matches, consecutive in match-space); left>right
-        means empty."""
-        out = []
-        for g in range(lcb_matches.n_seqs):
-            sa = int(lcb_matches.starts[a, g])
-            sb = int(lcb_matches.starts[b, g])
-            la = int(lcb_matches.lengths[a])
-            lb = int(lcb_matches.lengths[b])
-            if sa == NO_MATCH or sb == NO_MATCH:
-                out.append((1, 0, 0))
-                continue
-            if sa > 0:
-                left, right, strand = abs(sa) + la, abs(sb) - 1, 1
-            else:
-                left, right, strand = abs(sb) + lb, abs(sa) - 1, -1
-            out.append((left, right, strand))
-        return out
+        (consecutive rows a, b=a+1 of lcb_matches); left>right means empty."""
+        sub = lcb_matches.select([a, b])
+        left, right, strand = self._gap_region_table(sub)
+        return [
+            (int(left[0, g]), int(right[0, g]), int(strand[0, g]))
+            for g in range(lcb_matches.n_seqs)
+        ]
 
     def _extract_region(self, genome: Genome, left: int, right: int, strand: int) -> np.ndarray:
         if right < left:
@@ -325,16 +331,7 @@ class MauveAligner:
             per_lcb_matches.append(sub)
             if len(sub) < 2:
                 continue
-            # vectorized _gap_regions over all consecutive anchor pairs
-            sa, sb = sub.starts[:-1], sub.starts[1:]
-            la = sub.lengths[:-1, None]
-            lb = sub.lengths[1:, None]
-            fwd = sa > 0
-            left = np.where(fwd, np.abs(sa) + la, np.abs(sb) + lb)
-            right = np.where(fwd, np.abs(sb) - 1, np.abs(sa) - 1)
-            strand = np.where(fwd, 1, -1)
-            absent = (sa == NO_MATCH) | (sb == NO_MATCH)
-            left[absent], right[absent], strand[absent] = 1, 0, 0
+            left, right, strand = self._gap_region_table(sub)
             for a in range(len(sub) - 1):
                 regions = [
                     self._extract_region(

@@ -131,8 +131,13 @@ class ProgressiveMauve:
                 ml = cur if ml is None else ml.concat(cur).dedup()
             return ml if ml is not None else MatchList.empty(len(genomes))
         seed = get_seed(weight, self._seed_rank())
-        if o.use_sml_cache and all(g.filename for g in genomes):
-            smls = [load_sml(g, seed) for g in genomes]
+        if o.use_sml_cache and any(g.filename for g in genomes):
+            # disk-cache path: per-genome load-or-build, like the reference's
+            # LoadSMLs (genomes without filenames just build in memory)
+            smls = [
+                load_sml(g, seed) if g.filename else build_sml(g, seed)
+                for g in genomes
+            ]
             return matchops.find_multi_mums(genomes, smls)
         # device-resident path: SML arrays never cross the tunnel
         smls_dev = [build_sml_device(g, seed) for g in genomes]
@@ -317,9 +322,16 @@ class ProgressiveMauve:
         for li, lcb in enumerate(lcbs):
             sub = inner.make_collinear_nonoverlapping(ml.select(lcb.match_indices))
             per_lcb.append(sub)
+            if len(sub) < 2:
+                continue
+            left, right, strand = inner._gap_region_table(sub)
             for a in range(len(sub) - 1):
-                specs = inner._gap_regions(genomes, sub, a, a + 1)
-                regions = [inner._extract_region(genomes[g], *specs[g]) for g in range(n)]
+                regions = [
+                    inner._extract_region(
+                        genomes[g], int(left[a, g]), int(right[a, g]), int(strand[a, g])
+                    )
+                    for g in range(n)
+                ]
                 gap_groups.append(regions)
                 gap_ref.append((li, a))
         if o.gapped and gap_groups:

@@ -169,6 +169,8 @@ class Repeatoire:
         o = self.options
         n = len(fams)
         cur = list(fams)
+        if o.max_extension_rounds <= 0:
+            return cur
         DIRS = (1, -1)  # right, then left (match space)
         dir_idx = np.zeros(n, np.int8)   # 0/1 -> DIRS index, 2 -> done
         rounds = np.zeros(n, np.int32)
@@ -249,53 +251,23 @@ class Repeatoire:
         alns: List[np.ndarray],
     ) -> List[int]:
         """Batched _homologous_prefix: symbol classification is vectorized
-        per job; the HMM decodes run in length-bucketed batches."""
-        import jax.numpy as jnp
-
+        per job; the HMM decodes run through the shared bucketed kernel
+        driver (ops/hmm.bucketed_decode)."""
         from mauvealigner_tpu.ops import hmm as hmm_ops
 
         params = self._hmm_params(genome)
-        log_trans = jnp.asarray(params.log_trans())
-        log_init = jnp.asarray(np.log([0.9, 0.1]))
         emit_table = params.log_emit_table()
-        syms = [
-            _column_symbols(flanks, aln) for flanks, aln in zip(flanks_list, alns)
+        emits = [
+            emit_table[:, _column_symbols(flanks, aln)].T.astype(np.float32)
+            for flanks, aln in zip(flanks_list, alns)
         ]
-        out = [0] * len(syms)
-        buckets: dict = {}
-        for idx, sym in enumerate(syms):
-            T = len(sym)
-            if T == 0:
-                continue
-            Tp = 1 << max(4, (T - 1).bit_length())
-            buckets.setdefault(Tp, []).append(idx)
-        thr = self.options.posterior_threshold
-        for Tp, idxs in buckets.items():
-            # memory-based chunk cap: short-column jobs batch by the
-            # thousands (64-row chunks sized for 65536-column backbone
-            # slabs forced hundreds of tiny dispatches here)
-            cap = max(64, (1 << 25) // max(Tp * 8, 1))
-            for off in range(0, len(idxs), cap):
-                chunk = idxs[off : off + cap]
-                B = 1 << max(3, (len(chunk) - 1).bit_length())
-                le = np.zeros((B, Tp, 2), np.float32)
-                lengths = np.zeros(B, np.int64)
-                for bi, idx in enumerate(chunk):
-                    sym = syms[idx]
-                    lengths[bi] = len(sym)
-                    le[bi, : len(sym)] = emit_table[:, sym].T
-                prefixes = np.asarray(
-                    hmm_ops.forward_backward_prefix(
-                        jnp.asarray(le),
-                        log_trans,
-                        log_init,
-                        jnp.asarray(lengths),
-                        jnp.float32(thr),
-                    )
-                )
-                for bi, idx in enumerate(chunk):
-                    out[idx] = int(prefixes[bi])
-        return out
+        return hmm_ops.bucketed_decode(
+            emits,
+            params.log_trans(),
+            np.log([0.9, 0.1]),
+            mode="prefix0",
+            threshold=self.options.posterior_threshold,
+        )
 
     def _hmm_params(self, genome: Genome):
         cached = getattr(self, "_hmm_params_cache", None)

@@ -115,6 +115,75 @@ def forward_backward_prefix(
     return jnp.minimum(first_bad, lengths).astype(jnp.int32)
 
 
+def bucketed_decode(
+    log_emits,            # list of np.float32 [T_j, S] per-job emission rows
+    log_trans,            # [S, S] (np or jnp)
+    log_init,             # [S]
+    mode: str,            # "posterior0" | "threshold0" | "prefix0"
+    threshold: float = 0.5,
+    max_cols: int = 1 << 16,
+    mem_budget: int = 1 << 25,
+):
+    """Run many variable-length HMM decodes through the batched kernels.
+
+    Shapes are the scarce resource on the remote-compile TPU backend, so
+    jobs bucket by power-of-two padded length (capped at `max_cols`; longer
+    jobs must be pre-chunked by the caller) and power-of-two batch size,
+    with a memory-based chunk cap (64 rows only at the 65536-column
+    maximum).  Returns a list aligned with `log_emits`:
+      posterior0 -> np.float32 [T_j] P(state 0);
+      threshold0 -> np.bool_  [T_j] P(state 0) > threshold;
+      prefix0    -> int, leading steps with P(state 0) >= threshold.
+    """
+    lt = jnp.asarray(log_trans)
+    li = jnp.asarray(log_init)
+    S = int(li.shape[0])
+    out: list = [None] * len(log_emits)
+    buckets: dict = {}
+    for idx, le_row in enumerate(log_emits):
+        T = len(le_row)
+        if T == 0:
+            out[idx] = (
+                0 if mode == "prefix0" else np.zeros(0, bool if mode == "threshold0" else np.float32)
+            )
+            continue
+        if T > max_cols:
+            raise ValueError(f"job length {T} exceeds max_cols {max_cols}")
+        Tp = 1 << max(4, (T - 1).bit_length())
+        buckets.setdefault(Tp, []).append(idx)
+    for Tp, idxs in buckets.items():
+        cap_rows = max(64, mem_budget // max(Tp * 4 * S, 1))
+        for off in range(0, len(idxs), cap_rows):
+            chunk = idxs[off : off + cap_rows]
+            B = 1 << max(3, (len(chunk) - 1).bit_length())
+            le = np.zeros((B, Tp, S), np.float32)
+            lengths = np.zeros(B, np.int64)
+            for bi, idx in enumerate(chunk):
+                row = log_emits[idx]
+                lengths[bi] = len(row)
+                le[bi, : len(row)] = row
+            led, lend = jnp.asarray(le), jnp.asarray(lengths)
+            if mode == "posterior0":
+                res = np.asarray(forward_backward_state0(led, lt, li, lend))
+                for bi, idx in enumerate(chunk):
+                    out[idx] = res[bi, : int(lengths[bi])]
+            elif mode == "threshold0":
+                res = np.asarray(
+                    forward_backward_state0_gt(led, lt, li, lend, jnp.float32(threshold))
+                ).astype(bool)
+                for bi, idx in enumerate(chunk):
+                    out[idx] = res[bi, : int(lengths[bi])]
+            elif mode == "prefix0":
+                res = np.asarray(
+                    forward_backward_prefix(led, lt, li, lend, jnp.float32(threshold))
+                )
+                for bi, idx in enumerate(chunk):
+                    out[idx] = int(res[bi])
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+    return out
+
+
 @jax.jit
 def viterbi(
     log_emit: jnp.ndarray,   # [B, T, S]

@@ -108,6 +108,18 @@ def test_outputs(rng, tmp_path):
     assert "multiplicity" in buf2.getvalue()
 
 
+def test_zero_extension_rounds_matches_no_extend(rng):
+    # max_extension_rounds=0 must behave like extend=False (the batched
+    # wave loop once applied one extension before checking the cap)
+    g, _ = _genome_with_repeats(rng, n_copies=3, unit_len=150)
+    zero = Repeatoire(RepeatoireOptions(z=9, max_extension_rounds=0)).find_repeats(g)
+    noext = Repeatoire(RepeatoireOptions(z=9, extend=False)).find_repeats(g)
+    assert len(zero) == len(noext)
+    for a, b in zip(zero, noext):
+        assert np.array_equal(a.starts, b.starts)
+        assert np.array_equal(a.aln, b.aln)
+
+
 def test_novel_subsets(rng):
     # Y appears 4x; X appears 3x, with two X copies right-adjacent to two Y
     # copies.  With --novel-subsets the shared-component projection of Y
