@@ -109,7 +109,8 @@ def write_interval_list(ivs: IntervalList, out: Union[str, TextIO]) -> None:
         fh.write(f"Interval\t{k}\t{iv.n_cols}\n")
         fh.write(" ".join(str(int(v)) for v in iv.starts) + "\n")
         for s in range(iv.n_seqs):
-            fh.write("".join("1" if x else "0" for x in iv.aln[s]) + "\n")
+            row = np.where(iv.aln[s], np.uint8(49), np.uint8(48)).tobytes().decode()
+            fh.write(row + "\n")
 
 
 def read_interval_list(

@@ -97,17 +97,25 @@ def load_sml(genome: Genome, seed: Seed, cache: bool = True, cache_path: Optiona
     """Load an SML from the disk cache, building (and caching) on miss —
     MatchList::LoadSMLs semantics (src/progressiveMauve.cpp:447-451)."""
     path = cache_path or (_cache_path(genome.filename, seed) if genome.filename else None)
-    if cache and path and os.path.exists(path):
-        try:
-            with np.load(path) as z:
-                if (
-                    int(z["version"]) == _SML_FORMAT_VERSION
-                    and str(z["pattern"]) == seed.pattern
-                    and int(z["seq_length"]) == len(genome)
-                ):
-                    return SortedMerList(z["keys"], z["positions"], seed, len(genome))
-        except Exception:
-            pass  # unreadable/stale cache: rebuild
+    if cache and path:
+        # the save fallback may have written to a registered scratch path
+        # (read-only sequence directory) — check those on load too
+        candidates = [path] + [
+            os.path.join(tp, os.path.basename(path)) for tp in _temp_paths
+        ]
+        for cand in candidates:
+            if not os.path.exists(cand):
+                continue
+            try:
+                with np.load(cand) as z:
+                    if (
+                        int(z["version"]) == _SML_FORMAT_VERSION
+                        and str(z["pattern"]) == seed.pattern
+                        and int(z["seq_length"]) == len(genome)
+                    ):
+                        return SortedMerList(z["keys"], z["positions"], seed, len(genome))
+            except Exception:
+                pass  # unreadable/stale cache: rebuild
     sml = build_sml(genome, seed)
     if cache and path:
         target = path

@@ -29,7 +29,10 @@ def _iter_fasta_records(handle: TextIO):
             name = line[1:].strip()
             chunks = []
         else:
-            chunks.append(line.encode("ascii"))
+            # drop interior whitespace like the native fast path (some
+            # exporters space-group sequence lines); keeping it would shift
+            # every downstream coordinate vs the native parser
+            chunks.append("".join(line.split()).encode("ascii"))
     if name is not None:
         yield name, b"".join(chunks)
 

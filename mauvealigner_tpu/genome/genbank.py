@@ -109,6 +109,12 @@ def read_genbank(path_or_handle: Union[str, TextIO], name: str = "") -> Genome:
             flush_record()
         elif in_origin:
             seq_chunks.append(re.sub(r"[^A-Za-z]", "", line))
+        elif in_features and line[:1] not in (" ", "\t", "\n", ""):
+            # a top-level keyword (CONTIG, BASE COUNT, PRIMARY, ...) ends the
+            # FEATURES section; without this its text is misparsed as a
+            # location/qualifier continuation of the last pending feature
+            flush_pending()
+            in_features = False
         elif in_features:
             if len(line) > 5 and line[5] != " " and not line[:5].strip():
                 flush_pending()
@@ -129,7 +135,12 @@ def read_genbank(path_or_handle: Union[str, TextIO], name: str = "") -> Genome:
                         pending_quals[stripped[1:]] = True
                         qual_key = None
                 elif qual_key is not None:
-                    pending_quals[qual_key] += stripped.strip('"')
+                    # GenBank wraps free-text qualifiers at word boundaries;
+                    # only /translation concatenates without a separator
+                    joiner = "" if qual_key == "translation" else " "
+                    pending_quals[qual_key] = (
+                        str(pending_quals[qual_key]) + joiner + stripped.strip('"')
+                    )
                 elif pending is not None and stripped and "=" not in stripped:
                     # location continuation line
                     pending = (pending[0], pending[1] + stripped)

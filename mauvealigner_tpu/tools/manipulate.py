@@ -167,17 +167,59 @@ def coordinate_translate(
 
 # -- transposeCoordinates (src/transposeCoordinates.cpp:21) -----------------
 
+def _masked_region_starts(regions: np.ndarray):
+    """Sorted removed regions -> (masked-coordinate starts, cumulative
+    removed lengths) — the junction table transpose_positions uses."""
+    order = np.argsort(regions[:, 0])
+    reg_starts = regions[order, 0]
+    cum = np.cumsum(regions[order, 1])
+    masked_starts = reg_starts - np.concatenate([[0], cum[:-1]])
+    return masked_starts, cum
+
+
 def transpose_coordinates(ml, regions_per_seq: Sequence[np.ndarray]):
-    """Shift match coordinates by masked-region offsets per sequence."""
+    """Transpose match coordinates from masked (N-runs removed) space back
+    to original coordinates.  A match whose span crosses a removed region's
+    junction is SPLIT there first — shifting only its left end would make it
+    claim the removed bases as aligned sequence."""
     from mauvealigner_tpu.core.match import MatchList
     from mauvealigner_tpu.genome.sequence import transpose_positions
 
-    starts = ml.starts.copy()
+    junctions = [
+        _masked_region_starts(r)[0] if len(r) else np.zeros(0, np.int64)
+        for r in regions_per_seq
+    ]
+    rows: list = []
+    lens: list = []
+    for i in range(len(ml)):
+        length = int(ml.lengths[i])
+        cuts = set()
+        for s in range(ml.n_seqs):
+            p = int(ml.starts[i, s])
+            if p == 0 or not len(junctions[s]):
+                continue
+            left = abs(p)
+            for m in junctions[s]:
+                # junction between masked genome positions m-1 and m
+                off = int(m - left) if p > 0 else int(left + length - m)
+                if 0 < off < length:
+                    cuts.add(off)
+        segs = [0] + sorted(cuts) + [length]
+        for a, b in zip(segs[:-1], segs[1:]):
+            row = np.zeros(ml.n_seqs, np.int64)
+            for s in range(ml.n_seqs):
+                p = int(ml.starts[i, s])
+                if p == 0:
+                    continue
+                # match-space [a, b) -> genome-left of the segment
+                row[s] = p + a if p > 0 else -(abs(p) + length - b)
+            rows.append(row)
+            lens.append(b - a)
+    starts = np.array(rows, np.int64).reshape(len(rows), ml.n_seqs)
+    lengths = np.array(lens, np.int64)
     for s in range(ml.n_seqs):
-        starts[:, s] = transpose_positions(
-            starts[:, s], ml.lengths, regions_per_seq[s]
-        )
-    return MatchList(starts, ml.lengths.copy())
+        starts[:, s] = transpose_positions(starts[:, s], lengths, regions_per_seq[s])
+    return MatchList(starts, lengths)
 
 
 # -- sortContigs (src/sortContigs.cpp) --------------------------------------

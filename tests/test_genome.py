@@ -91,3 +91,101 @@ ORIGIN
     assert (cds[0].start, cds[0].end, cds[0].strand) == (4, 9, -1)
     assert cds[0].qualifiers["gene"] == "abc"
     assert g.to_string().startswith("acgtacgt")
+
+
+def test_transpose_coordinates_splits_spanning_matches():
+    # a match crossing a removed N-run junction must be split, not shifted
+    # whole (it would otherwise claim the removed bases as aligned)
+    from mauvealigner_tpu.core.match import MatchList
+    from mauvealigner_tpu.tools.manipulate import transpose_coordinates
+
+    # removed region in seq 0 only: original positions 11..30 (20 Ns);
+    # masked coords are contiguous, junction at masked position 11
+    regions = np.array([[11, 20]], np.int64)
+    empty = np.zeros((0, 2), np.int64)
+    ml = MatchList(
+        np.array([[5, 5], [8, -8]], np.int64),  # second row: reverse comp in seq 1
+        np.array([4, 8], np.int64),
+    )
+    out = transpose_coordinates(ml, [regions, empty])
+    # row 0: [5..8] doesn't cross the junction -> unchanged
+    assert (out.starts[0] == [5, 5]).all() and out.lengths[0] == 4
+    # row 1: seq0 [8..15] crosses at 11 -> split at match offset 3:
+    # [8..10] unshifted and [11..15] shifted by 20; the seq-1 reverse
+    # component splits consistently (genome-left 13 for the match-left
+    # segment, 8 for the match-right one)
+    assert len(out) == 3
+    rows = {tuple(out.starts[i]) + (int(out.lengths[i]),) for i in range(1, 3)}
+    assert rows == {(8, -13, 3), (31, -8, 5)}
+
+
+def test_fasta_interior_whitespace_matches_native(tmp_path):
+    # interior whitespace in sequence lines must be dropped identically by
+    # the python fallback and the native parser
+    from mauvealigner_tpu import native
+    from mauvealigner_tpu.genome.fasta import read_fasta
+
+    p = str(tmp_path / "ws.fa")
+    with open(p, "w") as fh:
+        fh.write(">c1\nACGT ACGT\nTT TT\n")
+    g_native = read_fasta(p)
+    saved = native._module, native._tried
+    native._module, native._tried = None, True
+    try:
+        g_py = read_fasta(p)
+    finally:
+        native._module, native._tried = saved
+    assert g_native.to_string() == g_py.to_string() == "ACGTACGTTTTT"
+
+
+def test_genbank_keyword_after_features_and_wrapped_qualifier(tmp_path):
+    from mauvealigner_tpu.genome.genbank import read_genbank
+
+    text = (
+        "LOCUS       rec1 24 bp DNA\n"
+        "FEATURES             Location/Qualifiers\n"
+        "     CDS             1..12\n"
+        '                     /product="hypothetical\n'
+        '                     protein"\n'
+        "CONTIG      join(XX01000001.1:1..2500000)\n"
+        "ORIGIN\n"
+        "        1 acgtacgtac gtacgtacgt acgt\n"
+        "//\n"
+    )
+    p = str(tmp_path / "a.gbk")
+    with open(p, "w") as fh:
+        fh.write(text)
+    g = read_genbank(p)
+    assert len(g.features) == 1
+    feat = g.features[0]
+    assert (feat.start, feat.end) == (1, 12)  # CONTIG line must not extend it
+    assert feat.qualifiers["product"] == "hypothetical protein"
+
+
+def test_sml_cache_scratch_path_roundtrip(tmp_path):
+    import os
+
+    from mauvealigner_tpu.core import sml as sml_mod
+    from mauvealigner_tpu.seeds import get_seed
+    from mauvealigner_tpu.utils import simulate
+
+    rng = np.random.default_rng(37)
+    g = simulate.random_genome(rng, 3000)
+    seed = get_seed(9, 0)
+    # unwritable sequence "directory": a path that does not exist (chmod
+    # tricks don't work under root)
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+    g.filename = str(tmp_path / "no_such_dir" / "g.fa")
+    saved_paths = list(sml_mod._temp_paths)
+    try:
+        sml_mod._temp_paths[:] = [str(scratch)]
+        s1 = sml_mod.load_sml(g, seed)
+        cache_files = list(scratch.iterdir())
+        assert cache_files, "cache not written to scratch path"
+        mtime = cache_files[0].stat().st_mtime
+        s2 = sml_mod.load_sml(g, seed)  # must READ the scratch cache
+        assert cache_files[0].stat().st_mtime == mtime
+        assert np.array_equal(s1.keys, s2.keys)
+    finally:
+        sml_mod._temp_paths[:] = saved_paths
