@@ -26,8 +26,10 @@ from mauvealigner_tpu.core.interval import Interval, IntervalList
 from mauvealigner_tpu.genome.sequence import Genome
 from mauvealigner_tpu.ops import hmm as hmm_ops
 
-# column symbol classes
-SYM_MATCH, SYM_TRANSITION, SYM_TRANSVERSION, SYM_GAP = 0, 1, 2, 3
+# column symbol classes; SYM_NONE marks both-gap columns of a pairwise
+# projection — the reference scores the PROJECTED pair (both-gap columns
+# removed), so they must be emission-neutral, not gap-emitting
+SYM_MATCH, SYM_TRANSITION, SYM_TRANSVERSION, SYM_GAP, SYM_NONE = 0, 1, 2, 3, 4
 N_SYMBOLS = 4
 STATE_H, STATE_U = 0, 1
 
@@ -112,12 +114,14 @@ def column_symbols(
 ) -> np.ndarray:
     """Symbol class per column for the (i, j) pairwise projection.
 
-    Columns where both are gapped get SYM_GAP (they carry no signal but keep
-    the chain contiguous).
+    Columns where both are gapped get SYM_NONE (emission-neutral: the
+    pairwise projection the reference decodes does not contain them, and a
+    long third-sequence insertion must not drive the pair into Unrelated).
     """
     ci = _signed_codes_row(iv, genomes, i)
     cj = _signed_codes_row(iv, genomes, j)
     sym = np.full(iv.n_cols, SYM_GAP, np.int8)
+    sym[(ci == 5) & (cj == 5)] = SYM_NONE
     both = (ci < 4) & (cj < 4)
     eq = both & (ci == cj)
     sym[eq] = SYM_MATCH
@@ -178,7 +182,10 @@ def pairwise_homology_posteriors(
     out: Dict[Tuple[int, int, int], np.ndarray] = {}
     if not jobs:
         return out
-    log_emit_table = params.log_emit_table()  # [2, 4]
+    # 5th column: SYM_NONE (both-gap) emits log-prob 0 in both states
+    log_emit_table = np.concatenate(
+        [params.log_emit_table(), np.zeros((2, 1))], axis=1
+    )  # [2, 5]
     emits = [
         log_emit_table[:, sym].T.astype(np.float32) for (_, _, sym, _) in jobs
     ]

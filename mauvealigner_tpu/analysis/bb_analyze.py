@@ -34,7 +34,10 @@ def classify_segments(
     reference: Optional[Genome] = None,
     ref_index: int = 0,
 ) -> List[SegmentReport]:
-    feats = [f for f in (reference.features if reference else []) if f.kind in ("CDS", "gene")]
+    feats = sorted(
+        (f for f in (reference.features if reference else []) if f.kind in ("CDS", "gene")),
+        key=lambda f: f.start,
+    )
     feat_starts = np.array([f.start for f in feats], np.int64)
     reports = []
     for i, r in enumerate(rows):
@@ -46,8 +49,9 @@ def classify_segments(
         intergenic = True
         if reference is not None and members[ref_index]:
             l, rr = abs(int(r[2 * ref_index])), abs(int(r[2 * ref_index + 1]))
-            for f in feats:
-                if f.start <= rr and f.end >= l:
+            hi = int(np.searchsorted(feat_starts, rr, side="right"))
+            for f in feats[:hi]:
+                if f.end >= l:
                     overlapping.append(f.name)
                     intergenic = False
         reports.append(
@@ -149,6 +153,7 @@ def break_on_genes(
             continue
         edges = [l] + cuts + [rr + 1]
         span = rr - l + 1
+        ref_sign = int(np.sign(r[2 * ref_index])) or 1
         for a, b in zip(edges[:-1], edges[1:]):
             if b <= a:
                 continue
@@ -159,8 +164,14 @@ def break_on_genes(
                 if sl == 0:
                     continue
                 ln = abs(sr) - abs(sl) + 1
-                na = abs(sl) + int(round(frac_a * ln))
-                nb = abs(sl) + int(round(frac_b * ln)) - 1
+                # a relatively-inverted member runs right-to-left against the
+                # reference: mirror the fractional window
+                if (int(np.sign(sl)) or 1) != ref_sign:
+                    fa, fb = 1.0 - frac_b, 1.0 - frac_a
+                else:
+                    fa, fb = frac_a, frac_b
+                na = abs(sl) + int(round(fa * ln))
+                nb = abs(sl) + int(round(fb * ln)) - 1
                 if nb < na:
                     continue
                 sign = int(np.sign(sl)) or 1

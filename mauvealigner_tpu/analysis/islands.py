@@ -62,11 +62,17 @@ def simple_find_islands(
         for ai in range(len(present)):
             for bi in range(ai + 1, len(present)):
                 i, j = present[ai], present[bi]
+                # project out both-gap columns: an island of one sequence
+                # against the other continues across columns a THIRD
+                # sequence inserted (the reference scans the pairwise
+                # projection)
+                keep_idx = np.nonzero(iv.aln[i] | iv.aln[j])[0]
                 for gapped, other in ((i, j), (j, i)):
-                    mask = (~iv.aln[gapped]) & iv.aln[other]
-                    for s, e in _runs(mask):
-                        if e - s < island_size:
+                    mask = (~iv.aln[gapped][keep_idx]) & iv.aln[other][keep_idx]
+                    for sp_, ep_ in _runs(mask):
+                        if ep_ - sp_ < island_size:
                             continue
+                        s, e = int(keep_idx[sp_]), int(keep_idx[ep_ - 1]) + 1
                         # island bounds in both sequences (nearest bases)
                         pj = np.abs(pos[other][s:e])
                         pj = pj[pj > 0]

@@ -55,14 +55,21 @@ def match_and_gap_scores(
     n_gap = gapped.sum(axis=0)
     n_base = k - n_gap
     gap_positions = int((n_gap * n_base).sum())
-    # run starts: pairs whose xor flips 0->1 between consecutive columns
-    prev = np.zeros((k, T), bool)
-    prev[:, 1:] = gapped[:, :-1]
-    cls_a = (~prev & ~gapped).sum(axis=0)  # 00
-    cls_b = (~prev & gapped).sum(axis=0)   # 01
-    cls_c = (prev & ~gapped).sum(axis=0)   # 10
-    cls_d = (prev & gapped).sum(axis=0)    # 11
-    run_starts = int((cls_a * cls_b + cls_c * cls_d).sum())
+    # gap-run starts per ordered pair, with both-gap columns projected out
+    # (the pairwise projection the reference scores): a gap run of x against
+    # y continues across columns where y is also gapped
+    run_starts = 0
+    for i in range(k):
+        gi = gapped[i]
+        for j in range(i + 1, k):
+            gj = gapped[j]
+            keep = ~(gi & gj)
+            for g in (gi[keep], gj[keep]):
+                if not g.any():
+                    continue
+                starts = g.copy()
+                starts[1:] &= ~g[:-1]
+                run_starts += int(starts.sum())
     gap_score = run_starts * gap_open + gap_positions * gap_extend
     return match_score, gap_score
 

@@ -670,7 +670,9 @@ def transpose_coordinates_cli(argv: List[str]) -> int:
         "(reference: src/transposeCoordinates.cpp)",
     )
     p.add_argument("match_list")
-    p.add_argument("regions", help="per-seq region files: TSV start<TAB>length")
+    p.add_argument("regions",
+                   help="removed-region TSV: seq_index<TAB>start<TAB>length "
+                   "per line (non-numeric lines skipped)")
     p.add_argument("output")
     a = p.parse_args(argv)
     from mauvealigner_tpu.core import mln
@@ -682,7 +684,7 @@ def transpose_coordinates_cli(argv: List[str]) -> int:
         per_seq: dict = {}
         for line in fh:
             toks = line.split()
-            if len(toks) >= 3:
+            if len(toks) >= 3 and all(t.lstrip("-").isdigit() for t in toks[:3]):
                 per_seq.setdefault(int(toks[0]), []).append((int(toks[1]), int(toks[2])))
     for s in range(ml.n_seqs):
         regs = per_seq.get(s, [])
@@ -1267,11 +1269,14 @@ def random_gene_sample_cli(argv: List[str]) -> int:
 def pair_compare_cli(argv: List[str]) -> int:
     p = argparse.ArgumentParser(prog="pairCompare")
     p.add_argument("alignments", nargs="+", help="pairwise xmfa files")
+    p.add_argument("--seqs", nargs="*", default=[],
+                   help="sequence files (when the XMFA's #SequenceFile "
+                   "paths do not resolve)")
     a = p.parse_args(argv)
     from mauvealigner_tpu.tools.backbone_tools import pair_compare
 
     for path in a.alignments:
-        ivl = _read_alignment(path, [])
+        ivl = _read_alignment(path, a.seqs)
         stats = pair_compare(ivl, ivl.genomes)
         print(f"{path}\t{json.dumps(stats)}")
     return 0
@@ -1346,7 +1351,7 @@ def uniquify_trees_cli(argv: List[str]) -> int:
 
     text = open(a.trees).read()
     if "#NEXUS" in text.upper() or "begin trees" in text.lower():
-        trees = [t for _, t in parse_nexus_trees(text)]
+        trees = [t for _, t in parse_nexus_trees(text)[0]]
     else:
         trees = [parse_newick(l) for l in text.splitlines() if l.strip()]
     unique = uniquify_trees(trees)

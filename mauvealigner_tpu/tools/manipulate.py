@@ -65,14 +65,18 @@ def extract_subalignment(
     for iv in ivs.intervals:
         if iv.starts[seq] == 0:
             continue
-        c1 = _col_at_or_after(iv, seq, left)
-        c2 = _col_at_or_before(iv, seq, right)
-        if c1 is None or c2 is None or c2 < c1:
-            continue
-        sub_aln = iv.aln[:, c1 : c2 + 1]
-        starts = np.zeros(iv.n_seqs, np.int64)
         from mauvealigner_tpu.analysis.score_alignment import _interval_positions
 
+        # intersect both predicates: reverse-strand rows have DESCENDING
+        # positions, so first-at-or-after / last-at-or-before would span
+        # the whole interval
+        pcol = np.abs(_interval_positions(iv, seq))
+        sel = np.nonzero((pcol >= left) & (pcol <= right) & (pcol > 0))[0]
+        if not len(sel):
+            continue
+        c1, c2 = int(sel[0]), int(sel[-1])
+        sub_aln = iv.aln[:, c1 : c2 + 1]
+        starts = np.zeros(iv.n_seqs, np.int64)
         for s in range(iv.n_seqs):
             if iv.starts[s] == 0 or not sub_aln[s].any():
                 continue
@@ -83,22 +87,6 @@ def extract_subalignment(
         keep = sub_aln.any(axis=0)
         out.append(Interval(starts, sub_aln[:, keep]))
     return out
-
-
-def _col_at_or_after(iv: Interval, seq: int, pos: int) -> Optional[int]:
-    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
-
-    p = np.abs(_interval_positions(iv, seq))
-    cand = np.nonzero((p >= pos) & (p > 0))[0]
-    return int(cand[0]) if len(cand) else None
-
-
-def _col_at_or_before(iv: Interval, seq: int, pos: int) -> Optional[int]:
-    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
-
-    p = np.abs(_interval_positions(iv, seq))
-    cand = np.nonzero((p <= pos) & (p > 0))[0]
-    return int(cand[-1]) if len(cand) else None
 
 
 # -- getAlignmentWindows (src/getAlignmentWindows.cpp:26) -------------------

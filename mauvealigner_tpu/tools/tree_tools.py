@@ -88,6 +88,8 @@ def check_for_lgt(
         return False
     for clade in gene_tree.clades():
         c = set(clade)
-        if ga and c == ga:
-            return False  # group_a is monophyletic: no LGT signal
+        # group_a is monophyletic when it appears as a rooted clade OR as
+        # the complement of one (unrooted split; rooting is arbitrary)
+        if c == ga or (leaves - c) == ga:
+            return False  # no LGT signal
     return True
