@@ -73,6 +73,12 @@ class ProgressiveOptions:
     max_gapped_len: int = 4096
     refine: bool = True               # iterative window refinement (setRefinement)
     subset_lcbs: bool = True          # clade-restricted subset-LCB recovery
+    # gapped extension of LCB boundaries into unanchored flanks (the
+    # reference's full-length alignment / LCB extension semantics,
+    # src/mauveAligner.cpp:687-690; over-extension is stripped by the
+    # homology HMM).  max_extension_flank caps the per-edge reach.
+    boundary_extension: bool = True
+    max_extension_flank: int = 1024
     skip_backbone: bool = False
     island_gap_size: int = 20         # src/progressiveMauve.cpp:322
     hmm_identity: float = 0.7         # :321
@@ -267,6 +273,22 @@ class ProgressiveMauve:
         plan = closure.tree_plan(tree)
         with timer.phase("gapped_closure"):
             ivl = self._build_intervals_with_plan(inner, genomes, anchors, lcbs, plan)
+        if o.boundary_extension and o.gapped:
+            from mauvealigner_tpu.models.boundary import extend_interval_boundaries
+
+            # before the subset pass: a full-multiplicity LCB edge extends at
+            # full arity; clade-restricted subset recovery then works over
+            # whatever remains unclaimed
+            with timer.phase("boundary_extension"):
+                ivl = extend_interval_boundaries(
+                    ivl,
+                    genomes,
+                    plan,
+                    subst=o.subst,
+                    gap_open=o.gap_open,
+                    gap_extend=o.gap_extend,
+                    max_flank=o.max_extension_flank,
+                )
         if o.subset_lcbs and len(genomes) > 2:
             # clade-restricted anchoring over still-unaligned regions: the
             # translated-anchor analog recovering subset LCBs

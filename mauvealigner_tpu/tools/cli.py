@@ -316,6 +316,11 @@ def progressive_mauve_cli(argv: List[str]) -> int:
                    help="accepted for reference compatibility; anchors here are "
                    "unique MUMs so repeat penalization does not apply")
     p.add_argument("--no-recursion", action="store_true")
+    p.add_argument("--no-boundary-extension", action="store_true",
+                   help="disable gapped extension of LCB boundaries into "
+                   "unanchored flanks")
+    p.add_argument("--max-extension-flank", type=int, default=1024,
+                   help="per-edge cap on gapped boundary extension")
     p.add_argument("--match-input", default="",
                    help="read matches from a file, skip the anchor search")
     p.add_argument("--version", action="version",
@@ -364,6 +369,8 @@ def progressive_mauve_cli(argv: List[str]) -> int:
         max_gapped_len=a.max_gapped_aligner_length,
         use_sml_cache=not a.disable_cache,
         refine=not a.skip_refinement,
+        boundary_extension=not a.no_boundary_extension,
+        max_extension_flank=a.max_extension_flank,
         skip_backbone=a.no_backbone,
         island_gap_size=a.island_gap_size,
         hmm_identity=a.hmm_identity,

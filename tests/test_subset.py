@@ -10,17 +10,20 @@ from mauvealigner_tpu.utils import simulate
 
 def test_subset_segment_recovered(rng):
     # three genomes: a core 1500bp; g1/g2 additionally share a 600bp segment
-    # APPENDED AFTER the core (outside every n-way LCB, so only the subset
-    # pass can align it)
+    # appended after the core BEYOND the boundary-extension flank cap (an
+    # unshared 1300bp spacer in each genome), so only the anchored subset
+    # pass can align it
     core = simulate.random_genome(rng, 1500)
     seg = simulate.random_genome(rng, 600)
+    junk1 = simulate.random_genome(rng, 1300)
+    junk2 = simulate.random_genome(rng, 1300)
     g0 = Genome(core.seq.copy(), name="g0")
     d1, _ = simulate.evolve(core, rng, sub_rate=0.01)
     d2, _ = simulate.evolve(core, rng, sub_rate=0.01)
     seg1, _ = simulate.evolve(seg, rng, sub_rate=0.01)
     seg2, _ = simulate.evolve(seg, rng, sub_rate=0.01)
-    g1 = Genome(np.concatenate([d1.seq, seg1.seq]), name="g1")
-    g2 = Genome(np.concatenate([d2.seq, seg2.seq]), name="g2")
+    g1 = Genome(np.concatenate([d1.seq, junk1.seq, seg1.seq]), name="g1")
+    g2 = Genome(np.concatenate([d2.seq, junk2.seq, seg2.seq]), name="g2")
 
     pm = ProgressiveMauve(
         ProgressiveOptions(seed_weight=11, use_sml_cache=False, skip_backbone=True)
