@@ -48,19 +48,34 @@ class RepeatoireOptions:
     rmin: int = 2
     rmax: int = 500
     only_direct: bool = False
-    extend: bool = True
-    min_length: int = 0           # drop families shorter than this
+    extend: bool = True           # --extend (default true, :1711)
+    chain: bool = True            # --chain (default true, :1710)
+    min_length: int = 1           # --l minimum repeat length (default 1, :1718)
     min_multiplicity: int = 2
     window_base: float = 80.0     # flank window 80*e^(-0.01*multi) (:1153)
     window_decay: float = 0.01
+    window: int = -1              # --window: >=0 overrides the flank formula (:1155)
+    w: int = 0                    # --w neighborhood window; 0 = seed_weight*3 (:1857)
     max_extension_rounds: int = 8
     gap_open: float = -100.0      # hoxd repeat params (:1994)
     gap_extend: float = -20.0
     hmm_identity: float = 0.7
+    percent_id: float = 0.0       # --percentid: >0 adapts HMM identity (:1903)
+    hmm_go_homologous: float = 0.008  # --h (default 0.008, :1716)
+    hmm_go_unrelated: float = 0.001   # --u (default 0.001, :1738)
     posterior_threshold: float = 0.5
     subsume_overlap: float = 0.8  # component coverage fraction -> subsumed
     onlydirect: bool = False
     find_novel_subsets: bool = False  # --novel-subsets (default false, :1725)
+    allow_redundant: bool = True  # --allow-redundant (default true, :1709)
+    large_repeats: bool = False   # --large-repeats: crop order by length (:2559)
+    small_repeats: bool = False   # --small-repeats (:2561; same key as sp here)
+    only_extended: bool = False   # --onlyextended (:1722)
+    min_sp_score: float = 0.0     # --sp: keep only score > this (:2653)
+    allow_tandem: bool = True     # --tandem (default true, :1735)
+    two_hits: bool = False        # --two-hits: >=2 chained seeds to extend (:2154)
+    solid: bool = False           # --solid seeds (:1733,1845)
+    load_sml: bool = False        # --load-sml: reuse the on-disk SML cache (:1720)
 
 
 @dataclasses.dataclass
@@ -68,6 +83,10 @@ class RepeatFamily:
     starts: np.ndarray   # int64 [k] signed 1-based leftmost per component
     aln: np.ndarray      # bool [k, n_cols]
     score: float = 0.0
+    # components adjacent to each other within the neighborhood window
+    # (src/repeatoire.cpp:898); tandem records are never gapped-extended
+    # (:1162) and are filtered when --tandem=0 (:2653)
+    tandem: bool = False
 
     @property
     def multiplicity(self) -> int:
@@ -111,12 +130,25 @@ def _column_symbols(flanks: List[np.ndarray], aln: np.ndarray) -> np.ndarray:
     return sym
 
 
+def _is_tandem(fam: RepeatFamily, window: int) -> bool:
+    """Another component of the SAME record within the neighborhood window
+    of a component's end (src/repeatoire.cpp:898)."""
+    if fam.multiplicity < 2:
+        return False
+    spans = fam.spans()
+    spans = spans[np.argsort(spans[:, 0])]
+    gaps = spans[1:, 0] - spans[:-1, 1] - 1
+    return bool((gaps <= window).any())
+
+
 def _project_family(fam: RepeatFamily, comps: Sequence[int]) -> RepeatFamily:
     """Component-subset projection (MatchProjectionAdapter analog,
     src/MatchRecord.h:242): keep the given rows, drop all-gap columns."""
     rows = fam.aln[list(comps)]
     keep = rows.any(axis=0)
-    return RepeatFamily(fam.starts[list(comps)].copy(), rows[:, keep])
+    return RepeatFamily(
+        fam.starts[list(comps)].copy(), rows[:, keep], tandem=fam.tandem
+    )
 
 
 class Repeatoire:
@@ -127,8 +159,15 @@ class Repeatoire:
     def seed_matches(self, genome: Genome) -> MatchList:
         o = self.options
         weight = o.z or max(5, int(round(0.9 * default_seed_weight(len(genome)))))
-        self._seed = get_seed(weight, 0)
-        sml = build_sml(genome, self._seed)
+        from mauvealigner_tpu.seeds import SOLID_SEED
+
+        self._seed = get_seed(weight, SOLID_SEED if o.solid else 0)
+        if o.load_sml and genome.filename:
+            from mauvealigner_tpu.core.sml import load_sml
+
+            sml = load_sml(genome, self._seed, cache=True)
+        else:
+            sml = build_sml(genome, self._seed)
         groups = matchops.build_seed_groups([sml])
         return matchops.repeat_matches_from_groups(
             groups,
@@ -154,7 +193,15 @@ class Repeatoire:
     # -- flank window (src/repeatoire.cpp:1153) ----------------------------
     def flank_window(self, multiplicity: int) -> int:
         o = self.options
+        if o.window >= 0:  # --window override (src/repeatoire.cpp:1155)
+            return o.window
         return max(4, int(o.window_base * math.exp(-o.window_decay * multiplicity)))
+
+    def neighborhood_window(self) -> int:
+        """--w: adjacency window for tandem detection and subset spawning
+        (default seed_weight*3, src/repeatoire.cpp:1857)."""
+        o = self.options
+        return o.w if o.w > 0 else getattr(self._seed, "weight", 11) * 3
 
     # -- batched gapped extension -------------------------------------------
     def _gapped_extend_batch(
@@ -272,9 +319,18 @@ class Repeatoire:
     def _hmm_params(self, genome: Genome):
         cached = getattr(self, "_hmm_params_cache", None)
         if cached is None or cached[0] is not genome:
+            o = self.options
             gc = bb.compute_gc([genome])
+            # --percentid > 0 adapts the emission identity
+            # (adaptToPercentIdentity call, src/repeatoire.cpp:1903-1904);
+            # transitions come from --h/--u (:1905-1906)
+            identity = min(o.percent_id, 1.0) if o.percent_id > 0 else o.hmm_identity
             params = bb.adapted_params(
-                gc, identity=self.options.hmm_identity, denovo=True
+                gc,
+                identity=identity,
+                go_homologous=o.hmm_go_homologous,
+                go_unrelated=o.hmm_go_unrelated,
+                denovo=True,
             )
             self._hmm_params_cache = (genome, params)
             cached = self._hmm_params_cache
@@ -284,25 +340,44 @@ class Repeatoire:
     def build_families(self, genome: Genome, ml: MatchList) -> List[RepeatFamily]:
         o = self.options
         fams: List[Tuple[int, int, RepeatFamily]] = []
+        nw = self.neighborhood_window()
         for i in range(len(ml)):
             comps = ml.starts[i][ml.starts[i] != NO_MATCH]
             if len(comps) < o.min_multiplicity:
                 continue
             aln = np.ones((len(comps), int(ml.lengths[i])), bool)
-            fams.append(
-                (len(comps), int(ml.lengths[i]), RepeatFamily(comps.copy(), aln))
-            )
+            fam = RepeatFamily(comps.copy(), aln)
+            fam.tandem = _is_tandem(fam, nw)
+            fams.append((len(comps), int(ml.lengths[i]), fam))
         # procrastination queue: highest multiplicity first, then longest
         fams.sort(key=lambda t: (-t[0], -t[1]))
         # optimistic batched extension: a family's extension depends only on
         # the genome, never on `covered`, so extending every candidate in
         # lockstep waves (one batched DP + one batched HMM call per wave)
         # yields byte-identical output to the sequential loop — subsumed
-        # candidates just waste their share of the batch (~25% measured)
+        # candidates just waste their share of the batch (~25% measured).
+        # Tandem records are never extended (src/repeatoire.cpp:1162); with
+        # --two-hits only chains of >= 2 seeds extend (:2154).
+        def _extendable(f: RepeatFamily) -> bool:
+            if f.tandem:
+                return False
+            if o.two_hits and f.n_cols <= self._seed.length:
+                return False
+            return True
+
         extended = {}
         if o.extend and fams:
-            ext_list = self._gapped_extend_batch(genome, [f for _, _, f in fams])
-            extended = {id(f): e for (_, _, f), e in zip(fams, ext_list)}
+            todo = [f for _, _, f in fams if _extendable(f)]
+            ext_list = self._gapped_extend_batch(genome, todo)
+            extended = {id(f): e for f, e in zip(todo, ext_list)}
+            for _, _, f in fams:
+                ext = extended.get(id(f))
+                if ext is not None:
+                    # re-check adjacency on the grown geometry: extension can
+                    # carry components into each other's window
+                    ext.tandem = f.tandem or _is_tandem(ext, nw)
+                else:
+                    extended[id(f)] = f
         covered = np.zeros(len(genome) + 2, dtype=bool)
         out: List[RepeatFamily] = []
         processed: List[RepeatFamily] = []
@@ -494,21 +569,122 @@ class Repeatoire:
                     score += n_runs * o.gap_open + int(gap.sum()) * o.gap_extend
         return score
 
+    # -- per-nucleotide redundancy removal (--allow-redundant=0,
+    #    src/repeatoire.cpp:2538-2658) ---------------------------------------
+    def _crop_components(
+        self, fam: RepeatFamily, left_crop: np.ndarray, right_crop: np.ndarray
+    ) -> Optional[RepeatFamily]:
+        """Crop genome-left/right edges per component (CropLeft/CropRight,
+        src/repeatoire.cpp:2596-2630); drop emptied components and all-gap
+        columns.  Returns None if < min_multiplicity components survive."""
+        aln = fam.aln.copy()
+        starts = fam.starts.copy()
+        keep_rows = np.ones(fam.multiplicity, bool)
+        for k in range(fam.multiplicity):
+            idx = np.flatnonzero(aln[k])
+            n = len(idx)
+            lc, rc = int(left_crop[k]), int(right_crop[k])
+            if lc + rc >= n:
+                keep_rows[k] = False
+                aln[k] = False
+                continue
+            s = int(starts[k])
+            if s > 0:
+                # genome-left = alignment-left for a forward component
+                if lc:
+                    aln[k, idx[:lc]] = False
+                    starts[k] = s + lc
+                if rc:
+                    aln[k, idx[n - rc :]] = False
+            else:
+                # reverse: genome-left bases sit in the LAST columns
+                if lc:
+                    aln[k, idx[n - lc :]] = False
+                    starts[k] = -(abs(s) + lc)
+                if rc:
+                    aln[k, idx[:rc]] = False
+        if keep_rows.sum() < self.options.min_multiplicity:
+            return None
+        aln = aln[keep_rows]
+        keep_cols = aln.any(axis=0)
+        return RepeatFamily(
+            starts[keep_rows], aln[:, keep_cols], tandem=fam.tandem
+        )
+
+    def _remove_redundancy(
+        self, genome: Genome, fams: List[RepeatFamily]
+    ) -> List[RepeatFamily]:
+        """Assign every nucleotide to its best family (first claim in score
+        order) and crop other families' component edges off the claimed
+        territory (per-nucleotide ownership walk, src/repeatoire.cpp:2545-2634).
+        Crop order: length with --large-repeats (:2559), SP score otherwise."""
+        o = self.options
+        if o.large_repeats:  # score_by_length (:89)
+            key = lambda i: (-fams[i].n_cols, -fams[i].score)
+        elif o.small_repeats:  # scorecmp (:67)
+            key = lambda i: (-fams[i].multiplicity, -fams[i].score)
+        else:  # score_by_sp (:78)
+            key = lambda i: (-fams[i].score, -fams[i].multiplicity)
+        order = sorted(range(len(fams)), key=key)
+        owner = np.full(len(genome) + 2, -1, np.int64)
+        out: List[RepeatFamily] = []
+        for fi in order:
+            f = fams[fi]
+            spans = f.spans()
+            # claim unowned nucleotides first (:2590-2593), then crop edges
+            # owned by another record (:2596-2630)
+            for l, r in spans:
+                seg = owner[l : r + 1]
+                seg[seg == -1] = fi
+            k = f.multiplicity
+            left_crop = np.zeros(k, np.int64)
+            right_crop = np.zeros(k, np.int64)
+            for ki, (l, r) in enumerate(spans):
+                own = owner[l : r + 1] == fi
+                if not own.any():
+                    left_crop[ki] = r - l + 1
+                    continue
+                left_crop[ki] = int(np.argmax(own))
+                right_crop[ki] = int(np.argmax(own[::-1]))
+            if left_crop.any() or right_crop.any():
+                f2 = self._crop_components(f, left_crop, right_crop)
+                if f2 is None:
+                    continue
+                # recompute the SP score after cropping (:2643-2646)
+                f2.score = self.sp_score(genome, f2)
+                out.append(f2)
+            else:
+                out.append(f)
+        return out
+
     # -- full pipeline ------------------------------------------------------
     def find_repeats(self, genome: Genome) -> List[RepeatFamily]:
+        o = self.options
         ml = self.seed_matches(genome)
-        ml = self.chain_seed_matches(ml, genome)
+        if o.chain:
+            ml = self.chain_seed_matches(ml, genome)
         fams = self.build_families(genome, ml)
         for f in fams:
             f.score = self.sp_score(genome, f)
-        fams = [
-            f
-            for f in fams
-            if f.n_cols >= self.options.min_length
-            and f.multiplicity >= self.options.min_multiplicity
-        ]
-        fams.sort(key=lambda f: (-f.multiplicity, -f.score))
-        return fams
+        if not o.allow_redundant:
+            fams = self._remove_redundancy(genome, fams)
+        # final filter chain (src/repeatoire.cpp:2636-2653): min length,
+        # --onlyextended, SP score strictly above --sp, tandem filter
+        out = []
+        for f in fams:
+            if f.n_cols < max(o.min_length, 1):
+                continue
+            if f.multiplicity < o.min_multiplicity:
+                continue
+            if o.only_extended and f.n_cols <= self._seed.length:
+                continue
+            if not (f.score > o.min_sp_score):
+                continue
+            if f.tandem and not o.allow_tandem:
+                continue
+            out.append(f)
+        out.sort(key=lambda f: (-f.multiplicity, -f.score))
+        return out
 
 
 def read_repeats_xmfa(src: Union[str, TextIO]) -> List[RepeatFamily]:
@@ -629,3 +805,25 @@ def write_highest_stats(fams: Sequence[RepeatFamily], out: Union[str, TextIO]) -
     for mult in sorted(best, reverse=True):
         fam = best[mult]
         fh.write(f"{mult}\t{fam.n_cols}\t{fam.score:.1f}\n")
+
+def write_score_out(
+    fams: Sequence[RepeatFamily], genome: Genome, out: Union[str, TextIO]
+) -> None:
+    """Per-family score + alignment info (--score-out, src/repeatoire.cpp:2496,
+    :1732).  One stanza per family: header with multiplicity/columns/SP score
+    and the component coordinate list."""
+    if isinstance(out, str):
+        with open(out, "w") as fh:
+            write_score_out(fams, genome, fh)
+            return
+    fh = out
+    for i, fam in enumerate(fams, 1):
+        fh.write(
+            f"#procrastAlignment {i} multiplicity={fam.multiplicity} "
+            f"columns={fam.n_cols} spscore={fam.score:.1f}"
+            f"{' tandem' if fam.tandem else ''}\n"
+        )
+        spans = fam.spans()
+        for k in range(fam.multiplicity):
+            strand = "+" if fam.starts[k] > 0 else "-"
+            fh.write(f"{spans[k, 0]}\t{spans[k, 1]}\t{strand}\n")

@@ -426,19 +426,74 @@ def repeatoire_cli(argv: List[str]) -> int:
         description="De-novo repeat family detection by chained local "
         "multiple alignment (reference: src/repeatoire.cpp)",
     )
+    def _bool(s: str) -> bool:
+        return s.lower() not in ("0", "false", "no")
+
     p.add_argument("--sequence", required=True)
     p.add_argument("--z", type=int, default=0, help="seed weight")
     p.add_argument("--rmin", type=int, default=2)
     p.add_argument("--rmax", type=int, default=500)
-    p.add_argument("--onlydirect", action="store_true")
-    p.add_argument("--minreplen", type=int, default=0, help="minimum repeat length")
+    p.add_argument("--onlydirect", nargs="?", type=_bool, const=True,
+                   default=False, help="only same-strand seed matches")
+    p.add_argument("--minreplen", "--l", dest="minreplen", type=int, default=1,
+                   help="minimum repeat length (reference --l, default 1)")
     p.add_argument("--no-extend", action="store_true")
-    p.add_argument("--novel-subsets", action="store_true",
+    p.add_argument("--extend", type=_bool, default=True,
+                   help="perform gapped extension on chains (default 1)")
+    p.add_argument("--chain", type=_bool, default=True,
+                   help="chain seeds (default 1)")
+    p.add_argument("--allow-redundant", type=_bool, default=True,
+                   help="allow redundant alignments (default 1; 0 crops "
+                   "per-nucleotide overlaps, src/repeatoire.cpp:2538-2658)")
+    p.add_argument("--large-repeats", type=_bool, default=False,
+                   help="optimize for large repeats (crop order by length)")
+    p.add_argument("--small-repeats", type=_bool, default=False,
+                   help="optimize for small repeats")
+    p.add_argument("--onlyextended", type=_bool, default=False,
+                   help="only output extended matches")
+    p.add_argument("--window", type=int, default=-1,
+                   help="gapped-extension window override (-1 = 80*e^(-0.01m))")
+    p.add_argument("--w", type=int, default=0,
+                   help="neighborhood window (0 = seed_weight*3)")
+    p.add_argument("--gapopen", type=float, default=0,
+                   help="gap open penalty (0 = hoxd default -100)")
+    p.add_argument("--gapextend", type=float, default=0,
+                   help="gap extension penalty (0 = hoxd default -20)")
+    p.add_argument("--h", type=float, default=0.008, dest="go_homo",
+                   help="HMM transition to Homologous")
+    p.add_argument("--u", type=float, default=0.001, dest="go_unrel",
+                   help="HMM transition to Unrelated")
+    p.add_argument("--percentid", type=float, default=0.0,
+                   help="min repeat family %% id (adapts HMM emissions)")
+    p.add_argument("--sp", type=float, default=0.0,
+                   help="minimum Sum-of-Pairs alignment score")
+    p.add_argument("--tandem", type=_bool, default=True,
+                   help="allow tandem repeats (default 1)")
+    p.add_argument("--two-hits", type=_bool, default=False,
+                   help="require two chained hits to trigger gapped extension")
+    p.add_argument("--solid", type=_bool, default=False,
+                   help="use solid/exact seeds")
+    p.add_argument("--load-sml", type=_bool, default=False,
+                   help="reuse the on-disk SML cache")
+    p.add_argument("--unalign", type=_bool, default=True,
+                   help="accepted for reference compatibility (the flag is "
+                   "declared but never consumed in src/repeatoire.cpp)")
+    p.add_argument("--novel-matches", type=_bool, default=True,
+                   help="accepted for reference compatibility; this "
+                   "implementation does not spawn novel records during "
+                   "extension")
+    p.add_argument("--novel-subsets", nargs="?", type=_bool, const=True,
+                   default=False,
                    help="find novel subset matches (reference default false, "
                    "src/repeatoire.cpp:1725)")
-    p.add_argument("--output", default="reps.xmfa", help="XMFA output")
+    p.add_argument("--seeds", default="", help="seed (chained match) output file")
+    p.add_argument("--score-out", default="",
+                   help="per-family score and alignment info output")
+    p.add_argument("--output", "--xmfa", dest="output", default="reps.xmfa",
+                   help="XMFA output")
     p.add_argument("--xml", default="", help="XML output")
-    p.add_argument("--highest", default="", help="per-multiplicity stats output")
+    p.add_argument("--highest", default="procrast.highest",
+                   help="per-multiplicity stats output")
     a = p.parse_args(argv)
 
     from mauvealigner_tpu.models.repeatoire import (
@@ -447,6 +502,7 @@ def repeatoire_cli(argv: List[str]) -> int:
         write_highest_stats,
         write_repeats_xmfa,
         write_repeats_xml,
+        write_score_out,
     )
 
     genome = load_genome(a.sequence)
@@ -456,15 +512,44 @@ def repeatoire_cli(argv: List[str]) -> int:
         rmax=a.rmax,
         only_direct=a.onlydirect,
         min_length=a.minreplen,
-        extend=not a.no_extend,
+        extend=a.extend and not a.no_extend,
+        chain=a.chain,
+        allow_redundant=a.allow_redundant,
+        large_repeats=a.large_repeats,
+        small_repeats=a.small_repeats,
+        only_extended=a.onlyextended,
+        window=a.window,
+        w=a.w,
+        min_sp_score=a.sp,
+        allow_tandem=a.tandem,
+        two_hits=a.two_hits,
+        solid=a.solid,
+        load_sml=a.load_sml,
+        percent_id=a.percentid,
+        hmm_go_homologous=a.go_homo,
+        hmm_go_unrelated=a.go_unrel,
         find_novel_subsets=a.novel_subsets,
     )
-    fams = Repeatoire(opts).find_repeats(genome)
+    if a.gapopen:
+        opts.gap_open = -abs(a.gapopen)
+    if a.gapextend:
+        opts.gap_extend = -abs(a.gapextend)
+    rp = Repeatoire(opts)
+    if a.seeds:
+        ml = rp.seed_matches(genome)
+        if opts.chain:
+            ml = rp.chain_seed_matches(ml, genome)
+        from mauvealigner_tpu.core.mln import write_match_list
+
+        write_match_list(ml, a.seeds, [genome.name], [len(genome)])
+    fams = rp.find_repeats(genome)
     write_repeats_xmfa(fams, genome, a.output)
     if a.xml:
         write_repeats_xml(fams, genome, a.xml)
     if a.highest:
         write_highest_stats(fams, a.highest)
+    if a.score_out:
+        write_score_out(fams, genome, a.score_out)
     print(f"{len(fams)} repeat families")
     return 0
 

@@ -172,3 +172,96 @@ def test_repeatoire_cli(rng, tmp_path, monkeypatch):
     assert os.path.exists("reps.xmfa")
     assert os.path.exists("reps.xml")
     assert os.path.exists("procrast.highest")
+
+
+def test_redundancy_removal_crops_overlaps(rng):
+    # duplicated-chain scenario: multiple overlapping records of one family
+    g, _ = _genome_with_repeats(rng, n_copies=4, unit_len=200, mutate=6)
+    dup = Repeatoire(RepeatoireOptions(z=9, allow_redundant=True)).find_repeats(g)
+    uniq = Repeatoire(RepeatoireOptions(z=9, allow_redundant=False)).find_repeats(g)
+
+    def overclaim(fams):
+        claimed = np.zeros(len(g) + 2, np.int32)
+        for f in fams:
+            for l, r in f.spans():
+                claimed[l : r + 1] += 1
+        return int(np.maximum(claimed - 1, 0).sum())
+
+    # cropping is edge-only (reference :2596-2630): interior overlap may
+    # survive, but total double-claimed territory must drop substantially
+    assert overclaim(uniq) < overclaim(dup) * 0.5, (overclaim(uniq), overclaim(dup))
+    # the family is still recovered
+    assert uniq and uniq[0].multiplicity >= 4
+    assert len(uniq) <= len(dup)
+
+
+def test_tandem_detection_and_filter(rng):
+    # tandem: back-to-back copies with no spacer
+    unit = simulate.random_genome(rng, 150).seq
+    parts = [simulate.random_genome(rng, 400).seq] + [unit.copy() for _ in range(3)]
+    parts.append(simulate.random_genome(rng, 400).seq)
+    g = Genome(np.concatenate(parts), name="tandem")
+    fams = Repeatoire(RepeatoireOptions(z=9)).find_repeats(g)
+    assert any(f.tandem for f in fams), "tandem flag not set"
+    filtered = Repeatoire(RepeatoireOptions(z=9, allow_tandem=False)).find_repeats(g)
+    assert not any(f.tandem for f in filtered)
+
+
+def test_two_hits_and_window_override(rng):
+    g, _ = _genome_with_repeats(rng, n_copies=3, unit_len=150, mutate=4)
+    base = Repeatoire(RepeatoireOptions(z=9)).find_repeats(g)
+    th = Repeatoire(RepeatoireOptions(z=9, two_hits=True)).find_repeats(g)
+    assert th  # still finds the chained family
+    w0 = Repeatoire(RepeatoireOptions(z=9, window=0)).find_repeats(g)
+    # window=0 forbids any flank extension: components never exceed their
+    # chained extent, so total columns cannot exceed the default run's
+    assert max(f.n_cols for f in w0) <= max(f.n_cols for f in base)
+
+
+def test_min_sp_and_only_extended_filters(rng):
+    g, _ = _genome_with_repeats(rng, n_copies=3, unit_len=150)
+    all_f = Repeatoire(RepeatoireOptions(z=9)).find_repeats(g)
+    top_score = max(f.score for f in all_f)
+    strict = Repeatoire(
+        RepeatoireOptions(z=9, min_sp_score=top_score - 1)
+    ).find_repeats(g)
+    assert all(f.score > top_score - 1 for f in strict)
+    ext_only = Repeatoire(
+        RepeatoireOptions(z=9, only_extended=True)
+    ).find_repeats(g)
+    seed_len = Repeatoire(RepeatoireOptions(z=9))
+    for f in ext_only:
+        assert f.n_cols > 9  # longer than any seed
+
+
+def test_repeatoire_cli_extended_flags(rng, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    g, _ = _genome_with_repeats(rng, n_copies=3, unit_len=120)
+    from mauvealigner_tpu.genome import write_fasta
+    from mauvealigner_tpu.tools.cli import main
+
+    write_fasta(g, "g.fa")
+    rc = main(
+        [
+            "repeatoire",
+            "--sequence=g.fa",
+            "--z=9",
+            "--allow-redundant=0",
+            "--tandem=1",
+            "--two-hits=1",
+            "--sp=0",
+            "--w=30",
+            "--window=40",
+            "--h=0.008",
+            "--u=0.001",
+            "--seeds=seeds.mln",
+            "--score-out=scores.txt",
+            "--xmfa=out.xmfa",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists("out.xmfa")
+    assert os.path.exists("seeds.mln")
+    assert os.path.exists("scores.txt")
+    assert os.path.exists("procrast.highest")  # reference default stat file
+    assert "#procrastAlignment" in open("scores.txt").read()
