@@ -49,6 +49,45 @@ def _read_alignment(path: str, seq_files: List[str]) -> IntervalList:
 
 # ---------------------------------------------------------------- flagship
 
+def _matches_from_intervals(ivl: IntervalList):
+    """Extract ungapped multi-matches from an interval list: maximal gapless
+    column runs where every present row has a base (the --lcb-match-input
+    re-entry semantics, src/mauveAligner.cpp:504-514)."""
+    from mauvealigner_tpu.core.match import MatchList
+
+    rows, lens = [], []
+    n = ivl.n_seqs
+    for iv in ivl.intervals:
+        present = iv.starts != 0
+        if present.sum() < 2:
+            continue
+        T = iv.aln.shape[1]
+        pos = np.zeros((n, T), np.int64)
+        for g in np.nonzero(present)[0]:
+            s = int(iv.starts[g])
+            mask = iv.aln[g]
+            m = int(mask.sum())
+            pos[g, mask] = (
+                np.arange(s, s + m)
+                if s > 0
+                else -(np.arange(abs(s) + m - 1, abs(s) - 1, -1))
+            )
+        full = iv.aln[present].all(axis=0)
+        d = np.diff(np.concatenate([[0], full.view(np.int8), [0]]))
+        for s0, e0 in zip(np.nonzero(d == 1)[0], np.nonzero(d == -1)[0]):
+            if e0 <= s0:
+                continue
+            row = np.zeros(n, np.int64)
+            for g in np.nonzero(present)[0]:
+                pg = pos[g, s0:e0]
+                row[g] = int(pg[0]) if pg[0] > 0 else -abs(int(pg[-1]))
+            rows.append(row)
+            lens.append(e0 - s0)
+    if not rows:
+        return MatchList(np.zeros((0, n), np.int64), np.zeros(0, np.int64))
+    return MatchList(np.stack(rows), np.asarray(lens, np.int64))
+
+
 @tool("mauveAligner")
 def mauve_aligner_cli(argv: List[str]) -> int:
     p = argparse.ArgumentParser(
@@ -68,9 +107,42 @@ def mauve_aligner_cli(argv: List[str]) -> int:
     )
     p.add_argument("--weight", type=float, default=None, help="minimum LCB weight")
     p.add_argument("--no-recursion", action="store_true")
+    p.add_argument("--no-lcb-extension", action="store_true",
+                   help="skip the LCB extension phase")
+    p.add_argument("--max-extension-iterations", type=int, default=4,
+                   help="LCB extension passes (src/mauveAligner.cpp:879)")
+    p.add_argument("--min-recursive-gap-length", type=int, default=200,
+                   help="minimum gap size to recurse into (src/mauveAligner.cpp:899)")
     p.add_argument("--no-gapped-alignment", action="store_true")
     p.add_argument("--collinear", action="store_true")
     p.add_argument("--no-nway-filter", action="store_true", help="keep subset matches")
+    p.add_argument("--eliminate-overlaps", action="store_true",
+                   help="(--mums) eliminate overlapping match regions before output")
+    p.add_argument("--n-way-filter", action="store_true",
+                   help="(--mums) keep only matches in all genomes")
+    p.add_argument("--coverage-output", nargs="?", const="-", default="",
+                   help="(--mums) write a pairwise match coverage list")
+    p.add_argument("--output-guide-tree", default="",
+                   help="(--mums) write a coverage-distance NJ guide tree")
+    p.add_argument("--alignment-output-dir", default="",
+                   help="write per-LCB alignment files into this directory")
+    p.add_argument("--permutation-matrix-min-weight", type=float, default=None,
+                   help="minimum LCB weight for the permutation output "
+                   "(scaled by sequence count, src/mauveAligner.cpp:682-685)")
+    p.add_argument("--muscle-args", default="",
+                   help="accepted for reference compatibility; gapped "
+                   "alignment is on-device DP, no MUSCLE subprocess")
+    p.add_argument("--island-break-min", type=int, default=0,
+                   help="accepted; declared but never consumed in the "
+                   "reference (src/mauveAligner.cpp:123,313)")
+    p.add_argument("--id-matrix-input", default="",
+                   help="accepted; dead in the reference (its option handler "
+                   "falls through, src/mauveAligner.cpp:370-372)")
+    p.add_argument("--lcb-match-input", action="store_true",
+                   help="--match-input file is an interval (.mln) file; "
+                   "extract its ungapped matches (src/mauveAligner.cpp:504-514)")
+    p.add_argument("--version", action="version",
+                   version="%(prog)s (mauvealigner_tpu)")
     p.add_argument("--max-gapped-aligner-length", type=int, default=4096)
     p.add_argument("--island-size", type=int, default=0)
     p.add_argument("--island-output", default="")
@@ -109,12 +181,17 @@ def mauve_aligner_cli(argv: List[str]) -> int:
         a.seed_type
     ]
     genomes = load_genomes(a.seqs)
+    if (a.island_size != 0) != (a.island_output != ""):
+        p.error("Both --island-output and --island-size must be specified")
     opts = AlignerOptions(
         seed_size=a.seed_size,
         seed_rank=rank,
         lcb_weight=a.weight,
         collinear=a.collinear,
         recursive=not a.no_recursion,
+        min_recursion_gap=a.min_recursive_gap_length,
+        lcb_extension=not a.no_lcb_extension,
+        max_extension_iters=a.max_extension_iterations,
         gapped=not a.no_gapped_alignment,
         max_gapped_len=a.max_gapped_aligner_length,
         nway_filter=not a.no_nway_filter,
@@ -153,7 +230,13 @@ def mauve_aligner_cli(argv: List[str]) -> int:
         from mauvealigner_tpu.seeds import default_mer_size, get_seed
 
         if a.match_input:
-            ml, _, _ = mln.read_match_list(a.match_input)
+            if a.lcb_match_input:
+                # interval-file match input: extract the ungapped matches of
+                # every LCB (src/mauveAligner.cpp:504-514)
+                ivl_in = mln.read_interval_list(a.match_input, genomes)
+                ml = _matches_from_intervals(ivl_in)
+            else:
+                ml, _, _ = mln.read_match_list(a.match_input)
             aligner._seed_weight = a.seed_size or default_mer_size(
                 int(np.mean([len(g) for g in genomes]))
             )
@@ -176,8 +259,30 @@ def mauve_aligner_cli(argv: List[str]) -> int:
 
     if a.mums:
         ml = _find_matches()
+        if a.eliminate_overlaps:
+            ml = ml.eliminate_overlaps()
+        if a.n_way_filter:
+            ml = ml.multiplicity_filter(len(genomes))
         with open_out(a.output) as fh:
             mln.write_match_list(ml, fh, a.seqs, [len(g) for g in genomes])
+        if a.output_guide_tree or a.coverage_output:
+            # count each base pair once (src/mauveAligner.cpp:611-614)
+            cov_ml = ml if a.eliminate_overlaps else ml.eliminate_overlaps()
+            from mauvealigner_tpu.analysis.distance import coverage_distance_matrix
+
+            dist = coverage_distance_matrix(cov_ml, [len(g) for g in genomes])
+            if a.coverage_output:
+                with open_out(a.coverage_output) as fh:
+                    n = len(genomes)
+                    for i in range(n):
+                        for j in range(i + 1, n):
+                            fh.write(f"{i}\t{j}\t{1.0 - dist[i, j]:.6f}\n")
+            if a.output_guide_tree:
+                from mauvealigner_tpu.analysis.tree import neighbor_joining, write_newick
+
+                tree = neighbor_joining(dist, [str(i) for i in range(len(genomes))])
+                with open(a.output_guide_tree, "w") as fh:
+                    fh.write(write_newick(tree) + "\n")
         return 0
     if a.lcb_input:
         ivl = mln.read_interval_list(a.lcb_input, genomes)
@@ -188,6 +293,8 @@ def mauve_aligner_cli(argv: List[str]) -> int:
 
     ml = _find_matches()
     ml, lcbs = aligner.determine_lcbs(genomes, ml)
+    if opts.lcb_extension:
+        ml, lcbs = aligner.extend_lcbs(genomes, ml, lcbs)
     if opts.recursive:
         ml, lcbs = aligner.recursive_anchor(genomes, ml, lcbs)
     if a.realign_lcb:
@@ -204,38 +311,53 @@ def mauve_aligner_cli(argv: List[str]) -> int:
     with open_out(a.output) as fh:
         mln.write_match_list(res.mums, fh, a.seqs, [len(g) for g in genomes])
     if a.output_alignment:
+        # always XMFA (WriteStandardAlignment, src/mauveAligner.cpp:746-760);
+        # --alignment-output-format applies to the per-LCB dir output only
         res.interval_list.seq_filenames = list(a.seqs)
-        fmt = a.alignment_output_format.lower()
-        if fmt in ("xmfa", "mauve"):
-            res.interval_list.write_xmfa(a.output_alignment)
-        elif fmt == "clustal":
-            from mauvealigner_tpu.tools.convert import write_clustal
-
-            with open(a.output_alignment, "w") as fh:
-                write_clustal(res.interval_list, fh)
-        elif fmt == "phylip":
-            from mauvealigner_tpu.tools.convert import write_phylip
-
-            with open(a.output_alignment, "w") as fh:
-                write_phylip(res.interval_list, fh)
-        elif fmt == "mfa":
-            from mauvealigner_tpu.tools.convert import to_multi_fasta
-
-            to_multi_fasta(res.interval_list, a.output_alignment)
-        else:
-            res.interval_list.write_xmfa(a.output_alignment)
+        res.interval_list.write_xmfa(a.output_alignment)
     if a.id_matrix:
         from mauvealigner_tpu.analysis.distance import identity_matrix, write_matrix
 
         write_matrix(identity_matrix(res.interval_list, genomes), a.id_matrix)
+    if a.alignment_output_dir:
+        import os
+
+        from mauvealigner_tpu.core.interval import IntervalList as _IVL
+        from mauvealigner_tpu.tools.convert import to_multi_fasta, write_clustal, write_phylip
+
+        os.makedirs(a.alignment_output_dir, exist_ok=True)
+        fmt = a.alignment_output_format.lower()
+        for li, iv in enumerate(res.interval_list.intervals):
+            sub = _IVL(genomes=list(genomes), intervals=[iv],
+                       seq_filenames=list(a.seqs))
+            path = os.path.join(a.alignment_output_dir, f"lcb_{li}.txt")
+            if fmt == "clustal":
+                with open(path, "w") as fh:
+                    write_clustal(sub, fh)
+            elif fmt == "phylip":
+                with open(path, "w") as fh:
+                    write_phylip(sub, fh)
+            elif fmt == "mfa":
+                to_multi_fasta(sub, path)
+            else:
+                sub.write_xmfa(path)
     if a.permutation_matrix_output:
         from mauvealigner_tpu.tools.convert import lcb_signed_permutations
 
+        perm_lcbs = res.lcbs
+        if a.permutation_matrix_min_weight is not None:
+            # scaled by sequence count like SetPermutationOutput
+            # (src/mauveAligner.cpp:682-685)
+            min_w = a.permutation_matrix_min_weight * len(genomes)
+            perm_lcbs = [l for l in perm_lcbs if l.weight >= min_w]
         with open(a.permutation_matrix_output, "w") as fh:
-            for perm in lcb_signed_permutations(res.lcbs):
+            for perm in lcb_signed_permutations(perm_lcbs):
                 fh.write("\t".join(str(v) for v in perm) + "\n")
     if a.island_output and a.island_size:
-        from mauvealigner_tpu.analysis.islands import simple_find_islands
+        from mauvealigner_tpu.analysis.islands import (
+            find_islands_between_lcbs,
+            simple_find_islands,
+        )
 
         with open(a.island_output, "w") as fh:
             for isl in simple_find_islands(res.interval_list, a.island_size):
@@ -243,6 +365,10 @@ def mauve_aligner_cli(argv: List[str]) -> int:
                     f"{isl.seq_i}\t{isl.left_i}\t{isl.right_i}\t"
                     f"{isl.seq_j}\t{isl.left_j}\t{isl.right_j}\n"
                 )
+            for seq, left, right in find_islands_between_lcbs(
+                res.interval_list, [len(g) for g in genomes], a.island_size
+            ):
+                fh.write(f"{seq}\t{left}\t{right}\n")
     if a.backbone_output and a.backbone_size:
         from mauvealigner_tpu.analysis.islands import simple_find_backbone, write_backbone
 
@@ -274,7 +400,8 @@ def progressive_mauve_cli(argv: List[str]) -> int:
     p.add_argument("--mums", action="store_true")
     p.add_argument("--skip-gapped-alignment", action="store_true")
     p.add_argument("--skip-refinement", action="store_true")
-    p.add_argument("--no-backbone", action="store_true")
+    p.add_argument("--no-backbone", "--disable-backbone", dest="no_backbone",
+                   action="store_true")
     p.add_argument("--backbone-output", default="")
     p.add_argument("--bbcols-output", default="")
     p.add_argument("--island-gap-size", type=int, default=20)
@@ -315,6 +442,10 @@ def progressive_mauve_cli(argv: List[str]) -> int:
     p.add_argument("--penalize-repeats", action="store_true",
                    help="accepted for reference compatibility; anchors here are "
                    "unique MUMs so repeat penalization does not apply")
+    p.add_argument("--repeat-penalty", choices=["negative", "zero"],
+                   default="negative",
+                   help="accepted for reference compatibility (anchors here "
+                   "are unique MUMs, src/progressiveMauve.cpp:295)")
     p.add_argument("--no-recursion", action="store_true")
     p.add_argument("--no-boundary-extension", action="store_true",
                    help="disable gapped extension of LCB boundaries into "

@@ -183,3 +183,65 @@ end;
     assert run(["extractBCITrees", "t.trprobs", "bci.nwk", "--credibility=0.9"]) == 0
     lines = open("bci.nwk").read().strip().splitlines()
     assert len(lines) == 2  # 0.6 + 0.3 >= 0.9
+
+
+def test_mauve_aligner_mums_extras(workdir):
+    rc = run(
+        [
+            "mauveAligner", "a.fa", "b.fa", "--seed-size=11", "--mums",
+            "--eliminate-overlaps", "--n-way-filter",
+            "--output=m.mln", "--coverage-output=cov.txt",
+            "--output-guide-tree=gt.nwk",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists("m.mln")
+    assert os.path.exists("cov.txt") and open("cov.txt").read().strip()
+    assert open("gt.nwk").read().strip().endswith(";")
+
+
+def test_mauve_aligner_extension_and_dir_output(workdir):
+    rc = run(
+        [
+            "mauveAligner", "a.fa", "b.fa", "--seed-size=11",
+            "--no-lcb-extension", "--max-extension-iterations=2",
+            "--min-recursive-gap-length=100",
+            "--output=m.mln", "--output-alignment=o.xmfa",
+            "--alignment-output-dir=lcbs", "--alignment-output-format=clustal",
+            "--permutation-matrix-output=perm.txt",
+            "--permutation-matrix-min-weight=1",
+            "--muscle-args=-maxiters 2", "--island-break-min=5",
+        ]
+    )
+    assert rc == 0
+    assert os.path.isdir("lcbs") and os.listdir("lcbs")
+    assert "CLUSTAL" in open(os.path.join("lcbs", "lcb_0.txt")).read()
+    assert os.path.exists("perm.txt")
+
+
+def test_mauve_aligner_lcb_match_input(workdir):
+    # produce an alignment, write its intervals as .mln, re-enter via
+    # --match-input + --lcb-match-input
+    rc = run(
+        ["mauveAligner", "a.fa", "b.fa", "--seed-size=11",
+         "--output=m.mln", "--output-alignment=o1.xmfa"]
+    )
+    assert rc == 0
+    from mauvealigner_tpu.core import mln
+    from mauvealigner_tpu.core.interval import IntervalList as IVL
+
+    ivl = IVL.read_xmfa("o1.xmfa")
+    from mauvealigner_tpu.tools.common import load_genomes
+
+    ivl.genomes = load_genomes(["a.fa", "b.fa"])
+    mln.write_interval_list(ivl, "ivs.mln")
+    rc = run(
+        ["mauveAligner", "a.fa", "b.fa", "--seed-size=11",
+         "--match-input=ivs.mln", "--lcb-match-input",
+         "--output=m2.mln", "--output-alignment=o2.xmfa"]
+    )
+    assert rc == 0
+    assert os.path.exists("o2.xmfa")
+    # re-entry reproduces a full-coverage alignment
+    text = open("o2.xmfa").read()
+    assert text.count("=") >= 1
