@@ -414,7 +414,9 @@ class Repeatoire:
         src/repeatoire.cpp:963-989; spawn at :1514-1596).  Spawns whose M_i
         projection is already subsumed by M_j carry nothing novel and are
         dropped (:1560-1573)."""
-        w = self.flank_window(fam.multiplicity)
+        # adjacency uses the neighborhood window (w, :2101), not the
+        # extension-flank formula
+        w = self.neighborhood_window()
         spans_i = fam.spans()
         out: List[RepeatFamily] = []
         for mj in processed:
