@@ -30,7 +30,8 @@ from mauvealigner_tpu.ops import hmm as hmm_ops
 # projection — the reference scores the PROJECTED pair (both-gap columns
 # removed), so they must be emission-neutral, not gap-emitting
 SYM_MATCH, SYM_TRANSITION, SYM_TRANSVERSION, SYM_GAP, SYM_NONE = 0, 1, 2, 3, 4
-N_SYMBOLS = 4
+N_SYMBOLS = 5        # symbol alphabet incl. SYM_NONE
+N_EMIT_SYMBOLS = 4   # emission classes (SYM_NONE is emission-neutral)
 STATE_H, STATE_U = 0, 1
 
 
@@ -161,33 +162,46 @@ def pairwise_homology_posteriors(
     consumes the thresholded posterior."""
     genomes = ivs.genomes
     overlap = 512
-    jobs = []  # (key, chunk_start, symbols_chunk, full_len)
+    # SYM_NONE (both-gap) columns are REMOVED before the decode — the
+    # reference decodes the pairwise projection, which does not contain
+    # them, so transition probability must not accrue across a long
+    # third-sequence insertion.  Posteriors are scattered back to full
+    # column space with forward-fill across the removed columns (the
+    # projected decode's state carries over them; detect_backbone masks
+    # those columns with iv.aln anyway).
+    jobs = []  # (key, chunk_start_in_compact, symbols_chunk)
+    compact_idx: Dict[Tuple[int, int, int], np.ndarray] = {}
+    full_len: Dict[Tuple[int, int, int], int] = {}
     for k, iv in enumerate(ivs.intervals):
         present = [s for s in range(iv.n_seqs) if iv.starts[s] != 0]
         for ai in range(len(present)):
             for bi in range(ai + 1, len(present)):
                 i, j = present[ai], present[bi]
                 sym_full = column_symbols(iv, genomes, i, j)
-                T_full = len(sym_full)
-                if T_full <= max_cols:
-                    jobs.append(((k, i, j), 0, sym_full, T_full))
+                key = (k, i, j)
+                nz = np.nonzero(sym_full != SYM_NONE)[0]
+                full_len[key] = len(sym_full)
+                compact_idx[key] = nz
+                sym_c = sym_full[nz]
+                T_c = len(sym_c)
+                if T_c == 0:
+                    continue
+                if T_c <= max_cols:
+                    jobs.append((key, 0, sym_c))
                 else:
                     # chunk with overlap; posteriors stitched mid-overlap
                     step = max_cols - overlap
-                    for a in range(0, T_full, step):
-                        b = min(a + max_cols, T_full)
-                        jobs.append(((k, i, j), a, sym_full[a:b], T_full))
-                        if b == T_full:
+                    for a in range(0, T_c, step):
+                        b = min(a + max_cols, T_c)
+                        jobs.append((key, a, sym_c[a:b]))
+                        if b == T_c:
                             break
     out: Dict[Tuple[int, int, int], np.ndarray] = {}
     if not jobs:
         return out
-    # 5th column: SYM_NONE (both-gap) emits log-prob 0 in both states
-    log_emit_table = np.concatenate(
-        [params.log_emit_table(), np.zeros((2, 1))], axis=1
-    )  # [2, 5]
+    log_emit_table = params.log_emit_table()  # [2, 4]
     emits = [
-        log_emit_table[:, sym].T.astype(np.float32) for (_, _, sym, _) in jobs
+        log_emit_table[:, sym].T.astype(np.float32) for (_, _, sym) in jobs
     ]
     decoded = hmm_ops.bucketed_decode(
         emits,
@@ -197,15 +211,30 @@ def pairwise_homology_posteriors(
         threshold=0.5 if threshold is None else threshold,
         max_cols=max_cols,
     )
-    for (key, a, sym, T_full), p in zip(jobs, decoded):
-        if key not in out:
-            out[key] = np.zeros(T_full, bool if threshold is not None else np.float64)
+    compact_out: Dict[Tuple[int, int, int], np.ndarray] = {}
+    for (key, a, sym), p in zip(jobs, decoded):
+        if key not in compact_out:
+            compact_out[key] = np.zeros(
+                len(compact_idx[key]), bool if threshold is not None else np.float64
+            )
         if a == 0:
-            out[key][a : a + len(sym)] = p
+            compact_out[key][a : a + len(sym)] = p
         else:
             # skip the first half-overlap (burn-in) when stitching
             skip = overlap // 2
-            out[key][a + skip : a + len(sym)] = p[skip:]
+            compact_out[key][a + skip : a + len(sym)] = p[skip:]
+    for key, pc in compact_out.items():
+        nz = compact_idx[key]
+        T_full = full_len[key]
+        if len(nz) == T_full:
+            out[key] = pc
+        else:
+            # forward-fill from the nearest decoded column at/before each
+            # position (clamped to the first decoded column at the start)
+            carry = np.maximum(
+                np.searchsorted(nz, np.arange(T_full), side="right") - 1, 0
+            )
+            out[key] = pc[carry]
     return out
 
 

@@ -36,9 +36,13 @@ def match_and_gap_scores(
 ) -> Tuple[float, float]:
     """(substitution score, gap score) summed over all sequence pairs.
 
-    Vectorized over columns via symbol counts: the pairwise substitution sum
-    is (m^T S m - sum_c n_c S_cc)/2 per column, and pairwise gap-run starts
-    between consecutive columns reduce to class-count products.
+    The pairwise substitution sum is vectorized over columns via symbol
+    counts: (m^T S m - sum_c n_c S_cc)/2 per column.  Gap-run opens are
+    counted per sequence pair over the PAIRWISE PROJECTION (both-gap
+    columns removed, so a run continues across them) — an O(k^2) loop over
+    pairs, each O(T) vectorized.  Gap extensions reduce to the per-column
+    count product n_gap*n_base (both-gap pairs contribute nothing, matching
+    the projection).
     """
     k, T = col_codes.shape
     if T == 0 or k < 2:

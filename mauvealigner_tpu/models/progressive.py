@@ -278,7 +278,13 @@ class ProgressiveMauve:
 
             # before the subset pass: a full-multiplicity LCB edge extends at
             # full arity; clade-restricted subset recovery then works over
-            # whatever remains unclaimed
+            # whatever remains unclaimed.
+            # NOTE: full-length-alignment semantics — non-homologous flank
+            # columns produced here are stripped later by the backbone HMM
+            # (apply_backbone un-aligns them).  Under --disable-backbone they
+            # stay aligned, exactly as the reference emits its full gapped
+            # closure when applyBackbone is skipped
+            # (src/progressiveMauve.cpp:712-719).
             with timer.phase("boundary_extension"):
                 ivl = extend_interval_boundaries(
                     ivl,

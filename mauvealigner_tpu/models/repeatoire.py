@@ -87,6 +87,9 @@ class RepeatFamily:
     # (src/repeatoire.cpp:898); tandem records are never gapped-extended
     # (:1162) and are filtered when --tandem=0 (:2653)
     tandem: bool = False
+    # number of seed windows chained into this record
+    # (chained_matches.size(); gates extension under --two-hits, :2154)
+    seed_count: int = 1
 
     @property
     def multiplicity(self) -> int:
@@ -177,18 +180,37 @@ class Repeatoire:
             only_direct=o.only_direct or o.onlydirect,
         )
 
-    def chain_seed_matches(self, ml: MatchList, genome: Genome) -> MatchList:
+    def chain_seed_matches(
+        self, ml: MatchList, genome: Genome
+    ) -> Tuple[MatchList, np.ndarray]:
         """Merge diagonal-consistent consecutive seed groups (the ungapped
         chaining phase).  Reuses the multi-MUM run-merge on the component
-        table, then extends runs to base-level maximality."""
+        table, then extends runs to base-level maximality.
+
+        Returns ``(matches, seed_counts)`` where ``seed_counts[i]`` is the
+        number of seed windows chained into match i (the analog of the
+        reference's ``chained_matches.size()``, src/repeatoire.cpp:2154,
+        which gates gapped extension under --two-hits).  Matches identical
+        after base-level extension keep the max count of their origins."""
         if len(ml) == 0:
-            return ml
+            return ml, np.zeros(0, np.int64)
         pos0 = np.where(ml.starts != 0, np.abs(ml.starts) - 1, -1)
         rel_strand = np.where(ml.starts < 0, 1, 0).astype(np.int8)
         ref = np.zeros(len(ml), np.int32)  # column 0 = reference component
         merged = matchops.merge_collinear_runs(pos0, rel_strand, ref, self._seed.length)
-        merged = matchops.extend_matches_maximal(merged, [genome.codes] * merged.n_seqs)
-        return merged.dedup()
+        # seed windows per run: a run covering L columns holds L-z+1 windows
+        counts = merged.lengths - self._seed.length + 1
+        ext = matchops.extend_matches_maximal(
+            merged, [genome.codes] * merged.n_seqs, dedup=False
+        )
+        rows = np.concatenate([ext.starts, ext.lengths[:, None]], axis=1)
+        _, first_idx, inverse = np.unique(
+            rows, axis=0, return_index=True, return_inverse=True
+        )
+        max_counts = np.zeros(len(first_idx), np.int64)
+        np.maximum.at(max_counts, inverse, counts)
+        order = np.argsort(first_idx, kind="stable")
+        return ext.select(first_idx[order]), max_counts[order]
 
     # -- flank window (src/repeatoire.cpp:1153) ----------------------------
     def flank_window(self, multiplicity: int) -> int:
@@ -337,7 +359,12 @@ class Repeatoire:
         return cached[1]
 
     # -- step 3-5: procrastinated gapped extension --------------------------
-    def build_families(self, genome: Genome, ml: MatchList) -> List[RepeatFamily]:
+    def build_families(
+        self,
+        genome: Genome,
+        ml: MatchList,
+        seed_counts: Optional[np.ndarray] = None,
+    ) -> List[RepeatFamily]:
         o = self.options
         fams: List[Tuple[int, int, RepeatFamily]] = []
         nw = self.neighborhood_window()
@@ -348,6 +375,9 @@ class Repeatoire:
             aln = np.ones((len(comps), int(ml.lengths[i])), bool)
             fam = RepeatFamily(comps.copy(), aln)
             fam.tandem = _is_tandem(fam, nw)
+            fam.seed_count = (
+                int(seed_counts[i]) if seed_counts is not None else 1
+            )
             fams.append((len(comps), int(ml.lengths[i]), fam))
         # procrastination queue: highest multiplicity first, then longest
         fams.sort(key=lambda t: (-t[0], -t[1]))
@@ -361,7 +391,12 @@ class Repeatoire:
         def _extendable(f: RepeatFamily) -> bool:
             if f.tandem:
                 return False
-            if o.two_hits and f.n_cols <= self._seed.length:
+            # --two-hits: only records chaining >= 2 seed windows extend
+            # (chained_matches.size() > 1, src/repeatoire.cpp:2154); the
+            # count is tracked through chaining, NOT inferred from n_cols
+            # (base-level maximal extension lengthens single-seed matches
+            # past the seed length, which would defeat the gate)
+            if o.two_hits and getattr(f, "seed_count", 1) < 2:
                 return False
             return True
 
@@ -548,7 +583,11 @@ class Repeatoire:
     # -- step 6: SP score ---------------------------------------------------
     def sp_score(self, genome: Genome, fam: RepeatFamily) -> float:
         """Sum-of-pairs hoxd score with affine gaps (computeSPScore,
-        src/repeatoire.cpp:2511-2536)."""
+        src/repeatoire.cpp:2511-2536).  Delegates to the shared
+        analysis/sp.py implementation: both-gap columns are projected out
+        per pair, and gap-run opens are charged per sequence."""
+        from mauvealigner_tpu.analysis import sp as sp_mod
+
         o = self.options
         k, T = fam.aln.shape
         col_codes = np.full((k, T), 5, np.int8)
@@ -556,20 +595,10 @@ class Repeatoire:
         for i in range(k):
             codes = genome.sub_codes_signed(int(fam.starts[i]), int(lens[i]))
             col_codes[i, fam.aln[i]] = np.minimum(codes, 4)
-        score = 0.0
-        subst = dp.HOXD70
-        for i in range(k):
-            for j in range(i + 1, k):
-                a, b2 = col_codes[i], col_codes[j]
-                both = (a < 5) & (b2 < 5)
-                score += float(subst[a[both], b2[both]].sum())
-                # affine gaps: each maximal run where exactly one is gapped
-                gap = (a == 5) ^ (b2 == 5)
-                if gap.any():
-                    d = np.diff(np.concatenate([[0], gap.view(np.int8), [0]]))
-                    n_runs = int((d == 1).sum())
-                    score += n_runs * o.gap_open + int(gap.sum()) * o.gap_extend
-        return score
+        m, g = sp_mod.match_and_gap_scores(
+            col_codes, dp.HOXD70, o.gap_open, o.gap_extend
+        )
+        return m + g
 
     # -- per-nucleotide redundancy removal (--allow-redundant=0,
     #    src/repeatoire.cpp:2538-2658) ---------------------------------------
@@ -619,7 +648,17 @@ class Repeatoire:
         """Assign every nucleotide to its best family (first claim in score
         order) and crop other families' component edges off the claimed
         territory (per-nucleotide ownership walk, src/repeatoire.cpp:2545-2634).
-        Crop order: length with --large-repeats (:2559), SP score otherwise."""
+        Crop order: length with --large-repeats (:2559), SP score otherwise.
+
+        Claims persist even when the claiming family is later dropped —
+        the reference marks subsuming_match before cropping (:2590-2593)
+        and never unmarks, so a record that subsequently fails the
+        length/SP/tandem filters still blocks lower-ranked records.
+        Deviation: the reference crops a fully-subsumed component to
+        length 1 and keeps the row (CropLeft(Length-1), :2607-2610); we
+        drop the row (and the family if < min_multiplicity survive) —
+        1-bp stubs would mostly gap every column and sink the recomputed
+        SP score anyway."""
         o = self.options
         if o.large_repeats:  # score_by_length (:89)
             key = lambda i: (-fams[i].n_cols, -fams[i].score)
@@ -660,12 +699,24 @@ class Repeatoire:
         return out
 
     # -- full pipeline ------------------------------------------------------
-    def find_repeats(self, genome: Genome) -> List[RepeatFamily]:
+    def find_repeats(
+        self,
+        genome: Genome,
+        matches: Optional[Tuple[MatchList, Optional[np.ndarray]]] = None,
+    ) -> List[RepeatFamily]:
+        """Full repeat-finding pipeline.  ``matches`` optionally supplies a
+        precomputed (chained) match list + per-match seed counts so callers
+        that already ran the seed phase (e.g. the CLI's --seeds output) do
+        not pay for it twice."""
         o = self.options
-        ml = self.seed_matches(genome)
-        if o.chain:
-            ml = self.chain_seed_matches(ml, genome)
-        fams = self.build_families(genome, ml)
+        if matches is not None:
+            ml, seed_counts = matches
+        else:
+            ml = self.seed_matches(genome)
+            seed_counts = None
+            if o.chain:
+                ml, seed_counts = self.chain_seed_matches(ml, genome)
+        fams = self.build_families(genome, ml, seed_counts)
         for f in fams:
             f.score = self.sp_score(genome, f)
         if not o.allow_redundant:

@@ -459,14 +459,17 @@ def merge_collinear_runs(
 
 
 def extend_matches_maximal(
-    match_list: MatchList, genome_codes: Sequence[np.ndarray], chunk: int = 64
+    match_list: MatchList, genome_codes: Sequence[np.ndarray], chunk: int = 64,
+    dedup: bool = True,
 ) -> MatchList:
     """Extend every match to base-level maximality and deduplicate.
 
     Mirrors MemHash's seed extension: grow left/right in match space while
     every participating genome agrees on the next column's base (ambiguity
     codes never match).  Vectorized host pass over all matches at once,
-    `chunk` columns per iteration.
+    `chunk` columns per iteration.  With ``dedup=False`` the output keeps a
+    1:1 row correspondence with the input (callers that carry per-match
+    metadata deduplicate themselves).
     """
     if len(match_list) == 0:
         return match_list
@@ -488,7 +491,8 @@ def extend_matches_maximal(
         )
         starts = np.frombuffer(s_out, np.int64).reshape(n, n_seqs).copy()
         lengths = np.frombuffer(l_out, np.int64).copy()
-        return MatchList(starts, lengths).dedup()
+        out = MatchList(starts, lengths)
+        return out.dedup() if dedup else out
     seq_lens = np.array([len(c) for c in genome_codes], dtype=np.int64)
 
     def gather_col(offsets_from_end: np.ndarray, side: str) -> np.ndarray:
@@ -553,7 +557,7 @@ def extend_matches_maximal(
                 lengths += ext
             active = full
     out = MatchList(starts, lengths)
-    return out.dedup()
+    return out.dedup() if dedup else out
 
 
 def find_multi_mums(

@@ -666,14 +666,17 @@ def repeatoire_cli(argv: List[str]) -> int:
     if a.gapextend:
         opts.gap_extend = -abs(a.gapextend)
     rp = Repeatoire(opts)
+    matches = None
     if a.seeds:
         ml = rp.seed_matches(genome)
+        seed_counts = None
         if opts.chain:
-            ml = rp.chain_seed_matches(ml, genome)
+            ml, seed_counts = rp.chain_seed_matches(ml, genome)
         from mauvealigner_tpu.core.mln import write_match_list
 
         write_match_list(ml, a.seeds, [genome.name], [len(genome)])
-    fams = rp.find_repeats(genome)
+        matches = (ml, seed_counts)
+    fams = rp.find_repeats(genome, matches=matches)
     write_repeats_xmfa(fams, genome, a.output)
     if a.xml:
         write_repeats_xml(fams, genome, a.xml)

@@ -162,3 +162,23 @@ def test_check_for_lgt_unrooted_complement():
     assert check_for_lgt(t, {"a", "b"}, {"c", "d"}) is False
     t2 = parse_newick("(a,(c,(b,d)));")
     assert check_for_lgt(t2, {"a", "b"}, {"c", "d"}) is True
+
+
+def test_posteriors_invariant_to_both_gap_columns(rng):
+    """Decoding the pair inside a 3-way interval (with a third-sequence
+    insert producing SYM_NONE columns) must give EXACTLY the projected
+    pairwise decode on the real columns: both-gap columns are removed
+    before the HMM, not fed through as neutral time steps."""
+    ivl3 = _threeway_with_insert(rng, flank=300, insert=300)
+    iv3 = ivl3.intervals[0]
+    # the same (g0, g1) pair as its own 2-way interval (insert columns gone)
+    keep = iv3.aln[0] | iv3.aln[1]
+    iv2 = Interval(iv3.starts[:2].copy(), iv3.aln[:2][:, keep])
+    ivl2 = IntervalList(genomes=ivl3.genomes[:2], intervals=[iv2])
+    params = bb.adapted_params(0.5, identity=0.95)
+    p3 = bb.pairwise_homology_posteriors(ivl3, params)[(0, 0, 1)]
+    p2 = bb.pairwise_homology_posteriors(ivl2, params)[(0, 0, 1)]
+    real_cols = np.nonzero(keep)[0]
+    np.testing.assert_allclose(p3[real_cols], p2, rtol=0, atol=0)
+    # forward-fill across the removed run keeps the posterior meaningful
+    assert p3[300:600].min() > 0.5

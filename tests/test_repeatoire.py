@@ -265,3 +265,100 @@ def test_repeatoire_cli_extended_flags(rng, tmp_path, monkeypatch):
     assert os.path.exists("scores.txt")
     assert os.path.exists("procrast.highest")  # reference default stat file
     assert "#procrastAlignment" in open("scores.txt").read()
+
+
+def test_chain_seed_counts(rng):
+    """chain_seed_matches reports the number of seed windows per chained
+    match (chained_matches.size() analog): a repeat of exactly seed length
+    chains 1 window; a longer one chains L-z+1."""
+    from mauvealigner_tpu.seeds import get_seed
+
+    z = 9
+    r = Repeatoire(RepeatoireOptions(z=z))
+    slen = get_seed(z, 0).length  # spaced seed: window length > weight
+    unit_long = simulate.random_genome(rng, slen + 31).seq
+    unit_short = simulate.random_genome(rng, slen).seq
+    g = Genome(
+        np.concatenate(
+            [
+                simulate.random_genome(rng, 200).seq,
+                unit_long,
+                simulate.random_genome(rng, 200).seq,
+                unit_long,
+                simulate.random_genome(rng, 200).seq,
+                unit_short,
+                simulate.random_genome(rng, 200).seq,
+                unit_short,
+                simulate.random_genome(rng, 200).seq,
+            ]
+        )
+    )
+    ml = r.seed_matches(g)
+    ml2, counts = r.chain_seed_matches(ml, g)
+    assert len(counts) == len(ml2)
+    # the slen+31 bp unit chains 32 windows (maximal extension may grow
+    # the final length, but the chained window count is fixed pre-extension)
+    assert max(counts) >= 32
+    # some match carries a single-window chain (the seed-length unit; its
+    # extended length may exceed z, but its count stays 1)
+    assert min(counts) == 1
+
+
+def test_two_hits_gates_extension_by_seed_count(rng):
+    """--two-hits must gate on the chained seed-window count, not on the
+    post-extension length: a single-seed match grown past seed length by
+    maximal extension is still a one-hit record."""
+    z = 9
+    r = Repeatoire(RepeatoireOptions(z=z, two_hits=True))
+    g, _ = _genome_with_repeats(rng, n_copies=2, unit_len=150)
+    ml = r.seed_matches(g)
+    ml2, counts = r.chain_seed_matches(ml, g)
+    fams = r.build_families(g, ml2, counts)
+    for f in fams:
+        assert f.seed_count >= 1
+    # at least one family from the 150bp unit chains many windows
+    assert any(f.seed_count > 1 for f in fams)
+
+
+def test_sp_score_projects_both_gap_columns(rng):
+    """A both-gap column inside one component's gap run must not split the
+    run into two gap opens (pairwise-projection semantics)."""
+    from mauvealigner_tpu.models.repeatoire import RepeatFamily
+
+    g = Genome(simulate.random_genome(rng, 100).seq)
+    r = Repeatoire(RepeatoireOptions())
+    # 3 components, 10 columns; component 2 gapped at cols 4-6, component 1
+    # gapped at col 5 only (the both-gap column vs component 2)
+    aln = np.ones((3, 10), bool)
+    aln[2, 4:7] = False
+    aln[1, 5] = False
+    starts = np.array([1, 30, 60], np.int64)
+    fam = RepeatFamily(starts, aln)
+    o = r.options
+    score = r.sp_score(g, fam)
+    # recompute by hand with explicit projection per pair
+    from mauvealigner_tpu.analysis import sp as sp_mod
+    from mauvealigner_tpu.ops import dp
+
+    k = 3
+    col_codes = np.full((3, 10), 5, np.int8)
+    lens = fam.component_lengths()
+    for i in range(3):
+        codes = g.sub_codes_signed(int(starts[i]), int(lens[i]))
+        col_codes[i, aln[i]] = np.minimum(codes, 4)
+    expect = 0.0
+    for i in range(k):
+        for j in range(i + 1, k):
+            a, b = col_codes[i], col_codes[j]
+            keep = ~((a == 5) & (b == 5))
+            a, b = a[keep], b[keep]
+            both = (a < 5) & (b < 5)
+            expect += float(dp.HOXD70[a[both], b[both]].sum())
+            for gvec in (a == 5, b == 5):
+                if gvec.any():
+                    d = np.diff(np.concatenate([[0], gvec.view(np.int8), [0]]))
+                    expect += int((d == 1).sum()) * o.gap_open
+                    expect += int(gvec.sum()) * o.gap_extend
+    assert score == pytest.approx(expect)
+    # pair (1,2): one gap run in each sequence after projection -> exactly
+    # two opens among them, not three
