@@ -719,6 +719,12 @@ def score_alignment_cli(argv: List[str]) -> int:
         ]
     score = score_alignment(correct, calculated, lengths)
     sys.stdout.write(score.summary())
+    # reference-convention counter block (the reference binary's exact
+    # Sensitivity/Specificity labeling, incl. its quirks — see
+    # analysis/score_alignment.ReferenceCounters)
+    from mauvealigner_tpu.analysis.score_alignment import reference_counters
+
+    sys.stdout.write(reference_counters(correct, calculated, lengths).summary())
     if a.evolved_seqs:
         from mauvealigner_tpu.analysis.distance import identity_matrix
         from mauvealigner_tpu.genome.fasta import read_fasta_records

@@ -130,3 +130,64 @@ ORIGIN
     assert main(["bbBreakOnGenes", "bb.backbone", "ref.gbk", "broken.txt"]) == 0
     rows = [l for l in open("broken.txt").read().splitlines() if not l.startswith("seq0")]
     assert len(rows) == 3  # split at 201 and 401
+
+
+# ---------------- reference-convention scoreAlignment counters ----------------
+
+def _two_seq_ivl(aln0, aln1, g0len=6, g1len=6):
+    from mauvealigner_tpu.core.interval import Interval, IntervalList
+
+    g0 = Genome.from_string("A" * g0len, name="g0")
+    g1 = Genome.from_string("A" * g1len, name="g1")
+    iv = Interval(
+        np.array([1, 1], np.int64),
+        np.stack([np.array(aln0, bool), np.array(aln1, bool)]),
+    )
+    return IntervalList(genomes=[g0, g1], intervals=[iv])
+
+
+def test_reference_counters_missed_pair_in_aligned_region_is_fp():
+    """Calc aligns the base to a gap where correct pairs it -> FP
+    (src/scoreAlignment.cpp:433-437), counted once per direction."""
+    from mauvealigner_tpu.analysis.score_alignment import reference_counters
+
+    correct = _two_seq_ivl([1, 1, 1, 1], [1, 1, 1, 1])
+    calc = _two_seq_ivl([1, 1, 1, 1, 0], [1, 1, 1, 0, 1])
+    rc = reference_counters(correct, calc, [6, 6])
+    assert (rc.tp, rc.fp, rc.fn, rc.tn) == (6, 2, 0, 0)
+    assert rc.total == 8
+    assert rc.unaligned_fn == 0
+
+
+def test_reference_counters_overalignment_is_fn():
+    """Calc pairs two bases where correct aligns each to a gap -> FN
+    (src/scoreAlignment.cpp:428-429)."""
+    from mauvealigner_tpu.analysis.score_alignment import reference_counters
+
+    correct = _two_seq_ivl([1, 1, 1, 1, 0], [1, 1, 1, 0, 1])
+    calc = _two_seq_ivl([1, 1, 1, 1], [1, 1, 1, 1])
+    rc = reference_counters(correct, calc, [6, 6])
+    assert (rc.tp, rc.fp, rc.fn, rc.tn) == (6, 0, 2, 0)
+
+
+def test_reference_counters_unaligned_miss_is_fn():
+    """A correct pair whose base sits in NO calculated interval -> FN via
+    unaligned_fn (src/scoreAlignment.cpp:352-355)."""
+    from mauvealigner_tpu.analysis.score_alignment import reference_counters
+
+    correct = _two_seq_ivl([1, 1, 1, 1], [1, 1, 1, 1])
+    calc = _two_seq_ivl([1, 1, 1], [1, 1, 1])
+    rc = reference_counters(correct, calc, [6, 6])
+    assert (rc.tp, rc.fn) == (6, 2)
+    assert rc.unaligned_fn == 2
+    assert rc.fp == 0
+
+
+def test_reference_counters_perfect_alignment():
+    from mauvealigner_tpu.analysis.score_alignment import reference_counters
+
+    correct = _two_seq_ivl([1, 1, 1, 1, 0], [1, 1, 1, 0, 1])
+    rc = reference_counters(correct, correct, [6, 6])
+    assert rc.fp == 0 and rc.fn == 0
+    assert rc.tp == 6 and rc.tn == 2  # the two gap-aligned bases, per direction
+    assert "Sensitivity: TP / TP + FN = 1" in rc.summary()
