@@ -21,9 +21,12 @@ def bb_filter(
     min_length: int = 20,
     independence_distance: int = 0,
 ) -> List[np.ndarray]:
-    """Drop segments shorter than min_length nt in every member sequence
-    (<20nt filter, src/bbFilter.cpp:21-37); optionally enforce a minimum
-    distance between reported segments (min-independence)."""
+    """Drop segments whose AVERAGE member-sequence length (integer
+    division) is below min_length (ShorterThan, src/bbFilter.cpp:21-37).
+    The independence distance is enforced when nonzero; note the reference
+    parses the argument but its check is dead code (check_independence is
+    hard-coded false, src/bbFilter.cpp:61,142) — pass 0 for strict
+    reference behavior."""
     out: List[np.ndarray] = []
     last_end: Optional[np.ndarray] = None
     for r in rows:
@@ -31,7 +34,7 @@ def bb_filter(
         lens = np.abs(r[1::2]) - np.abs(r[::2]) + 1
         if not members.any():
             continue
-        if lens[members].max() < min_length:
+        if int(lens[members].sum()) // int(members.sum()) < min_length:
             continue
         if independence_distance and last_end is not None:
             gaps = np.abs(r[::2]) - last_end
@@ -42,12 +45,50 @@ def bb_filter(
     return out
 
 
-def presence_absence_matrix(rows: Sequence[np.ndarray], n_seqs: int) -> np.ndarray:
-    """Binary segment-by-genome presence matrix (BEAST/GenoPlast input)."""
+def presence_absence_matrix(
+    rows: Sequence[np.ndarray], n_seqs: int, informative_only: bool = False
+) -> np.ndarray:
+    """Binary segment-by-genome presence matrix (BEAST/GenoPlast input).
+
+    With informative_only, rows present in every genome or in none are
+    dropped (the reference's good_bb = ~(nway | nunya),
+    src/bbFilter.cpp:117-140): constant site patterns carry no signal."""
     m = np.zeros((len(rows), n_seqs), np.int8)
     for i, r in enumerate(rows):
         m[i] = (r[::2] != 0).astype(np.int8)
+    if informative_only and len(m):
+        keep = (m.sum(axis=1) > 0) & (m.sum(axis=1) < n_seqs)
+        m = m[keep]
     return m
+
+
+def add_unique_segments_rows(rows: List[np.ndarray]) -> List[np.ndarray]:
+    """addUniqueSegments over bare backbone rows (src/bbFilter.cpp:90):
+    per genome, append regions covered by no row as single-genome
+    segments; genome lengths are inferred from the maximum coordinate."""
+    if not rows:
+        return rows
+    n = len(rows[0]) // 2
+    out = list(rows)
+    for s in range(n):
+        glen = max((int(np.abs(r[2 * s + 1])) for r in rows), default=0)
+        if glen == 0:
+            continue
+        covered = np.zeros(glen + 2, bool)
+        for r in rows:
+            l, rr = abs(int(r[2 * s])), abs(int(r[2 * s + 1]))
+            if l > 0:
+                covered[l : rr + 1] = True
+        free = ~covered[1 : glen + 1]
+        d = np.diff(np.concatenate([[0], free.view(np.int8), [0]]))
+        starts = np.nonzero(d == 1)[0] + 1
+        ends = np.nonzero(d == -1)[0]
+        for a, b in zip(starts, ends):
+            row = np.zeros(2 * n, np.int64)
+            row[2 * s] = a
+            row[2 * s + 1] = b
+            out.append(row)
+    return out
 
 
 def write_beast_xml(matrix: np.ndarray, names: Sequence[str], out: TextIO) -> None:

@@ -1322,17 +1322,28 @@ def bb_filter_cli(argv: List[str]) -> int:
         write_genoplast,
     )
 
+    from mauvealigner_tpu.tools.backbone_tools import add_unique_segments_rows
+
     rows = read_backbone_seq_file(a.backbone)
-    filtered = bb_filter(rows, a.min_length, a.independence)
     n_seqs = len(rows[0]) // 2 if rows else 0
+    # reference order: add genome-unique segments, then the short filter
+    # (src/bbFilter.cpp:90-96)
+    rows = add_unique_segments_rows(rows)
+    filtered = bb_filter(rows, a.min_length, a.independence)
     names = a.names.split(",") if a.names else [f"seq{i}" for i in range(n_seqs)]
     with open_out(a.output) as fh:
         if a.format == "backbone":
             write_backbone_seq_file(filtered, fh, n_seqs)
         elif a.format == "beast":
-            write_beast_xml(presence_absence_matrix(filtered, n_seqs), names, fh)
+            write_beast_xml(
+                presence_absence_matrix(filtered, n_seqs, informative_only=True),
+                names, fh,
+            )
         else:
-            write_genoplast(presence_absence_matrix(filtered, n_seqs), names, fh)
+            write_genoplast(
+                presence_absence_matrix(filtered, n_seqs, informative_only=True),
+                names, fh,
+            )
     return 0
 
 

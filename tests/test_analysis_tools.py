@@ -191,3 +191,38 @@ def test_reference_counters_perfect_alignment():
     assert rc.fp == 0 and rc.fn == 0
     assert rc.tp == 6 and rc.tn == 2  # the two gap-aligned bases, per direction
     assert "Sensitivity: TP / TP + FN = 1" in rc.summary()
+
+
+def test_bb_filter_mean_length_and_informative_only():
+    """ShorterThan drops rows with integer-mean member length < threshold
+    (src/bbFilter.cpp:21-37); feature matrices exclude constant patterns
+    (good_bb, :117-140)."""
+    from mauvealigner_tpu.tools.backbone_tools import (
+        add_unique_segments_rows,
+        bb_filter,
+        presence_absence_matrix,
+    )
+
+    rows = [
+        np.array([1, 40, 1, 40], np.int64),       # mean 40 -> kept, but constant
+        np.array([41, 65, 0, 0], np.int64),       # mean 25 -> kept, informative
+        np.array([66, 75, 41, 65], np.int64),     # (10+25)//2 = 17 -> dropped
+        np.array([0, 0, 66, 70], np.int64),       # mean 5 -> dropped
+    ]
+    kept = bb_filter(rows, min_length=20)
+    assert len(kept) == 2
+    m = presence_absence_matrix(kept, 2, informative_only=True)
+    # only the genome-0-unique row is informative
+    assert m.shape == (1, 2)
+    assert m.tolist() == [[1, 0]]
+    # unique-segment synthesis: genome 1 is uncovered over [66, 75] after
+    # the rows above (its max coord is 65 from row idx 2 -> no gap), genome 0
+    # fully covered -> nothing new except trailing regions within max coords
+    rows2 = [
+        np.array([1, 30, 1, 30], np.int64),
+        np.array([51, 80, 31, 60], np.int64),
+    ]
+    aug = add_unique_segments_rows(rows2)
+    extra = [r.tolist() for r in aug[2:]]
+    assert [31, 50, 0, 0] in extra  # genome-0 hole between the two rows
+    assert all(r[0] != 0 or r[2] != 0 for r in aug)
