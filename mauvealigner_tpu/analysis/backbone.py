@@ -421,7 +421,9 @@ def read_backbone_seq_file(src: Union[str, TextIO]) -> List[np.ndarray]:
 def write_backbone_cols_file(
     segments: List[BackboneColumnSegment], out: Union[str, TextIO]
 ) -> None:
-    """.bbcols: per line `interval_index<TAB>col_start<TAB>col_end<TAB>seq,seq,...`."""
+    """.bbcols: per line `interval col_start col_end seq seq ...` — all
+    whitespace-separated tokens, the format the reference's bbcols reader
+    consumes (src/stripSubsetLCBs.cpp:78-104)."""
     if isinstance(out, str):
         with open(out, "w") as fh:
             write_backbone_cols_file(segments, fh)
@@ -429,7 +431,7 @@ def write_backbone_cols_file(
     for seg in segments:
         out.write(
             f"{seg.interval_index}\t{seg.col_start}\t{seg.col_end}\t"
-            + ",".join(str(s) for s in seg.seqs)
+            + "\t".join(str(s) for s in seg.seqs)
             + "\n"
         )
 
@@ -440,12 +442,14 @@ def read_backbone_cols_file(src: Union[str, TextIO]) -> List[BackboneColumnSegme
             return read_backbone_cols_file(fh)
     out = []
     for line in src:
-        line = line.strip()
-        if not line:
+        toks = line.replace(",", " ").split()
+        if not toks:
             continue
-        k, a, b, seqs = line.split("\t")
         out.append(
-            BackboneColumnSegment(int(k), int(a), int(b), [int(x) for x in seqs.split(",")])
+            BackboneColumnSegment(
+                int(toks[0]), int(toks[1]), int(toks[2]),
+                [int(x) for x in toks[3:]],
+            )
         )
     return out
 

@@ -71,6 +71,27 @@ class Interval:
         keep = self.aln.any(axis=0)
         return Interval(self.starts.copy(), self.aln[:, keep])
 
+    def column_slice(self, a: int, b: int) -> "Interval":
+        """Sub-interval over columns [a, b) with starts recomputed
+        (CropStart/CropEnd semantics, reference call site
+        src/stripSubsetLCBs.cpp:130-131)."""
+        aln = self.aln[:, a:b].copy()
+        starts = np.zeros(self.n_seqs, np.int64)
+        for s in range(self.n_seqs):
+            st = int(self.starts[s])
+            if st == 0 or not aln[s].any():
+                continue
+            n_before = int(self.aln[s, :a].sum())
+            n_in = int(aln[s].sum())
+            if st > 0:
+                starts[s] = st + n_before
+            else:
+                # reverse: alignment-left columns hold the genome-rightmost
+                # bases, so skipping n_before columns drops from the right
+                length = int(self.aln[s].sum())
+                starts[s] = -(abs(st) + length - n_before - n_in)
+        return Interval(starts, aln)
+
     def column_to_position(self, seq: int, col: int) -> int:
         """Alignment column -> signed 1-based sequence position (0 if gap).
 

@@ -971,19 +971,49 @@ def strip_gap_columns_cli(argv: List[str]) -> int:
 
 @tool("stripSubsetLCBs")
 def strip_subset_lcbs_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="stripSubsetLCBs")
+    p = argparse.ArgumentParser(
+        prog="stripSubsetLCBs",
+        description="Keep backbone blocks covering enough genomes "
+        "(reference: src/stripSubsetLCBs.cpp).  With --bbcols, crops each "
+        "backbone-column segment out of its interval (reference mode); "
+        "without, filters whole LCBs.",
+    )
     p.add_argument("alignment")
     p.add_argument("output")
-    p.add_argument("--min-seqs", type=int, default=2)
-    p.add_argument("--min-length", type=int, default=1)
-    p.add_argument("--sample", type=int, default=None)
+    p.add_argument("--bbcols", default="",
+                   help="bbcols file: reference mode (crop backbone segments)")
+    p.add_argument("--min-seqs", type=int, default=None,
+                   help="min genomes per block (default: all, reference "
+                   "src/stripSubsetLCBs.cpp:123)")
+    p.add_argument("--min-length", type=int, default=1,
+                   help="min mean block length (reference 'min LCB size')")
+    p.add_argument("--sample", type=int, default=None,
+                   help="subsample to N blocks (whole-LCB mode)")
+    p.add_argument("--sample-kb", type=int, default=0,
+                   help="subsample to ~N kb of columns (reference mode)")
     p.add_argument("seqs", nargs="*")
     a = p.parse_args(argv)
-    from mauvealigner_tpu.tools.manipulate import strip_subset_lcbs
+    from mauvealigner_tpu.tools.manipulate import (
+        strip_subset_lcbs,
+        strip_subset_lcbs_bbcols,
+    )
 
-    strip_subset_lcbs(
-        _read_alignment(a.alignment, a.seqs), a.min_seqs, a.min_length, a.sample
-    ).write_xmfa(a.output)
+    ivl = _read_alignment(a.alignment, a.seqs)
+    if a.bbcols:
+        from mauvealigner_tpu.analysis.backbone import read_backbone_cols_file
+
+        out = strip_subset_lcbs_bbcols(
+            ivl,
+            read_backbone_cols_file(a.bbcols),
+            min_block_length=a.min_length,
+            min_genomes=a.min_seqs,
+            sample_kb=a.sample_kb,
+        )
+    else:
+        out = strip_subset_lcbs(
+            ivl, a.min_seqs if a.min_seqs is not None else 2, a.min_length, a.sample
+        )
+    out.write_xmfa(a.output)
     return 0
 
 

@@ -38,6 +38,50 @@ def strip_subset_lcbs(
     )
 
 
+def strip_subset_lcbs_bbcols(
+    ivs: IntervalList,
+    segments,
+    min_block_length: int = 0,
+    min_genomes: Optional[int] = None,
+    sample_kb: int = 0,
+    seed: int = 37,
+) -> IntervalList:
+    """Reference stripSubsetLCBs semantics (src/stripSubsetLCBs.cpp:125-167):
+    crop each backbone-column segment with >= min_genomes members out of
+    its interval, keep crops whose MEAN per-sequence length (over all
+    sequences, integer division) reaches min_block_length, optionally
+    random-subsample blocks until ~sample_kb cumulative alignment columns."""
+    n = ivs.n_seqs
+    if min_genomes is None:
+        min_genomes = n
+    kept = []
+    for seg in segments:
+        if len(seg.seqs) < min_genomes:
+            continue
+        iv = ivs.intervals[seg.interval_index]
+        sub = iv.column_slice(seg.col_start, seg.col_end)
+        avglen = int(sub.seq_lengths().sum()) // n
+        if avglen >= min_block_length:
+            kept.append(sub)
+    if sample_kb and kept:
+        rng = np.random.default_rng(seed)
+        sampled = set()
+        cur_kb = 0.0
+        # reference quirk: the loop counter also adds 1 kb per draw
+        # (src/stripSubsetLCBs.cpp:149)
+        while cur_kb < sample_kb and len(sampled) < len(kept):
+            block = int(rng.integers(0, len(kept)))
+            cur_kb += 1.0
+            if block in sampled:
+                continue
+            sampled.add(block)
+            cur_kb += kept[block].n_cols / 1000.0
+        kept = [kept[i] for i in sorted(sampled)]
+    return IntervalList(
+        genomes=ivs.genomes, intervals=kept, seq_filenames=list(ivs.seq_filenames)
+    )
+
+
 # -- alignmentProjector (src/alignmentProjector.cpp:30) ---------------------
 
 def alignment_projector(ivs: IntervalList, seq_indices: Sequence[int]) -> IntervalList:

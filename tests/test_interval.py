@@ -110,3 +110,37 @@ def test_strip_gap_columns():
     )
     stripped = iv.strip_gap_columns()
     assert stripped.n_cols == 2
+
+
+def test_column_slice_forward_and_reverse():
+    from mauvealigner_tpu.core.interval import Interval
+
+    # fwd row positions 10..15 over 8 cols with gaps at cols 2,5
+    aln0 = np.array([1, 1, 0, 1, 1, 0, 1, 1], bool)
+    # rev row: |start|=50, len 5, gaps at cols 0,3,4 -> cols 1,2,5,6,7 are
+    # genome coords 54,53,52,51,50 (right-to-left)
+    aln1 = np.array([0, 1, 1, 0, 0, 1, 1, 1], bool)
+    iv = Interval(np.array([10, -50], np.int64), np.stack([aln0, aln1]))
+    sub = iv.column_slice(3, 7)
+    # fwd: cols 3,4,6 carry bases 12,13,14 -> start 12
+    assert sub.starts[0] == 12
+    assert int(sub.aln[0].sum()) == 3
+    # rev: cols 5,6 in the slice carry genome coords 52,51 -> leftmost 51
+    assert sub.starts[1] == -51
+    assert int(sub.aln[1].sum()) == 2
+    # round-trip positions agree with the parent's column_to_position
+    for s in range(2):
+        for c in range(4):
+            got = sub.column_to_position(s, c)
+            want = iv.column_to_position(s, 3 + c)
+            assert got == want, (s, c, got, want)
+
+
+def test_column_slice_full_range_is_identity():
+    from mauvealigner_tpu.core.interval import Interval
+
+    aln = np.ones((2, 6), bool)
+    iv = Interval(np.array([5, -9], np.int64), aln)
+    sub = iv.column_slice(0, 6)
+    assert (sub.starts == iv.starts).all()
+    assert (sub.aln == iv.aln).all()
