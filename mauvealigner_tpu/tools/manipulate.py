@@ -299,22 +299,40 @@ def sort_contigs(
 def contig_placements_from_lcbs(
     draft: Genome, lcbs, draft_seq_index: int, ref_seq_index: int = 0
 ) -> List[Tuple[int, int, int]]:
-    """Derive (contig, strand, ref_position) placements from LCBs: each draft
-    contig is placed at the reference position of its heaviest LCB."""
-    best: dict = {}
-    for lcb in lcbs:
-        if lcb.lefts[draft_seq_index] == 0 or lcb.lefts[ref_seq_index] == 0:
-            continue
-        # map via the span midpoint: maximal-match extension can spill a few
-        # chance bases across a contig boundary, so the left edge is unreliable
-        mid = (int(lcb.lefts[draft_seq_index]) + int(lcb.rights[draft_seq_index])) // 2
-        ci, _ = draft.global_to_local(max(1, min(mid, len(draft))))
-        strand = int(lcb.strands[draft_seq_index]) * int(lcb.strands[ref_seq_index]) or 1
-        key = ci
-        score = lcb.weight
-        if key not in best or best[key][0] < score:
-            best[key] = (score, strand, int(lcb.lefts[ref_seq_index]))
-    return [(ci, strand, pos) for ci, (score, strand, pos) in sorted(best.items())]
+    """Derive (contig, strand, order) placements with the reference's
+    placement walk (src/sortContigs.cpp:74-128): LCBs are visited in
+    reference coordinate order (the left-to-right adjacency walk); each LCB
+    places EVERY draft contig its span overlaps, walking the contig range
+    forward or backward with the LCB's relative orientation; the first
+    placement of a contig wins (placed_contigs check, :108-110)."""
+    order = sorted(
+        (i for i in range(len(lcbs))
+         if lcbs[i].lefts[draft_seq_index] != 0 and lcbs[i].lefts[ref_seq_index] != 0),
+        key=lambda i: int(lcbs[i].lefts[ref_seq_index]),
+    )
+    out: List[Tuple[int, int, int]] = []
+    pos = 0
+    for i in order:
+        lcb = lcbs[i]
+        l = int(lcb.lefts[draft_seq_index])
+        r = int(lcb.rights[draft_seq_index])
+        # the reference walks [lend, rend-1] (:81): the one-base trim keeps
+        # a match that barely spills over a contig boundary from dragging
+        # the next contig along.  Our matches are base-level maximal (chance
+        # agreement extends a few bases past the true boundary), so trim a
+        # little deeper on both ends: a boundary contig joins the range only
+        # when the LCB overlaps it by > 15 bases.
+        trim = min(15, (r - l) // 2)
+        cl, _ = draft.global_to_local(max(1, min(l + trim, len(draft))))
+        cr, _ = draft.global_to_local(max(1, min(r - trim - 1, len(draft))))
+        forward = (
+            int(lcb.strands[draft_seq_index]) * int(lcb.strands[ref_seq_index])
+        ) >= 0
+        walk = range(cl, cr + 1) if forward else range(cr, cl - 1, -1)
+        for ci in walk:
+            out.append((ci, 1 if forward else -1, pos))
+            pos += 1
+    return out
 
 
 # -- unalign (src/unalign.cpp) ----------------------------------------------

@@ -77,3 +77,31 @@ def test_sort_contigs_then_align(rng):
         if iv.starts[0] != 0 and iv.multiplicity() >= 2
     )
     assert covered > 6000
+
+
+def test_lcb_spanning_contigs_places_all(rng):
+    """An LCB spanning several draft contigs places each of them in walk
+    order (src/sortContigs.cpp:104-118) — the span walk, not one contig
+    per LCB."""
+    from mauvealigner_tpu.genome.sequence import Contig
+
+    ref = simulate.random_genome(rng, 3000, name="ref")
+    # draft contigs c0..c5 of 500 bp each, shuffled: LCBs will span runs of
+    # consecutive contigs because the draft is contiguous with the reference
+    seq = ref.seq.copy()
+    draft = Genome(
+        np.concatenate([seq[1000:3000], seq[:1000]]),
+        contigs=[Contig(f"c{i}", 500, 500 * i) for i in range(6)],
+        name="d",
+    )
+    aligner = MauveAligner(
+        AlignerOptions(seed_size=11, gapped=False, recursive=False, use_sml_cache=False)
+    )
+    ml = aligner.find_mums([ref, draft])
+    _, lcbs = aligner.determine_lcbs([ref, draft], ml)
+    # 2 LCBs expected (the rotation split); each spans multiple contigs
+    placements = contig_placements_from_lcbs(draft, lcbs, draft_seq_index=1)
+    fixed, log = sort_contigs(draft, placements)
+    placed = [name for name, s in log if s != 0]
+    assert placed == ["c4", "c5", "c0", "c1", "c2", "c3"], log
+    assert fixed.to_string() == ref.to_string()
