@@ -22,7 +22,7 @@ def xmfa2maf(ivs: IntervalList, out: TextIO) -> None:
     (applyBreakpoints, src/xmfa2maf.cpp:43; MAF emit :46-80)."""
     from mauvealigner_tpu.analysis.score_alignment import _interval_positions
 
-    out.write("##maf version=1 scoring=mauvealigner_tpu\n")
+    out.write("##maf version=1 program=mauvealigner_tpu\n")
     for iv in ivs.intervals:
         present = [s for s in range(iv.n_seqs) if iv.starts[s] != 0]
         if not present:
@@ -65,14 +65,22 @@ def _write_maf_block(ivs: IntervalList, iv: Interval, a: int, b: int, out: TextI
         nz = pos[pos != 0]
         strand = "+" if nz[0] > 0 else "-"
         size = len(nz)
-        src_size = len(g)
         text = iv.aligned_text(ivs.genomes, s)[a:b]
+        # MAF rows are CONTIG-local (src = file.contig, srcSize = contig
+        # length, coords within the contig — src/xmfa2maf.cpp:57-80); the
+        # contig-boundary split above guarantees one contig per row
+        glob_left = int(np.abs(nz).min())
+        ci, local_left = g.global_to_local(glob_left)
+        contig = g.contigs[ci]
+        src_size = int(contig.length)
         if strand == "+":
-            start0 = int(np.abs(nz).min()) - 1  # MAF: 0-based
+            start0 = local_left - 1  # MAF: 0-based
         else:
             # MAF reverse coords count from the end of the + strand
-            start0 = src_size - int(np.abs(nz).max())
+            start0 = src_size - (local_left - 1) - size
         name = (ivs.filenames()[s] or f"seq{s}").replace(" ", "_")
+        if len(g.contigs) > 1 or contig.name:
+            name = f"{name}.{contig.name or ci}".replace(" ", "_")
         lines.append(f"s {name} {start0} {size} {strand} {src_size} {text}\n")
     if lines:
         out.write("a score=0\n")

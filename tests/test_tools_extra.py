@@ -164,3 +164,40 @@ def test_get_ortholog_list_and_random_gene_sample(aligned_workdir, rng):
                "--count=1", "a.gbk", "b.fa"])
     assert rc == 0
     assert len(open("sample.tsv").read().splitlines()) == 1
+
+
+def test_xmfa2maf_contig_local_rows(rng):
+    """MAF rows are contig-local: src is file.contig, srcSize the contig
+    length, start within the contig; blocks split at contig boundaries
+    (src/xmfa2maf.cpp:43-80)."""
+    import io
+
+    from mauvealigner_tpu.core.interval import Interval, IntervalList
+    from mauvealigner_tpu.genome.sequence import Contig
+    from mauvealigner_tpu.tools.convert import xmfa2maf
+    from mauvealigner_tpu.utils import simulate
+
+    g0 = simulate.random_genome(rng, 200, name="g0")
+    g1 = Genome(
+        g0.seq.copy(),
+        contigs=[Contig("ctgA", 120, 0), Contig("ctgB", 80, 120)],
+        name="g1",
+    )
+    iv = Interval(np.array([1, 1], np.int64), np.ones((2, 200), bool))
+    ivl = IntervalList(genomes=[g0, g1], intervals=[iv],
+                       seq_filenames=["g0.fa", "g1.fa"])
+    buf = io.StringIO()
+    xmfa2maf(ivl, buf)
+    maf = buf.getvalue()
+    blocks = [b for b in maf.split("a score=0\n") if b.strip() and not b.startswith("##")]
+    assert len(blocks) == 2  # split at the ctgA/ctgB boundary
+    rows1 = [l for l in blocks[0].splitlines() if l.startswith("s ")]
+    rows2 = [l for l in blocks[1].splitlines() if l.startswith("s ")]
+    # g1's first block row: contig ctgA, local start 0, size 120, srcSize 120
+    r = [x for x in rows1 if "g1" in x][0].split()
+    assert r[1].endswith(".ctgA") and r[2] == "0" and r[3] == "120" and r[5] == "120"
+    r = [x for x in rows2 if "g1" in x][0].split()
+    assert r[1].endswith(".ctgB") and r[2] == "0" and r[3] == "80" and r[5] == "80"
+    # g0 (single contig, named): coordinates span the whole genome
+    r = [x for x in rows2 if "g0" in x][0].split()
+    assert r[2] == "120" and r[3] == "80" and r[5] == "200"
