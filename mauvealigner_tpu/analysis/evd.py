@@ -84,6 +84,135 @@ def simulate_evd(
     return EvdResult(len(h), float(h.mean()), float(h.max()), lam, mu)
 
 
+def pairwise_inverted_scores(
+    col_codes_i: np.ndarray,
+    col_codes_j: np.ndarray,
+    subst: np.ndarray = dp.HOXD70,
+    gap_open: float = dp.DEFAULT_GAP_OPEN,
+    gap_extend: float = dp.DEFAULT_GAP_EXTEND,
+) -> np.ndarray:
+    """Per-column INVERTED alignment scores for one pair: substitution
+    scores at base columns, affine gap charges at gap columns (open at run
+    starts per sequence, extend per column), both-gap columns dropped.
+    Scores are negated because the excursions of interest are bouts of
+    NON-homologous sequence inside a homologous alignment
+    (src/evd.cpp:36-38)."""
+    a, b = col_codes_i, col_codes_j
+    keep = ~((a == 5) & (b == 5))
+    a, b = a[keep], b[keep]
+    scores = np.zeros(len(a), np.float64)
+    both = (a < 5) & (b < 5)
+    scores[both] = subst[a[both], b[both]]
+    for g in (a == 5, b == 5):
+        if g.any():
+            scores[g] += gap_extend
+            starts = g.copy()
+            starts[1:] &= ~g[:-1]
+            scores[starts] += gap_open
+    return -scores
+
+
+def local_record_heights(ivs, genomes=None) -> np.ndarray:
+    """Inverted-score excursion heights over every pairwise projection of
+    every interval (getLocalRecordHeights, src/evd.cpp:13-66)."""
+    from mauvealigner_tpu.analysis.sp import interval_column_codes
+
+    genomes = genomes if genomes is not None else ivs.genomes
+    heights: List[float] = []
+    for iv in ivs.intervals:
+        codes = interval_column_codes(iv, genomes)
+        present = [s for s in range(iv.n_seqs) if iv.starts[s] != 0]
+        for x in range(len(present)):
+            for y in range(x + 1, len(present)):
+                i, j = present[x], present[y]
+                scores = pairwise_inverted_scores(codes[i], codes[j])
+                heights.extend(score_excursions(scores).tolist())
+    return np.array(heights)
+
+
+def quantile_summary(lrh: np.ndarray, n_sims: int) -> str:
+    """The reference evd tool's output block (src/evd.cpp:108-128)."""
+    out = [f"Total number of simulations: {n_sims}",
+           f"Total number of excursions: {len(lrh)}"]
+    if len(lrh):
+        s = np.sort(lrh)
+        for label, q in (("95%", 0.95), ("99%", 0.99),
+                         ("99.9%", 0.999), ("99.99%", 0.9999)):
+            idx = min(int(len(s) * q), len(s) - 1)
+            out.append(f"{label} score threshold: {s[idx]:g}")
+            out.append(f"Number excursions above {label}: {len(s) - idx}")
+    return "\n".join(out) + "\n"
+
+
+def alignjob_heights(run_count: int, directory: str = ".") -> tuple:
+    """Collect local record heights from alignjob.N/evolved.dat alignments
+    (the reference evd main loop, src/evd.cpp:80-106).  Returns
+    (heights, simulations_read)."""
+    import os
+
+    from mauvealigner_tpu.core.interval import IntervalList
+    from mauvealigner_tpu.genome.fasta import read_fasta_records
+
+    all_h: List[float] = []
+    n_sims = 0
+    for run in range(run_count):
+        aln = os.path.join(directory, f"alignjob.{run}", "evolved.dat")
+        seqs = os.path.join(directory, f"alignjob.{run}", "evolved_seqs.fas")
+        if not (os.path.exists(aln) and os.path.exists(seqs)):
+            import sys
+
+            print(f"Error opening {aln if not os.path.exists(aln) else seqs}",
+                  file=sys.stderr)
+            continue
+        n_sims += 1
+        ivl = IntervalList.read_xmfa(aln)
+        genomes = read_fasta_records(seqs)
+        all_h.extend(local_record_heights(ivl, genomes).tolist())
+    return np.array(all_h), n_sims
+
+
+def multi_evd_table(run_count: int, directory: str = ".", seed: int = 37) -> str:
+    """Per-multiplicity EVD quantile table (multiEVD,
+    src/multiEVD.cpp:99-190): for each simulation, collect heights at the
+    full multiplicity, then repeatedly discard a random sequence and
+    project down, collecting heights at each multiplicity >= 2."""
+    import os
+
+    from mauvealigner_tpu.core.interval import IntervalList
+    from mauvealigner_tpu.genome.fasta import read_fasta_records
+
+    rng = np.random.default_rng(seed)
+    lrh_by_mult: dict = {}
+    n_sims = 0
+    seq_count = 0
+    for run in range(run_count):
+        aln = os.path.join(directory, f"alignjob.{run}", "evolved.dat")
+        seqs = os.path.join(directory, f"alignjob.{run}", "evolved_seqs.fas")
+        if not (os.path.exists(aln) and os.path.exists(seqs)):
+            continue
+        n_sims += 1
+        ivl = IntervalList.read_xmfa(aln)
+        ivl.genomes = read_fasta_records(seqs)
+        seq_count = max(seq_count, ivl.n_seqs)
+        proj = list(range(ivl.n_seqs))
+        cur = ivl
+        for mult in range(ivl.n_seqs, 1, -1):
+            lrh_by_mult.setdefault(mult, []).extend(
+                local_record_heights(cur).tolist()
+            )
+            if mult == 2:
+                break
+            disc = int(rng.integers(0, len(proj)))
+            del proj[disc]
+            cur = ivl.projection(proj)
+    lines = [f"Total number of simulations: {n_sims}"]
+    for mult in range(2, seq_count + 1):
+        h = np.array(lrh_by_mult.get(mult, []))
+        lines.append(f"multiplicity {mult}:")
+        lines.append(quantile_summary(h, n_sims).rstrip())
+    return "\n".join(lines) + "\n"
+
+
 def merge_evd_results(results: Sequence[EvdResult]) -> EvdResult:
     """Aggregate per-job EVD runs (multiEVD over alignjob directories,
     src/multiEVD.cpp:104-105)."""

@@ -791,18 +791,31 @@ def score_alu_cli(argv: List[str]) -> int:
 def evd_cli(argv: List[str]) -> int:
     p = argparse.ArgumentParser(
         prog="evd",
-        description="EVD simulation of score excursions (reference: src/evd.cpp)",
+        description="EVD of score excursions (reference: src/evd.cpp).  "
+        "With a run count, reads alignjob.N/evolved.dat simulations from "
+        "the current directory (reference mode); otherwise simulates "
+        "random unrelated pairs.",
     )
+    p.add_argument("run_count", nargs="?", type=int, default=None,
+                   help="number of alignjob.N directories (reference mode)")
+    p.add_argument("--dir", default=".", help="directory holding alignjob.N")
     p.add_argument("--length", type=int, default=10000)
     p.add_argument("--trials", type=int, default=20)
     p.add_argument("--gc", type=float, default=0.5)
     p.add_argument("--output", default="-")
     a = p.parse_args(argv)
-    from mauvealigner_tpu.analysis.evd import simulate_evd
+    from mauvealigner_tpu.analysis.evd import (
+        alignjob_heights,
+        quantile_summary,
+        simulate_evd,
+    )
 
-    res = simulate_evd(a.length, a.trials, a.gc)
     with open_out(a.output) as fh:
-        fh.write(res.summary())
+        if a.run_count is not None:
+            lrh, n_sims = alignjob_heights(a.run_count, a.dir)
+            fh.write(quantile_summary(lrh, n_sims))
+        else:
+            fh.write(simulate_evd(a.length, a.trials, a.gc).summary())
     return 0
 
 
@@ -810,12 +823,22 @@ def evd_cli(argv: List[str]) -> int:
 def multi_evd_cli(argv: List[str]) -> int:
     p = argparse.ArgumentParser(
         prog="multiEVD",
-        description="Aggregate EVD simulations (reference: src/multiEVD.cpp)",
+        description="Aggregate EVD simulations (reference: src/multiEVD.cpp).  "
+        "With a bare run count, reads alignjob.N directories and prints a "
+        "per-multiplicity quantile table (reference mode); with file "
+        "arguments, merges evd summary files.",
     )
-    p.add_argument("evd_files", nargs="+", help="evd summary files")
+    p.add_argument("evd_files", nargs="+",
+                   help="alignjob run count OR evd summary files")
+    p.add_argument("--dir", default=".", help="directory holding alignjob.N")
     a = p.parse_args(argv)
     from mauvealigner_tpu.analysis.evd import EvdResult, merge_evd_results
 
+    if len(a.evd_files) == 1 and a.evd_files[0].isdigit():
+        from mauvealigner_tpu.analysis.evd import multi_evd_table
+
+        sys.stdout.write(multi_evd_table(int(a.evd_files[0]), a.dir))
+        return 0
     results = []
     for path in a.evd_files:
         vals = {}

@@ -23,7 +23,27 @@ def load_genomes(paths: Sequence[str]) -> List[Genome]:
     return [load_genome(p) for p in paths]
 
 
+class _NonClosing:
+    """Context-manager wrapper that never closes the underlying stream —
+    `with open_out("-") as fh` must not close sys.stdout."""
+
+    def __init__(self, fh):
+        self._fh = fh
+
+    def __getattr__(self, name):
+        return getattr(self._fh, name)
+
+    def __enter__(self):
+        return self._fh
+
+    def __exit__(self, *exc):
+        return False
+
+    def close(self):
+        pass
+
+
 def open_out(path: Optional[str]) -> TextIO:
     if path in (None, "", "-"):
-        return sys.stdout
+        return _NonClosing(sys.stdout)
     return open(path, "w")

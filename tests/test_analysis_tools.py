@@ -226,3 +226,48 @@ def test_bb_filter_mean_length_and_informative_only():
     extra = [r.tolist() for r in aug[2:]]
     assert [31, 50, 0, 0] in extra  # genome-0 hole between the two rows
     assert all(r[0] != 0 or r[2] != 0 for r in aug)
+
+
+def test_evd_alignjob_mode(tmp_path, rng, monkeypatch):
+    """Reference evd/multiEVD mode: read alignjob.N/evolved.dat + seqs,
+    collect inverted-score excursions, print quantile thresholds
+    (src/evd.cpp:80-128, src/multiEVD.cpp:99-190)."""
+    from mauvealigner_tpu.core.interval import Interval, IntervalList
+    from mauvealigner_tpu.genome import write_fasta
+
+    monkeypatch.chdir(tmp_path)
+    for run in range(2):
+        d = tmp_path / f"alignjob.{run}"
+        d.mkdir()
+        anc = simulate.random_genome(rng, 2000, name="s0")
+        g0 = Genome(anc.seq.copy(), name="s0")
+        # g1 = same sequence with a junk region: inverted scores spike there
+        seq1 = anc.seq.copy()
+        seq1[800:1000] = simulate.random_genome(rng, 200).seq
+        g1 = Genome(seq1, name="s1")
+        iv = Interval(np.array([1, 1], np.int64), np.ones((2, 2000), bool))
+        ivl = IntervalList(genomes=[g0, g1], intervals=[iv],
+                           seq_filenames=["s0", "s1"])
+        ivl.write_xmfa(str(d / "evolved.dat"))
+        with open(d / "evolved_seqs.fas", "w") as fh:
+            for g in (g0, g1):
+                fh.write(f">{g.name}\n{g.to_string()}\n")
+    assert main(["evd", "2"]) == 0
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["evd", "2", "--output=-"]) == 0
+    out = buf.getvalue()
+    assert "Total number of simulations: 2" in out
+    assert "95% score threshold:" in out
+    # the junk bout guarantees at least one excursion per run
+    import re
+
+    m = re.search(r"Total number of excursions: (\d+)", out)
+    assert m and int(m.group(1)) >= 2
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        assert main(["multiEVD", "2"]) == 0
+    assert "multiplicity 2:" in buf2.getvalue()
