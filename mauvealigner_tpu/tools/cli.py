@@ -1282,12 +1282,28 @@ def to_grimm_format_cli(argv: List[str]) -> int:
     p.add_argument("alignment")
     p.add_argument("output")
     p.add_argument("seq_files", nargs="*")
+    p.add_argument("--chr-lengths", default="",
+                   help="comma-separated per-genome chromosome-length files "
+                   "(multichromosomal GRIMM, src/toGrimmFormat.cpp:27-45); "
+                   "without it, contig boundaries of the loaded sequences "
+                   "are used when present")
     a = p.parse_args(argv)
     from mauvealigner_tpu.tools.convert import to_grimm_format
 
     ivl = _read_alignment(a.alignment, a.seq_files)
+    chr_bounds = None
+    if a.chr_lengths:
+        chr_bounds = []
+        for path in a.chr_lengths.split(","):
+            lens = [int(tok) for tok in open(path).read().split()]
+            chr_bounds.append(np.cumsum(lens).tolist())
+    elif any(len(g.contigs) > 1 for g in ivl.genomes):
+        chr_bounds = [
+            np.cumsum([c.length for c in g.contigs]).tolist() if len(g.contigs) > 1 else []
+            for g in ivl.genomes
+        ]
     with open_out(a.output) as fh:
-        to_grimm_format(_lcbs_from_alignment(ivl), ivl.filenames(), fh)
+        to_grimm_format(_lcbs_from_alignment(ivl), ivl.filenames(), fh, chr_bounds)
     return 0
 
 

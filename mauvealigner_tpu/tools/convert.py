@@ -178,13 +178,45 @@ def lcb_signed_permutations(lcbs: Sequence[LCB]) -> List[List[int]]:
     return perms
 
 
-def to_grimm_format(lcbs: Sequence[LCB], names: Sequence[str], out: TextIO) -> None:
-    """GRIMM signed-permutation input (src/toGrimmFormat.cpp:17)."""
+def to_grimm_format(
+    lcbs: Sequence[LCB],
+    names: Sequence[str],
+    out: TextIO,
+    chr_bounds: Optional[Sequence[Sequence[int]]] = None,
+) -> None:
+    """GRIMM signed-permutation input (src/toGrimmFormat.cpp:17).
+
+    chr_bounds (optional): per genome, CUMULATIVE chromosome end
+    coordinates; a ` $` chromosome separator is emitted whenever the walk
+    crosses one (multichromosomal GRIMM, :68-72)."""
     perms = lcb_signed_permutations(lcbs)
     for g, perm in enumerate(perms):
         name = names[g] if g < len(names) else f"genome{g}"
         out.write(f">{name}\n")
-        out.write(" ".join(str(v) for v in perm) + " $\n")
+        if not chr_bounds or g >= len(chr_bounds) or not chr_bounds[g]:
+            out.write(" ".join(str(v) for v in perm) + " $\n")
+            continue
+        # walk LCBs in genome order, splitting at chromosome bounds; the
+        # permutation is ordered by left end, so recover each id's left end
+        lefts = {}
+        for k, lcb in enumerate(lcbs):
+            if lcb.lefts[g] != 0:
+                lefts[(k + 1)] = int(lcb.lefts[g])
+        bounds = list(chr_bounds[g])
+        cur_chr = 0
+        parts: List[str] = []
+        for v in perm:
+            while cur_chr < len(bounds) - 1 and lefts[abs(v)] > bounds[cur_chr]:
+                parts.append("$\n")
+                cur_chr += 1
+            parts.append(str(v))
+        text = ""
+        for p in parts:
+            if p.endswith("\n"):
+                text = text.rstrip(" ") + " " + p
+            else:
+                text += p + " "
+        out.write(text.rstrip(" ") + " $\n")
 
 
 def make_badger_matrix(lcbs: Sequence[LCB], out: TextIO, coords_out: Optional[TextIO] = None) -> None:

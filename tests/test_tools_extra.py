@@ -201,3 +201,36 @@ def test_xmfa2maf_contig_local_rows(rng):
     # g0 (single contig, named): coordinates span the whole genome
     r = [x for x in rows2 if "g0" in x][0].split()
     assert r[2] == "120" and r[3] == "80" and r[5] == "200"
+
+
+def test_to_grimm_multichromosome_split(rng):
+    """Multichromosomal GRIMM: a ` $` separator whenever the LCB walk
+    crosses a chromosome boundary (src/toGrimmFormat.cpp:64-72)."""
+    import io
+
+    from mauvealigner_tpu.models.lcb import LCB
+    from mauvealigner_tpu.tools.convert import to_grimm_format
+
+    def mk(lefts, rights, strands):
+        return LCB(
+            np.array([0]),
+            1.0,
+            np.array(lefts, np.int64),
+            np.array(rights, np.int64),
+            np.array(strands, np.int8),
+        )
+
+    # genome 0: LCBs at 100, 600, 1100; chromosomes end at 500, 1500
+    lcbs = [
+        mk([100, 100], [200, 200], [1, 1]),
+        mk([600, 300], [700, 400], [1, -1]),
+        mk([1100, 500], [1200, 600], [-1, 1]),
+    ]
+    buf = io.StringIO()
+    to_grimm_format(lcbs, ["g0", "g1"], buf, chr_bounds=[[500, 1500], []])
+    out = buf.getvalue()
+    block0 = out.split(">g0\n")[1].split(">g1")[0]
+    assert block0 == "1 $\n2 3 $\n" or block0 == "1 $\n2 -3 $\n", repr(block0)
+    assert "-3" in block0  # third LCB inverted in genome 0
+    block1 = out.split(">g1\n")[1]
+    assert block1.strip().endswith("$")
