@@ -1313,13 +1313,25 @@ def to_evo_highway_cli(argv: List[str]) -> int:
     p.add_argument("alignment")
     p.add_argument("output")
     p.add_argument("seq_files", nargs="*")
+    p.add_argument("--ref-id", type=int, default=0,
+                   help="reference genome index (reference second arg)")
+    p.add_argument("--chr-lengths", default="",
+                   help="comma-separated per-genome chromosome-length files")
     a = p.parse_args(argv)
     from mauvealigner_tpu.tools.convert import to_evo_highway_format
 
     ivl = _read_alignment(a.alignment, a.seq_files)
+    chr_bounds = None
+    if a.chr_lengths:
+        chr_bounds = []
+        for path in a.chr_lengths.split(","):
+            lens = [int(tok) for tok in open(path).read().split()]
+            chr_bounds.append(np.cumsum(lens).tolist())
     with open_out(a.output) as fh:
         to_evo_highway_format(
-            _lcbs_from_alignment(ivl), ivl.filenames(), [len(g) for g in ivl.genomes], fh
+            _lcbs_from_alignment(ivl), ivl.filenames(),
+            [len(g) for g in ivl.genomes], fh,
+            ref_id=a.ref_id, chr_bounds=chr_bounds,
         )
     return 0
 

@@ -246,19 +246,76 @@ def make_mc4_matrix(lcbs: Sequence[LCB], out: TextIO) -> None:
         out.write(",".join(str(v) for v in perm) + "\n")
 
 
+def _alphabet_id(counter: int) -> str:
+    """Four-letter base-26 suffix (getAlphabetID,
+    src/toEvoHighwayFormat.cpp:21-32)."""
+    rval = list("aaaa")
+    i = 3
+    while i > 0 and counter > 0:
+        rval[i] = chr(counter % 26 + 97)
+        counter //= 26
+        i -= 1
+    return "".join(rval)
+
+
+def _chromosome_of(bounds: Sequence[int], pos: int) -> int:
+    """First cumulative bound strictly greater than pos (getChromosome,
+    src/toEvoHighwayFormat.cpp:11-19)."""
+    for i, b in enumerate(bounds):
+        if b > pos:
+            return i
+    return len(bounds)
+
+
 def to_evo_highway_format(
-    lcbs: Sequence[LCB], names: Sequence[str], seq_lengths: Sequence[int], out: TextIO
+    lcbs: Sequence[LCB],
+    names: Sequence[str],
+    seq_lengths: Sequence[int],
+    out: TextIO,
+    ref_id: int = 0,
+    chr_bounds: Optional[Sequence[Sequence[int]]] = None,
 ) -> None:
-    """EvoHighway display segments (src/toEvoHighwayFormat.cpp:40)."""
-    perms = lcb_signed_permutations(lcbs)
-    for g, perm in enumerate(perms):
-        out.write(f"# {names[g] if g < len(names) else f'genome{g}'}\n")
-        for v in perm:
-            k = abs(v) - 1
+    """EvoHighway synteny-block rows (src/toEvoHighwayFormat.cpp:82-144):
+    one TSV row per LCB per non-reference genome, walked in that genome's
+    coordinate order — refname, ref chromosome (1-based), ref interval
+    (chromosome-local), species chromosome + base-26 block suffix, species
+    interval (chromosome-local), strand as [-]1, species name, LCB id."""
+    if chr_bounds is None:
+        chr_bounds = [[int(l)] for l in seq_lengths]
+    n_seqs = len(lcbs[0].lefts) if lcbs else 0
+    ref_name = names[ref_id] if ref_id < len(names) else f"genome{ref_id}"
+    ref_bounds = chr_bounds[ref_id]
+    for g in range(n_seqs):
+        if g == ref_id:
+            continue
+        order = sorted(
+            (k for k in range(len(lcbs))
+             if lcbs[k].lefts[g] != 0 and lcbs[k].lefts[ref_id] != 0),
+            key=lambda k: int(lcbs[k].lefts[g]),
+        )
+        cur_chr = 0
+        counter = 0
+        bounds = chr_bounds[g]
+        gname = names[g] if g < len(names) else f"genome{g}"
+        for k in order:
+            lcb = lcbs[k]
+            while cur_chr < len(bounds) - 1 and int(lcb.lefts[g]) > bounds[cur_chr]:
+                cur_chr += 1
+                counter = 0
+            ref_chr = _chromosome_of(ref_bounds, int(lcb.lefts[ref_id]))
+            ref_off = ref_bounds[ref_chr - 1] if ref_chr > 0 else 0
+            sp_off = bounds[cur_chr - 1] if cur_chr > 0 else 0
+            strand = "-1" if int(lcb.strands[ref_id]) * int(lcb.strands[g]) < 0 else "1"
             out.write(
-                f"segment {abs(v)} {'-' if v < 0 else '+'} "
-                f"{int(lcbs[k].lefts[g])} {int(lcbs[k].rights[g])}\n"
+                f"{ref_name}\t{ref_chr + 1}"
+                f"\t{int(lcb.lefts[ref_id]) - ref_off}"
+                f"\t{int(lcb.rights[ref_id]) - ref_off}"
+                f"\t{cur_chr + 1}{_alphabet_id(counter)}"
+                f"\t{int(lcb.lefts[g]) - sp_off}"
+                f"\t{int(lcb.rights[g]) - sp_off}"
+                f"\t{strand}\t{gname}\t{k + 1}\n"
             )
+            counter += 1
 
 
 # -- per-LCB alternative alignment formats (gnAlignedSequences output,
