@@ -1349,7 +1349,7 @@ def make_badger_matrix_cli(argv: List[str]) -> int:
     ivl = _read_alignment(a.alignment, a.seq_files)
     with open_out(a.output) as fh:
         coords = open(a.lcb_coordinates, "w") if a.lcb_coordinates else None
-        make_badger_matrix(_lcbs_from_alignment(ivl), fh, coords)
+        make_badger_matrix(ivl, fh, coords)
         if coords:
             coords.close()
     return 0
@@ -1366,7 +1366,7 @@ def make_mc4_matrix_cli(argv: List[str]) -> int:
 
     ivl = _read_alignment(a.alignment, a.seq_files)
     with open_out(a.output) as fh:
-        make_mc4_matrix(_lcbs_from_alignment(ivl), fh)
+        make_mc4_matrix(ivl, fh)
     return 0
 
 

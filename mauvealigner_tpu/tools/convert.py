@@ -219,31 +219,78 @@ def to_grimm_format(
         out.write(text.rstrip(" ") + " $\n")
 
 
-def make_badger_matrix(lcbs: Sequence[LCB], out: TextIO, coords_out: Optional[TextIO] = None) -> None:
+def make_badger_matrix(
+    ivs: IntervalList, out: TextIO, coords_out: Optional[TextIO] = None
+) -> None:
     """BADGER permutation matrix + LCB coordinate file
-    (src/makeBadgerMatrix.cpp:33)."""
-    perms = lcb_signed_permutations(lcbs)
-    for perm in perms:
-        out.write(" ".join(str(v) for v in perm) + "\n")
+    (src/makeBadgerMatrix.cpp:30-103).
+
+    Badger rows: `<seq name>,<±id>,...` — blocks in that genome's
+    coordinate order, id = 1-based input block index, sign relative to the
+    block's FIRST PRESENT sequence's orientation (:97-98); multiplicity-1
+    blocks skipped.  Coordinate file: per surviving block, per genome,
+    signed leftend/rightend (both negated on reverse strand, :81-82)."""
+    names = ivs.filenames()
+    n_seqs = ivs.n_seqs
+    blocks = [
+        (k, iv) for k, iv in enumerate(ivs.intervals) if iv.multiplicity() >= 2
+    ]
     if coords_out is not None:
-        n_seqs = len(lcbs[0].lefts) if lcbs else 0
-        header = "\t".join(f"seq{g}_leftend\tseq{g}_rightend" for g in range(n_seqs))
-        coords_out.write(header + "\n")
-        for lcb in lcbs:
+        coords_out.write(
+            "\t".join(f"seq{g}_leftend\tseq{g}_rightend" for g in range(n_seqs))
+            + "\n"
+        )
+        for _, iv in blocks:
             cells = []
+            lefts, rights = iv.lefts(), iv.rights()
             for g in range(n_seqs):
-                sign = int(lcb.strands[g]) or 1
-                cells.append(str(sign * int(lcb.lefts[g])))
-                cells.append(str(sign * int(lcb.rights[g])))
+                sign = -1 if iv.starts[g] < 0 else 1
+                cells.append(str(sign * int(lefts[g])))
+                cells.append(str(sign * int(rights[g])))
             coords_out.write("\t".join(cells) + "\n")
+    for g in range(n_seqs):
+        name = names[g] if g < len(names) and names[g] else f"seq{g}"
+        row = [name]
+        order = sorted(
+            (x for x in range(len(blocks)) if blocks[x][1].starts[g] != 0),
+            key=lambda x: abs(int(blocks[x][1].starts[g])),
+        )
+        for x in order:
+            k, iv = blocks[x]
+            first = next(s for s in range(iv.n_seqs) if iv.starts[s] != 0)
+            rel = int(np.sign(iv.starts[g])) * int(np.sign(iv.starts[first]))
+            row.append(f"{'-' if rel < 0 else ''}{k + 1}")
+        out.write(",".join(row) + "\n")
 
 
-def make_mc4_matrix(lcbs: Sequence[LCB], out: TextIO) -> None:
-    """MC4 matrix: permutation rows, comma separated (src/makeMc4Matrix.cpp)."""
-    perms = lcb_signed_permutations(lcbs)
-    out.write(f"{len(perms)} {len(lcbs)}\n")
-    for perm in perms:
-        out.write(",".join(str(v) for v in perm) + "\n")
+def make_mc4_matrix(ivs: IntervalList, out: TextIO) -> None:
+    """MC4 matrix (src/makeMc4Matrix.cpp:50-96): N-way blocks only, ids
+    assigned in genome-0 order with orientations normalized so genome 0 is
+    forward; per genome, a doubled-permutation row
+    `<name>,0,<2k-1,2k | 2k,2k-1>...,0` (forward | reverse) followed by a
+    `standard,<±id>...` row, blocks in that genome's coordinate order."""
+    names = ivs.filenames()
+    n_seqs = ivs.n_seqs
+    blocks = [iv for iv in ivs.intervals if iv.multiplicity() == n_seqs]
+    order0 = sorted(range(len(blocks)), key=lambda x: abs(int(blocks[x].starts[0])))
+    ids = {x: rank + 1 for rank, x in enumerate(order0)}
+    sign0 = {x: int(np.sign(blocks[x].starts[0])) for x in range(len(blocks))}
+    for g in range(n_seqs):
+        name = names[g] if g < len(names) and names[g] else f"seq{g}"
+        orderg = sorted(range(len(blocks)), key=lambda x: abs(int(blocks[x].starts[g])))
+        doubled = [0]
+        standard = []
+        for x in orderg:
+            k = ids[x]
+            rel = int(np.sign(blocks[x].starts[g])) * sign0[x]
+            if rel >= 0:
+                doubled += [2 * k - 1, 2 * k]
+            else:
+                doubled += [2 * k, 2 * k - 1]
+            standard.append(f"{'-' if rel < 0 else ''}{k}")
+        doubled.append(0)
+        out.write(name + "," + ",".join(str(v) for v in doubled) + "\n")
+        out.write("standard," + ",".join(standard) + "\n")
 
 
 def _alphabet_id(counter: int) -> str:

@@ -234,3 +234,40 @@ def test_to_grimm_multichromosome_split(rng):
     assert "-3" in block0  # third LCB inverted in genome 0
     block1 = out.split(">g1\n")[1]
     assert block1.strip().endswith("$")
+
+
+def test_badger_and_mc4_formats(rng):
+    """Reference formats: badger rows are name-prefixed comma lists with
+    signs relative to the block's first present sequence
+    (src/makeBadgerMatrix.cpp:86-99); MC4 emits doubled permutations with
+    genome-0-normalized orientations (src/makeMc4Matrix.cpp:64-95)."""
+    import io
+
+    from mauvealigner_tpu.core.interval import Interval, IntervalList
+    from mauvealigner_tpu.tools.convert import make_badger_matrix, make_mc4_matrix
+
+    g0 = simulate.random_genome(rng, 300, name="g0")
+    g1 = simulate.random_genome(rng, 300, name="g1")
+    # block 1: fwd/fwd at (1, 101); block 2: fwd/rev at (101, -1)
+    b1 = Interval(np.array([1, 101], np.int64), np.ones((2, 100), bool))
+    b2 = Interval(np.array([101, -1], np.int64), np.ones((2, 100), bool))
+    ivl = IntervalList(genomes=[g0, g1], intervals=[b1, b2],
+                       seq_filenames=["g0", "g1"])
+    buf = io.StringIO()
+    coords = io.StringIO()
+    make_badger_matrix(ivl, buf, coords)
+    lines = buf.getvalue().splitlines()
+    assert lines[0] == "g0,1,2"
+    # genome 1 order: block 2 first (left end 1, reverse => sign -)
+    assert lines[1] == "g1,-2,1"
+    clines = coords.getvalue().splitlines()
+    assert clines[1] == "1\t100\t101\t200"
+    assert clines[2] == "101\t200\t-1\t-100"
+    buf2 = io.StringIO()
+    make_mc4_matrix(ivl, buf2)
+    m = buf2.getvalue().splitlines()
+    assert m[0] == "g0,0,1,2,3,4,0"
+    assert m[1] == "standard,1,2"
+    # genome 1: block 2 (id 2, reverse => 4,3) precedes block 1 (1,2)
+    assert m[2] == "g1,0,4,3,1,2,0"
+    assert m[3] == "standard,-2,1"
