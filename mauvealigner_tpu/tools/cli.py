@@ -1376,10 +1376,12 @@ def count_in_place_inversions_cli(argv: List[str]) -> int:
     p.add_argument("alignment")
     p.add_argument("seq_files", nargs="*")
     a = p.parse_args(argv)
-    from mauvealigner_tpu.tools.convert import count_in_place_inversions
+    from mauvealigner_tpu.tools.convert import find_in_place_inversions
 
     ivl = _read_alignment(a.alignment, a.seq_files)
-    print(count_in_place_inversions(_lcbs_from_alignment(ivl)))
+    lcbs = _lcbs_from_alignment(ivl)
+    for _, seq, lend, rend in find_in_place_inversions(lcbs):
+        print(f"In-place inversion in seq {seq}\tlend: {lend}\trend: {rend}")
     return 0
 
 

@@ -6,7 +6,7 @@ them under the reference names.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, TextIO, Union
+from typing import List, Optional, Sequence, TextIO, Tuple, Union
 
 import numpy as np
 
@@ -420,29 +420,50 @@ def gappiness(ivs: IntervalList) -> float:
 
 # -- countInPlaceInversions (src/countInPlaceInversions.cpp) ---------------
 
-def count_in_place_inversions(lcbs: Sequence[LCB]) -> int:
-    """LCBs inverted relative to the reference genome while retaining their
-    position in the genome order of every sequence."""
+def find_in_place_inversions(
+    lcbs: Sequence[LCB],
+) -> List[Tuple[int, int, int, int]]:
+    """In-place inversions (src/countInPlaceInversions.cpp:35-67): an LCB
+    whose left AND right neighbor LCBs are identical across every genome,
+    reported once per minority-orientation sequence as
+    (lcb index, seq, signed lend, signed rend).
+
+    The reference compares the forward count against the sequence loop
+    index (`forward_count * 2 > seqI`, :57-60) — an evident bug; the
+    intended majority test against seq_count is implemented instead."""
     if not lcbs:
-        return 0
+        return []
     n_seqs = len(lcbs[0].lefts)
-    count = 0
-    order_per_seq = []
+    # per genome: neighbor ids in coordinate order (-1 at the ends)
+    nbrs: List[dict] = []
     for g in range(n_seqs):
         order = sorted(
             (k for k in range(len(lcbs)) if lcbs[k].lefts[g] != 0),
-            key=lambda k: lcbs[k].lefts[g],
+            key=lambda k: int(lcbs[k].lefts[g]),
         )
-        order_per_seq.append({k: i for i, k in enumerate(order)})
+        d = {}
+        for i, k in enumerate(order):
+            d[k] = (order[i - 1] if i > 0 else -1,
+                    order[i + 1] if i + 1 < len(order) else -1)
+        nbrs.append(d)
+    out: List[Tuple[int, int, int, int]] = []
     for k, lcb in enumerate(lcbs):
-        strands = [int(lcb.strands[g]) for g in range(n_seqs) if lcb.strands[g] != 0]
-        if len(set(strands)) <= 1:
-            continue  # not inverted anywhere
-        in_place = all(
-            order_per_seq[g].get(k) == order_per_seq[0].get(k)
-            for g in range(1, n_seqs)
-            if lcb.lefts[g] != 0
-        )
-        if in_place:
-            count += 1
-    return count
+        if any(lcb.lefts[g] == 0 for g in range(n_seqs)):
+            continue
+        if any(nbrs[g].get(k) != nbrs[0].get(k) for g in range(1, n_seqs)):
+            continue
+        forward = sum(1 for g in range(n_seqs) if lcb.strands[g] > 0)
+        for g in range(n_seqs):
+            minority = (
+                (forward * 2 > n_seqs and lcb.strands[g] < 0)
+                or (forward * 2 < n_seqs and lcb.strands[g] > 0)
+            )
+            if minority:
+                sign = int(lcb.strands[g]) or 1
+                out.append((k, g, sign * int(lcb.lefts[g]), sign * int(lcb.rights[g])))
+    return out
+
+
+def count_in_place_inversions(lcbs: Sequence[LCB]) -> int:
+    """Number of distinct in-place-inverted LCBs."""
+    return len({k for k, _, _, _ in find_in_place_inversions(lcbs)})

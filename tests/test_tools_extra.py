@@ -271,3 +271,35 @@ def test_badger_and_mc4_formats(rng):
     # genome 1: block 2 (id 2, reverse => 4,3) precedes block 1 (1,2)
     assert m[2] == "g1,0,4,3,1,2,0"
     assert m[3] == "standard,-2,1"
+
+
+def test_in_place_inversions(rng):
+    """An LCB with identical neighbors in every genome but minority
+    orientation in one sequence is an in-place inversion
+    (src/countInPlaceInversions.cpp:35-67)."""
+    from mauvealigner_tpu.models.lcb import LCB
+    from mauvealigner_tpu.tools.convert import (
+        count_in_place_inversions,
+        find_in_place_inversions,
+    )
+
+    def mk(lefts, rights, strands):
+        return LCB(np.array([0]), 1.0, np.array(lefts, np.int64),
+                   np.array(rights, np.int64), np.array(strands, np.int8))
+
+    # 3 genomes, 3 collinear LCBs; middle LCB reversed only in genome 2
+    lcbs = [
+        mk([1, 1, 1], [100, 100, 100], [1, 1, 1]),
+        mk([101, 101, 101], [200, 200, 200], [1, 1, -1]),
+        mk([201, 201, 201], [300, 300, 300], [1, 1, 1]),
+    ]
+    inv = find_in_place_inversions(lcbs)
+    assert inv == [(1, 2, -101, -200)]
+    assert count_in_place_inversions(lcbs) == 1
+    # transposed middle block in genome 2: neighbors differ -> not in place
+    lcbs2 = [
+        mk([1, 1, 1], [100, 100, 100], [1, 1, 1]),
+        mk([101, 101, 250], [200, 200, 349], [1, 1, -1]),
+        mk([201, 201, 101], [300, 300, 200], [1, 1, 1]),
+    ]
+    assert find_in_place_inversions(lcbs2) == []
