@@ -970,12 +970,18 @@ def unique_mer_count_cli(argv: List[str]) -> int:
 
 @tool("gappiness")
 def gappiness_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="gappiness")
-    p.add_argument("alignment")
+    p = argparse.ArgumentParser(
+        prog="gappiness",
+        description="Gap statistics of an aligned MFA "
+        "(reference: src/gappiness.cpp)",
+    )
+    p.add_argument("mfa", help="aligned multi-FastA file")
     a = p.parse_args(argv)
-    from mauvealigner_tpu.tools.convert import gappiness
+    from mauvealigner_tpu.genome.fasta import read_fasta_records
+    from mauvealigner_tpu.tools.convert import gappiness_report
 
-    print(f"{gappiness(_read_alignment(a.alignment, [])):.6f}")
+    rows = read_fasta_records(a.mfa)  # '-' characters survive the read
+    gappiness_report(rows, sys.stdout)
     return 0
 
 
@@ -1142,19 +1148,48 @@ def add_unaligned_intervals_cli(argv: List[str]) -> int:
 
 @tool("coordinateTranslate")
 def coordinate_translate_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="coordinateTranslate")
+    p = argparse.ArgumentParser(
+        prog="coordinateTranslate",
+        description="Alignment column -> per-genome sequence coordinates "
+        "(reference: src/coordinateTranslate.cpp).  With a coordinate FILE "
+        "of '<block ID> <column>' pairs, prints one tab row of positions "
+        "per query (0 where the genome is gapped/undefined) — the "
+        "reference interface.  With --seq/--position, maps a sequence "
+        "position to its (interval, column) instead.",
+    )
     p.add_argument("alignment")
-    p.add_argument("seq", type=int)
-    p.add_argument("position", type=int)
-    p.add_argument("seq_files", nargs="*")
+    p.add_argument("coords", nargs="?", default="",
+                   help="coordinate file: '<block ID> <column>' per line")
+    p.add_argument("--seq", type=int, default=None)
+    p.add_argument("--position", type=int, default=None)
+    p.add_argument("--seq-files", default="",
+                   help="comma-separated sequence files")
     a = p.parse_args(argv)
-    from mauvealigner_tpu.tools.manipulate import coordinate_translate
+    seq_files = a.seq_files.split(",") if a.seq_files else []
+    ivl = _read_alignment(a.alignment, seq_files)
+    if a.seq is not None and a.position is not None:
+        from mauvealigner_tpu.tools.manipulate import coordinate_translate
 
-    res = coordinate_translate(_read_alignment(a.alignment, a.seq_files), a.seq, a.position)
-    if res is None:
-        print("unaligned")
-    else:
-        print(f"interval {res[0]} column {res[1]}")
+        res = coordinate_translate(ivl, a.seq, a.position)
+        print("unaligned" if res is None else f"interval {res[0]} column {res[1]}")
+        return 0
+    if not a.coords:
+        p.error("a coordinate file or --seq/--position is required")
+    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+
+    toks = open(a.coords).read().split()
+    pos_cache: dict = {}
+    for block_id, col in zip(toks[::2], toks[1::2]):
+        k, c = int(block_id), int(col)
+        iv = ivl.intervals[k]
+        row = []
+        for s in range(iv.n_seqs):
+            if (k, s) not in pos_cache:
+                pos_cache[(k, s)] = _interval_positions(iv, s)
+            p_arr = pos_cache[(k, s)]
+            v = int(abs(p_arr[c])) if 0 <= c < iv.n_cols else 0
+            row.append(str(v))
+        print("\t".join(row))
     return 0
 
 

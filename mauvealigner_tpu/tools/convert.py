@@ -418,6 +418,36 @@ def gappiness(ivs: IntervalList) -> float:
     return gaps / cells if cells else 0.0
 
 
+def gappiness_report(rows: Sequence[Genome], out: TextIO) -> None:
+    """The reference gappiness report over an aligned MFA
+    (src/gappiness.cpp:10-53): aln_length, per-seq ungapped lengths,
+    avg_seq_len, gappiness = aln_length/avg_seq_len, mean pairwise
+    percent_id over both-base columns."""
+    if not rows:
+        return
+    width = len(rows[0].seq)
+    if any(len(r.seq) != width for r in rows):
+        raise ValueError("gappiness expects an ALIGNED MFA (equal row widths)")
+    out.write(f"aln_length\t{width}\n")
+    mats = np.stack([r.seq for r in rows])
+    base = mats != ord("-")
+    lens = base.sum(axis=1)
+    for i, l in enumerate(lens):
+        out.write(f"seq{i}_len\t{int(l)}\n")
+    avg = float(lens.mean())
+    out.write(f"avg_seq_len\t{avg:g}\n")
+    out.write(f"gappiness\t{width / avg:g}\n")
+    upper = np.where((mats >= ord("a")) & (mats <= ord("z")), mats - 32, mats)
+    total_id = total_possible = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            both = base[i] & base[j]
+            total_possible += int(both.sum())
+            total_id += int((both & (upper[i] == upper[j])).sum())
+    pid = total_id / total_possible if total_possible else 0.0
+    out.write(f"percent_id\t{pid:g}\n")
+
+
 # -- countInPlaceInversions (src/countInPlaceInversions.cpp) ---------------
 
 def find_in_place_inversions(

@@ -88,7 +88,10 @@ def test_converters_on_alignment(workdir, capsys):
     maf = open("out.maf").read()
     assert maf.startswith("##maf")
     assert "\ns " in maf
-    assert run(["gappiness", "pm.xmfa"]) == 0
+    assert run(["toMultiFastA", "pm.xmfa", "gapblock", "a.fa", "b.fa"]) == 0
+    assert run(["gappiness", "gapblock0.mfa"]) == 0
+    out = capsys.readouterr().out
+    assert "aln_length\t" in out and "percent_id\t" in out
     assert run(["stripGapColumns", "pm.xmfa", "sgc.xmfa", "a.fa", "b.fa"]) == 0
     assert run(["stripSubsetLCBs", "pm.xmfa", "ssl.xmfa", "--min-seqs=2", "--min-length=10", "a.fa", "b.fa"]) == 0
     assert run(["alignmentProjector", "pm.xmfa", "proj.xmfa", "--seqs=0,1", "a.fa", "b.fa"]) == 0
@@ -102,7 +105,13 @@ def test_converters_on_alignment(workdir, capsys):
     assert run(["makeMc4Matrix", "pm.xmfa", "mc4.txt", "a.fa", "b.fa"]) == 0
     assert run(["toEvoHighwayFormat", "pm.xmfa", "evo.txt", "a.fa", "b.fa"]) == 0
     assert run(["countInPlaceInversions", "pm.xmfa", "a.fa", "b.fa"]) == 0
-    assert run(["coordinateTranslate", "pm.xmfa", "0", "50", "a.fa", "b.fa"]) == 0
+    with open("coords.txt", "w") as fh:
+        fh.write("0 50\n0 120\n")
+    capsys.readouterr()  # drain earlier tool output
+    assert run(["coordinateTranslate", "pm.xmfa", "coords.txt", "--seq-files=a.fa,b.fa"]) == 0
+    rows = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 2 and all(len(r) == 2 for r in rows)
+    assert run(["coordinateTranslate", "pm.xmfa", "--seq=0", "--position=50", "--seq-files=a.fa,b.fa"]) == 0
     assert run(["extractSubalignments", "pm.xmfa", "sub.xmfa", "--seq=0", "--left=100", "--right=400", "a.fa", "b.fa"]) == 0
     assert run(["calculateCoverage", "pm.xmfa", "a.fa", "b.fa"]) == 0
     assert run(["pairCompare", "pm.xmfa"]) == 0
