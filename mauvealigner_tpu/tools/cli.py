@@ -1103,20 +1103,58 @@ def extract_subalignments_cli(argv: List[str]) -> int:
 
 @tool("getAlignmentWindows")
 def get_alignment_windows_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="getAlignmentWindows")
+    p = argparse.ArgumentParser(
+        prog="getAlignmentWindows",
+        description="Sliding-window slices of an XMFA (reference: "
+        "src/getAlignmentWindows.cpp).  Default output is the reference's "
+        "directory tree <base>/interval_<i>/window_<a>_to_<b>.mfa; "
+        "--format=xmfa writes all windows into one XMFA instead.",
+    )
     p.add_argument("alignment")
-    p.add_argument("output")
-    p.add_argument("--window", type=int, required=True)
-    p.add_argument("--step", type=int, default=None)
+    p.add_argument("output", help="base output directory (or XMFA file "
+                   "with --format=xmfa)")
+    p.add_argument("--window", type=int, required=True,
+                   help="window length (reference second arg)")
+    p.add_argument("--step", type=int, default=None,
+                   help="window shift amount (reference third arg; "
+                   "default = window length)")
+    p.add_argument("--format", choices=["dir", "xmfa"], default=None)
     p.add_argument("seq_files", nargs="*")
     a = p.parse_args(argv)
-    from mauvealigner_tpu.tools.manipulate import alignment_windows
-
+    fmt = a.format or ("xmfa" if a.output.endswith(".xmfa") else "dir")
     ivl = _read_alignment(a.alignment, a.seq_files)
-    wins = alignment_windows(ivl, a.window, a.step)
-    IntervalList(
-        genomes=ivl.genomes, intervals=wins, seq_filenames=list(ivl.seq_filenames)
-    ).write_xmfa(a.output)
+    if fmt == "xmfa":
+        from mauvealigner_tpu.tools.manipulate import alignment_windows
+
+        wins = alignment_windows(ivl, a.window, a.step)
+        IntervalList(
+            genomes=ivl.genomes, intervals=wins, seq_filenames=list(ivl.seq_filenames)
+        ).write_xmfa(a.output)
+        return 0
+    import os
+
+    shift = a.step or a.window
+    names = ivl.filenames()
+    os.makedirs(a.output, exist_ok=True)
+    for k, iv in enumerate(ivl.intervals):
+        iv_dir = os.path.join(a.output, f"interval_{k}")
+        os.makedirs(iv_dir, exist_ok=True)
+        texts = {
+            s: iv.aligned_text(ivl.genomes, s)
+            for s in range(iv.n_seqs)
+            if iv.starts[s] != 0
+        }
+        left = 0
+        while left < iv.n_cols:
+            size = min(a.window, iv.n_cols - left)
+            fname = os.path.join(iv_dir, f"window_{left}_to_{left + size - 1}.mfa")
+            with open(fname, "w") as fh:
+                for s, text in texts.items():
+                    fh.write(f">{names[s] or f'seq{s}'}\n")
+                    chunk = text[left : left + size]
+                    for c in range(0, len(chunk), 80):
+                        fh.write(chunk[c : c + 80] + "\n")
+            left += shift
     return 0
 
 

@@ -97,6 +97,10 @@ def test_converters_on_alignment(workdir, capsys):
     assert run(["alignmentProjector", "pm.xmfa", "proj.xmfa", "--seqs=0,1", "a.fa", "b.fa"]) == 0
     assert run(["projectAndStrip", "pm.xmfa", "pas.xmfa", "--seqs=0,1", "a.fa", "b.fa"]) == 0
     assert run(["getAlignmentWindows", "pm.xmfa", "win.xmfa", "--window=100", "a.fa", "b.fa"]) == 0
+    assert run(["getAlignmentWindows", "pm.xmfa", "windir", "--window=100", "--step=50", "a.fa", "b.fa"]) == 0
+    import glob as _glob
+    wfiles = _glob.glob("windir/interval_*/window_*_to_*.mfa")
+    assert wfiles and all(open(w).read().startswith(">") for w in wfiles[:2])
     assert run(["joinAlignmentFiles", "joined.xmfa", "pm.xmfa", "pm.xmfa"]) == 0
     assert run(["addUnalignedIntervals", "pm.xmfa", "aui.xmfa", "a.fa", "b.fa"]) == 0
     assert run(["toMultiFastA", "pm.xmfa", "block", "a.fa", "b.fa"]) == 0
