@@ -1605,18 +1605,32 @@ def create_backbone_mfa_cli(argv: List[str]) -> int:
 
 @tool("unalign")
 def unalign_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="unalign")
+    p = argparse.ArgumentParser(
+        prog="unalign",
+        description="Recover the input sequences from an alignment: per "
+        "genome, concatenate its blocks in coordinate order (reverse "
+        "blocks revcomped) and strip gaps (reference: src/unalign.cpp "
+        "— \"you've got an alignment but you just can't seem to find "
+        "the sequences that went into it\").  With --bbcols, instead "
+        "un-aligns non-backbone (island) columns from the XMFA.",
+    )
     p.add_argument("alignment")
-    p.add_argument("bbcols")
-    p.add_argument("output")
+    p.add_argument("output", help="output Multi-FastA")
+    p.add_argument("--bbcols", default="",
+                   help="backbone columns: island-removal mode")
     p.add_argument("seq_files", nargs="*")
     a = p.parse_args(argv)
-    from mauvealigner_tpu.analysis.backbone import read_backbone_cols_file
-    from mauvealigner_tpu.tools.manipulate import unalign_islands
-
     ivl = _read_alignment(a.alignment, a.seq_files)
-    segs = read_backbone_cols_file(a.bbcols)
-    unalign_islands(ivl, segs).write_xmfa(a.output)
+    if a.bbcols:
+        from mauvealigner_tpu.analysis.backbone import read_backbone_cols_file
+        from mauvealigner_tpu.tools.manipulate import unalign_islands
+
+        unalign_islands(ivl, read_backbone_cols_file(a.bbcols)).write_xmfa(a.output)
+        return 0
+    from mauvealigner_tpu.tools.manipulate import unalign_sequences
+
+    with open_out(a.output) as fh:
+        unalign_sequences(ivl, fh)
     return 0
 
 

@@ -339,7 +339,34 @@ def contig_placements_from_lcbs(
 
 def unalign_islands(ivs: IntervalList, segments) -> IntervalList:
     """Remove non-backbone (island) sequence from the alignment by applying
-    backbone segments (unalign tool semantics)."""
+    backbone segments (--bbcols mode of the unalign CLI)."""
     from mauvealigner_tpu.analysis.backbone import apply_backbone
 
     return apply_backbone(ivs, segments)
+
+
+def unalign_sequences(ivs: IntervalList, out) -> None:
+    """Reconstruct the input sequences from an alignment
+    (src/unalign.cpp:14-80): per genome, concatenate its block texts in
+    coordinate order (reverse blocks revcomped back to forward strand),
+    strip gaps, write one Multi-FastA record per genome."""
+    from mauvealigner_tpu.genome.sequence import revcomp_ascii
+
+    names = ivs.filenames()
+    for s in range(ivs.n_seqs):
+        blocks = sorted(
+            (iv for iv in ivs.intervals if iv.starts[s] != 0),
+            key=lambda iv: abs(int(iv.starts[s])),
+        )
+        parts = []
+        for iv in blocks:
+            text = iv.aligned_text(ivs.genomes, s).replace("-", "")
+            chunk = np.frombuffer(text.encode(), np.uint8)
+            if iv.starts[s] < 0:
+                chunk = revcomp_ascii(chunk)
+            parts.append(chunk)
+        seq = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        out.write(f">{names[s] or f'seq{s}'}\n")
+        text = seq.tobytes().decode("ascii")
+        for c in range(0, len(text), 80):
+            out.write(text[c : c + 80] + "\n")

@@ -131,7 +131,7 @@ def test_backbone_tools(workdir, capsys):
     assert run(["extractBackbone", "pm.xmfa.backbone", "bbseq.fa", "a.fa", "b.fa"]) == 0
     assert run(["createBackboneMFA", "pm.xmfa.backbone", "bb.mfa", "a.fa", "b.fa"]) == 0
     assert run(["backbone_global_to_local", "pm.xmfa.backbone", "bbl.txt", "a.fa", "b.fa"]) == 0
-    assert run(["unalign", "pm.xmfa", "pm.xmfa.bbcols", "unaligned.xmfa", "a.fa", "b.fa"]) == 0
+    assert run(["unalign", "pm.xmfa", "unaligned.xmfa", "--bbcols=pm.xmfa.bbcols", "a.fa", "b.fa"]) == 0
 
 
 def test_mfa2xmfa_and_raw(workdir):
@@ -258,3 +258,17 @@ def test_mauve_aligner_lcb_match_input(workdir):
     # re-entry reproduces a full-coverage alignment
     text = open("o2.xmfa").read()
     assert text.count("=") >= 1
+
+
+def test_unalign_recovers_sequences(workdir, rng):
+    """unalign reconstructs the exact input sequences from the XMFA
+    (src/unalign.cpp: block concatenation + gap stripping)."""
+    run(["progressiveMauve", "a.fa", "b.fa", "--seed-weight=11", "--output=u.xmfa", "--no-backbone"])
+    assert run(["unalign", "u.xmfa", "recovered.mfa", "a.fa", "b.fa"]) == 0
+    from mauvealigner_tpu.genome import read_fasta
+    from mauvealigner_tpu.genome.fasta import read_fasta_records
+
+    recs = read_fasta_records("recovered.mfa")
+    assert len(recs) == 2
+    for rec, src_file in zip(recs, ("a.fa", "b.fa")):
+        assert rec.to_string() == read_fasta(src_file).to_string()
