@@ -1776,18 +1776,30 @@ def uniquify_trees_cli(argv: List[str]) -> int:
 
 @tool("extractBCITrees")
 def extract_bci_trees_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="extractBCITrees")
-    p.add_argument("trprobs")
+    p = argparse.ArgumentParser(
+        prog="extractBCITrees",
+        description="Sum and normalize topology posteriors from MrBayes "
+        ".trprobs files; keep the Bayes credible set, subsampling when "
+        "over the tree budget (reference: src/extractBCITrees.cpp)",
+    )
+    p.add_argument("trprobs", nargs="+", help="one or more .trprobs files")
     p.add_argument("output")
-    p.add_argument("--credibility", type=float, default=0.95)
+    p.add_argument("--credibility", type=float, default=0.95,
+                   help="BCI threshold (reference arg 2; 0.9 suggested)")
+    p.add_argument("--max-trees", type=int, default=0,
+                   help="subsample to this many trees (reference arg 3)")
+    p.add_argument("--seed", type=int, default=37,
+                   help="subsample RNG seed (reference arg 1)")
     a = p.parse_args(argv)
     from mauvealigner_tpu.analysis.tree import write_newick
-    from mauvealigner_tpu.tools.tree_tools import extract_bci_trees
+    from mauvealigner_tpu.tools.tree_tools import aggregate_bci_trees
 
-    sampled = extract_bci_trees(open(a.trprobs).read(), a.credibility)
+    sampled = aggregate_bci_trees(
+        [open(f).read() for f in a.trprobs], a.credibility, a.max_trees, a.seed
+    )
     with open_out(a.output) as fh:
-        for name, prob, tree in sampled:
-            fh.write(f"[{name} p={prob}] {write_newick(tree)}\n")
+        for tree, weight in sampled:
+            fh.write(f"[p={weight:g}] {write_newick(tree)}\n")
     return 0
 
 

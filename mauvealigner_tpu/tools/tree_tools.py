@@ -25,10 +25,11 @@ def parse_nexus_trees(text: str) -> Tuple[List[Tuple[str, TreeNode]], Dict[str, 
             if len(toks) >= 2:
                 translate[toks[0]] = toks[1].rstrip(",;")
     for tm in re.finditer(
-        r"tree\s+(\S+)\s*(\[[^\]]*\])?\s*=\s*(\[[^\]]*\])?\s*([^;]+);", text, re.I
+        r"tree\s+(\S+)\s*(?:\[[^\]]*\]\s*)*=\s*(?:\[[^\]]*\]\s*)*([^;\[]+);",
+        text, re.I,
     ):
         name = tm.group(1)
-        newick = tm.group(4).strip() + ";"
+        newick = tm.group(2).strip() + ";"
         tree = parse_newick(newick)
         if translate:
             for leaf in tree.leaves():
@@ -50,10 +51,67 @@ def extract_bci_trees(
     cumulative = 0.0
     for i, (name, tree) in enumerate(trees):
         p = float(probs[i]) if i < len(probs) else 0.0
-        if cumulative >= credibility - 1e-9:
-            break
+        # the reference breaks when the cumulative posterior INCLUDING this
+        # tree passes the threshold, before pushing it
+        # (src/extractBCITrees.cpp:258-265)
         cumulative += p
+        if cumulative > credibility + 1e-9:
+            break
         out.append((name, p, tree))
+    return out
+
+
+def topology_key(tree: TreeNode) -> str:
+    """Canonical ROOTED topology string: children sorted recursively,
+    branch lengths dropped — the reference dedups by the written tree
+    after sortTaxa (src/extractBCITrees.cpp:294-298), a rooted string
+    comparison."""
+
+    def canon(node: TreeNode) -> str:
+        if not node.children:
+            return node.name
+        return "(" + ",".join(sorted(canon(c) for c in node.children)) + ")"
+
+    return canon(tree)
+
+
+def aggregate_bci_trees(
+    texts: Sequence[str],
+    bci_threshold: float,
+    max_output_trees: int = 0,
+    seed: int = 37,
+) -> List[Tuple[TreeNode, float]]:
+    """Reference extractBCITrees semantics (src/extractBCITrees.cpp:193-368):
+    read trees + posteriors from each .trprobs file until the cumulative
+    posterior passes the BCI threshold, sum posterior weight per unique
+    topology, and — when more unique topologies than max_output_trees —
+    subsample by posterior-weighted draws without replacement.  The RNG is
+    numpy's (seeded), not the reference's lagged-Fibonacci."""
+    buckets: Dict[str, Tuple[TreeNode, float]] = {}
+    for text in texts:
+        for name, prob, tree in extract_bci_trees(text, bci_threshold):
+            key = topology_key(tree)
+            if key in buckets:
+                buckets[key] = (buckets[key][0], buckets[key][1] + prob)
+            else:
+                buckets[key] = (tree, prob)
+    uniq = sorted(buckets.values(), key=lambda t: -t[1])
+    if not max_output_trees or len(uniq) <= max_output_trees:
+        return uniq
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    weights = np.array([w for _, w in uniq], np.float64)
+    out: List[Tuple[TreeNode, float]] = []
+    for _ in range(max_output_trees):
+        total = weights.sum()
+        if total <= 0:
+            break
+        dart = rng.uniform(0, total)
+        i = int(np.searchsorted(np.cumsum(weights), dart, side="right"))
+        i = min(i, len(uniq) - 1)
+        out.append(uniq[i])
+        weights[i] = 0.0
     return out
 
 

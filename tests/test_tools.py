@@ -272,3 +272,38 @@ def test_unalign_recovers_sequences(workdir, rng):
     assert len(recs) == 2
     for rec, src_file in zip(recs, ("a.fa", "b.fa")):
         assert rec.to_string() == read_fasta(src_file).to_string()
+
+
+def test_extract_bci_aggregation(workdir):
+    """Identical topologies across files sum their posteriors; the BCI
+    cutoff stops reading; over-budget sets subsample by weight
+    (src/extractBCITrees.cpp:193-368)."""
+    trprobs = """#NEXUS
+begin trees;
+   translate
+      1 taxA,
+      2 taxB,
+      3 taxC,
+      4 taxD;
+   tree tree_1 [p = 0.40] [P = 0.40] = [&W 0.40] ((1,2),(3,4));
+   tree tree_2 [p = 0.35] [P = 0.75] = [&W 0.35] ((2,1),(4,3));
+   tree tree_3 [p = 0.10] [P = 0.85] = [&W 0.10] ((1,3),(2,4));
+   tree tree_4 [p = 0.08] [P = 0.93] = [&W 0.08] ((1,4),(2,3));
+end;
+"""
+    with open("t1.trprobs", "w") as fh:
+        fh.write(trprobs)
+    with open("t2.trprobs", "w") as fh:
+        fh.write(trprobs)
+    from mauvealigner_tpu.tools.tree_tools import aggregate_bci_trees
+
+    uniq = aggregate_bci_trees([trprobs, trprobs], bci_threshold=0.9)
+    # trees 1 and 2 are the same topology -> merged; tree 4 is past the
+    # 0.9 cumulative cutoff -> dropped.  2 unique topologies remain.
+    assert len(uniq) == 2
+    assert uniq[0][1] == pytest.approx(2 * 0.75)
+    assert uniq[1][1] == pytest.approx(2 * 0.10)
+    assert run(["extractBCITrees", "t1.trprobs", "t2.trprobs", "bci2.nwk",
+                "--credibility=0.9", "--max-trees=1"]) == 0
+    out = open("bci2.nwk").read()
+    assert out.count("(") >= 1 and len(out.strip().splitlines()) == 1
