@@ -116,13 +116,14 @@ def aggregate_bci_trees(
 
 
 def uniquify_trees(trees: Sequence[TreeNode]) -> List[TreeNode]:
-    """Deduplicate topologically identical trees (uniquifyTrees semantics,
-    src/uniquifyTrees.cpp:195)."""
-    unique: List[TreeNode] = []
+    """Deduplicate topologically identical trees (uniquifyTrees,
+    src/uniquifyTrees.cpp:215-246): the reference compares the ROOTED
+    sorted-children string and emits unique trees in sorted canonical
+    order; the original (unrelabeled) trees are kept here."""
+    seen: Dict[str, TreeNode] = {}
     for t in trees:
-        if not any(topologies_equal(t, u) for u in unique):
-            unique.append(t)
-    return unique
+        seen.setdefault(topology_key(t), t)
+    return [seen[k] for k in sorted(seen)]
 
 
 def root_trees(
