@@ -237,16 +237,32 @@ def random_gene_sample(
 def pair_compare(
     ivs: IntervalList, genomes: Sequence[Genome], rows: Sequence[np.ndarray] = ()
 ) -> dict:
-    """NT identity, backbone fraction and LCB count for a pairwise alignment."""
-    from mauvealigner_tpu.analysis.distance import identity_matrix
+    """NT identity (over simpleFindBackbone(50, 50) regions, the
+    BackboneIdentityMatrix computation), average backbone fraction, and
+    LCB count for a pairwise alignment (src/pairCompare.cpp:36-78)."""
+    from mauvealigner_tpu.analysis.distance import backbone_identity_matrix
+    from mauvealigner_tpu.analysis.islands import simple_find_backbone
 
-    ident = identity_matrix(ivs, genomes)
     n_lcbs = sum(1 for iv in ivs.intervals if iv.multiplicity() >= 2)
-    bb_frac = (
-        backbone_coverage(rows, [len(g) for g in genomes]).mean() if rows else 0.0
-    )
+    segs = simple_find_backbone(ivs, 50, 50)
+    if ivs.n_seqs >= 2 and segs:
+        ident = float(backbone_identity_matrix(ivs, genomes, segs)[0, 1])
+    else:
+        ident = 0.0
+    if rows:
+        bb_frac = float(backbone_coverage(rows, [len(g) for g in genomes]).mean())
+    else:
+        # avg backbone length / avg sequence length (:62-70)
+        total_bb = np.zeros(ivs.n_seqs, np.int64)
+        for seg in segs:
+            lens = np.abs(seg.rights) - np.abs(seg.lefts) + 1
+            total_bb += np.where(seg.lefts != 0, lens, 0)
+        seq_lens = np.array([len(g) for g in genomes], np.float64)
+        bb_frac = (
+            float(total_bb.mean() / seq_lens.mean()) if seq_lens.mean() else 0.0
+        )
     return {
-        "identity": float(ident[0, 1]) if ivs.n_seqs >= 2 else 1.0,
+        "identity": ident,
         "lcb_count": n_lcbs,
-        "backbone_fraction": float(bb_frac),
+        "backbone_fraction": bb_frac,
     }

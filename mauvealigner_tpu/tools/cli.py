@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import sys
 from typing import Callable, Dict, List
 
@@ -1680,14 +1681,35 @@ def random_gene_sample_cli(argv: List[str]) -> int:
 
 @tool("pairCompare")
 def pair_compare_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="pairCompare")
-    p.add_argument("alignments", nargs="+", help="pairwise xmfa files")
+    p = argparse.ArgumentParser(
+        prog="pairCompare",
+        description="Per-pair NT identity, backbone %, LCB count "
+        "(reference: src/pairCompare.cpp).  With a bare sequence count, "
+        "sweeps all_pairs/pair_I.J.xmfa (reference mode; the reference's "
+        "seqI loop starting at 10 is a leftover bug, not replicated); "
+        "with file arguments, reports per file.",
+    )
+    p.add_argument("alignments", nargs="+",
+                   help="sequence count OR pairwise xmfa files")
     p.add_argument("--seqs", nargs="*", default=[],
                    help="sequence files (when the XMFA's #SequenceFile "
                    "paths do not resolve)")
     a = p.parse_args(argv)
     from mauvealigner_tpu.tools.backbone_tools import pair_compare
 
+    if len(a.alignments) == 1 and a.alignments[0].isdigit():
+        n = int(a.alignments[0])
+        print("SeqI\tSeqJ\tNTidentity\tAvgBBpct\tLCB count")
+        for i in range(n):
+            for j in range(i + 1, n):
+                path = os.path.join("all_pairs", f"pair_{i}.{j}.xmfa")
+                if not os.path.exists(path):
+                    continue
+                ivl = _read_alignment(path, a.seqs)
+                st = pair_compare(ivl, ivl.genomes)
+                print(f"{i}\t{j}\t{st['identity']:g}"
+                      f"\t{st['backbone_fraction']:g}\t{st['lcb_count']}")
+        return 0
     for path in a.alignments:
         ivl = _read_alignment(path, a.seqs)
         stats = pair_compare(ivl, ivl.genomes)
