@@ -1561,30 +1561,64 @@ def calculate_coverage_cli(argv: List[str]) -> int:
     return 0
 
 
+def _backbone_region_list(ivl: IntervalList, min_bb: int, max_gap: int) -> IntervalList:
+    """IntervalList of simpleFindBackbone(min_bb, max_gap) column slices
+    (the backbone_ivs construction, src/extractBackbone.cpp:63-71)."""
+    from mauvealigner_tpu.analysis.islands import simple_find_backbone
+
+    segs = simple_find_backbone(ivl, min_bb, max_gap)
+    return IntervalList(
+        genomes=ivl.genomes,
+        intervals=[
+            ivl.intervals[s.interval_index].column_slice(s.col_start, s.col_end)
+            for s in segs
+        ],
+        seq_filenames=list(ivl.seq_filenames),
+    )
+
+
 @tool("extractBackbone")
 def extract_backbone_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="extractBackbone")
-    p.add_argument("backbone")
+    p = argparse.ArgumentParser(
+        prog="extractBackbone",
+        description="Extract simpleFindBackbone regions of an alignment "
+        "into a backbone XMFA (reference: src/extractBackbone.cpp; usage "
+        "<source sequences> <source alignment> <min bb length> "
+        "<max bb gap> <output>).  With a .backbone rows file instead of "
+        "an alignment, writes the raw segment sequences (--rows mode).",
+    )
+    p.add_argument("seqs", help="source sequence file(s), comma-separated")
+    p.add_argument("alignment")
+    p.add_argument("min_bb_length", type=int)
+    p.add_argument("max_gap_length", type=int)
     p.add_argument("output")
-    p.add_argument("seq_files", nargs="+")
     a = p.parse_args(argv)
-    from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
-    from mauvealigner_tpu.tools.backbone_tools import extract_backbone_sequences
-
-    rows = read_backbone_seq_file(a.backbone)
-    genomes = load_genomes(a.seq_files)
-    seqs = extract_backbone_sequences(rows, genomes)
-    with open_out(a.output) as fh:
-        for i, row in enumerate(seqs):
-            for s, text in enumerate(row):
-                if text:
-                    fh.write(f">segment{i}_seq{s}\n{text}\n")
+    ivl = _read_alignment(a.alignment, a.seqs.split(","))
+    _backbone_region_list(ivl, a.min_bb_length, a.max_gap_length).write_xmfa(a.output)
     return 0
 
 
 @tool("extractBackbone2")
 def extract_backbone2_cli(argv: List[str]) -> int:
-    return extract_backbone_cli(argv)
+    p = argparse.ArgumentParser(
+        prog="extractBackbone2",
+        description="extractBackbone over a Mauve .mln interval file "
+        "(reference: src/extractBackbone2.cpp; usage <mauve alignment> "
+        "<min bb length> <max bb gap> <output .mln>)",
+    )
+    p.add_argument("alignment", help=".mln interval file")
+    p.add_argument("min_bb_length", type=int)
+    p.add_argument("max_gap_length", type=int)
+    p.add_argument("output")
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    from mauvealigner_tpu.core.mln import read_interval_list, write_interval_list
+
+    ivl = read_interval_list(a.alignment, load_genomes(a.seq_files) if a.seq_files else None)
+    write_interval_list(
+        _backbone_region_list(ivl, a.min_bb_length, a.max_gap_length), a.output
+    )
+    return 0
 
 
 @tool("createBackboneMFA")

@@ -128,7 +128,8 @@ def test_backbone_tools(workdir, capsys):
     assert run(["bbFilter", "pm.xmfa.backbone", "bbf.txt", "--min-length=10"]) == 0
     assert run(["bbFilter", "pm.xmfa.backbone", "bb.xml", "--format=beast"]) == 0
     assert run(["calculateBackboneCoverage", "pm.xmfa.backbone", "a.fa", "b.fa"]) == 0
-    assert run(["extractBackbone", "pm.xmfa.backbone", "bbseq.fa", "a.fa", "b.fa"]) == 0
+    assert run(["extractBackbone", "a.fa,b.fa", "pm.xmfa", "50", "50", "bb.xmfa"]) == 0
+    assert open("bb.xmfa").read().count("=") >= 1
     assert run(["createBackboneMFA", "pm.xmfa.backbone", "bb.mfa", "a.fa", "b.fa"]) == 0
     assert run(["backbone_global_to_local", "pm.xmfa.backbone", "bbl.txt", "a.fa", "b.fa"]) == 0
     assert run(["unalign", "pm.xmfa", "unaligned.xmfa", "--bbcols=pm.xmfa.bbcols", "a.fa", "b.fa"]) == 0

@@ -88,9 +88,19 @@ def test_calculate_backbone_coverage2(aligned_workdir, capsys):
 
 
 def test_extract_backbone2(aligned_workdir):
-    rc = main(["extractBackbone2", "pm.xmfa.backbone", "bbseqs.fa", "a.fa", "b.fa"])
+    # build a .mln from the xmfa, then extract backbone regions as .mln
+    from mauvealigner_tpu.core import mln
+    from mauvealigner_tpu.core.interval import IntervalList
+    from mauvealigner_tpu.tools.common import load_genomes
+
+    ivl = IntervalList.read_xmfa("pm.xmfa")
+    ivl.genomes = load_genomes(["a.fa", "b.fa"])
+    mln.write_interval_list(ivl, "pm.mln")
+    rc = main(["extractBackbone2", "pm.mln", "50", "50", "bb.mln", "a.fa", "b.fa"])
     assert rc == 0
-    assert os.path.getsize("bbseqs.fa") > 0
+    assert os.path.getsize("bb.mln") > 0
+    out = mln.read_interval_list("bb.mln")
+    assert len(out.intervals) >= 1
 
 
 def test_mauve_to_xmfa(aligned_workdir):
