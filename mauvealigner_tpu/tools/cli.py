@@ -1623,18 +1623,50 @@ def extract_backbone2_cli(argv: List[str]) -> int:
 
 @tool("createBackboneMFA")
 def create_backbone_mfa_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="createBackboneMFA")
-    p.add_argument("backbone")
+    p = argparse.ArgumentParser(
+        prog="createBackboneMFA",
+        description="Concatenate the aligned rows of every --stride'th "
+        "interval into one superalignment MFA (reference: "
+        "src/createBackboneMFA.cpp; it hard-codes a 1-in-30 LCB "
+        "subsample, :31-32).  With --rows, instead writes raw backbone "
+        "segment sequences from a .backbone rows file.",
+    )
+    p.add_argument("alignment", help="interval file (.mln) or XMFA")
     p.add_argument("output")
-    p.add_argument("seq_files", nargs="+")
+    p.add_argument("--stride", type=int, default=30,
+                   help="take every Nth interval (reference: 30)")
+    p.add_argument("--rows", default="",
+                   help=".backbone rows file (raw-sequence mode)")
+    p.add_argument("seq_files", nargs="*")
     a = p.parse_args(argv)
-    from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
-    from mauvealigner_tpu.tools.backbone_tools import write_backbone_mfa
+    if a.rows:
+        from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
+        from mauvealigner_tpu.tools.backbone_tools import write_backbone_mfa
 
-    with open_out(a.output) as fh:
-        write_backbone_mfa(
-            read_backbone_seq_file(a.backbone), load_genomes(a.seq_files), fh
+        with open_out(a.output) as fh:
+            write_backbone_mfa(
+                read_backbone_seq_file(a.rows), load_genomes(a.seq_files), fh
+            )
+        return 0
+    if a.alignment.endswith(".mln"):
+        from mauvealigner_tpu.core.mln import read_interval_list
+
+        ivl = read_interval_list(
+            a.alignment, load_genomes(a.seq_files) if a.seq_files else None
         )
+    else:
+        ivl = _read_alignment(a.alignment, a.seq_files)
+    rows = ["" for _ in range(ivl.n_seqs)]
+    for k, iv in enumerate(ivl.intervals):
+        if k % max(a.stride, 1) != 0:
+            continue
+        for s in range(ivl.n_seqs):
+            rows[s] += iv.aligned_text(ivl.genomes, s)
+    with open_out(a.output) as fh:
+        for s, text in enumerate(rows):
+            fh.write(f">{s}\n")
+            for c in range(0, len(text), 80):
+                fh.write(text[c : c + 80] + "\n")
     return 0
 
 

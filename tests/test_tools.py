@@ -130,7 +130,9 @@ def test_backbone_tools(workdir, capsys):
     assert run(["calculateBackboneCoverage", "pm.xmfa.backbone", "a.fa", "b.fa"]) == 0
     assert run(["extractBackbone", "a.fa,b.fa", "pm.xmfa", "50", "50", "bb.xmfa"]) == 0
     assert open("bb.xmfa").read().count("=") >= 1
-    assert run(["createBackboneMFA", "pm.xmfa.backbone", "bb.mfa", "a.fa", "b.fa"]) == 0
+    assert run(["createBackboneMFA", "pm.xmfa", "bb.mfa", "--stride=1", "a.fa", "b.fa"]) == 0
+    assert open("bb.mfa").read().startswith(">0")
+    assert run(["createBackboneMFA", "pm.xmfa", "bbrows.mfa", "--rows=pm.xmfa.backbone", "a.fa", "b.fa"]) == 0
     assert run(["backbone_global_to_local", "pm.xmfa.backbone", "bbl.txt", "a.fa", "b.fa"]) == 0
     assert run(["unalign", "pm.xmfa", "unaligned.xmfa", "--bbcols=pm.xmfa.bbcols", "a.fa", "b.fa"]) == 0
 
