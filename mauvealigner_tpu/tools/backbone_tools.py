@@ -111,23 +111,23 @@ def write_genoplast(matrix: np.ndarray, names: Sequence[str], out: TextIO) -> No
 
 def backbone_global_to_local(
     rows: Sequence[np.ndarray], genomes: Sequence[Genome]
-) -> List[List[Tuple[str, int, int]]]:
-    """Rewrite coords as (contig_name, local_left, local_right) per seq."""
+) -> List[List[Tuple[int, int, int, int]]]:
+    """Rewrite backbone coords as per-seq
+    (left_contig, local_left, right_contig, local_right) — each endpoint
+    translated within its OWN contig, exactly as the reference emits
+    `c1:start<TAB>c2:end` without reconciling a contig-spanning segment
+    (src/backbone_global_to_local.cpp:37-58)."""
     out = []
     for r in rows:
-        row_entries: List[Tuple[str, int, int]] = []
+        row_entries: List[Tuple[int, int, int, int]] = []
         for s, g in enumerate(genomes):
             l, rr = int(abs(r[2 * s])), int(abs(r[2 * s + 1]))
             if l == 0:
-                row_entries.append(("", 0, 0))
+                row_entries.append((0, 0, 0, 0))
                 continue
             ci, lloc = g.global_to_local(l)
             cj, rloc = g.global_to_local(min(rr, len(g)))
-            name = g.contigs[ci].name
-            if ci != cj:
-                # segment spans contigs: clamp to the first
-                rloc = g.contigs[ci].length
-            row_entries.append((name, lloc, rloc))
+            row_entries.append((ci, lloc, cj, rloc))
         out.append(row_entries)
     return out
 

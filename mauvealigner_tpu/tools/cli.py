@@ -1518,9 +1518,11 @@ def backbone_global_to_local_cli(argv: List[str]) -> int:
     genomes = load_genomes(a.seq_files)
     local = backbone_global_to_local(rows, genomes)
     with open_out(a.output) as fh:
+        # reference format: per seq `c1:start<TAB>c2:end`
+        # (src/backbone_global_to_local.cpp:53-57)
         for row in local:
             fh.write(
-                "\t".join(f"{name}:{l}-{r}" if name else "-" for name, l, r in row) + "\n"
+                "\t".join(f"{ci}:{l}\t{cj}:{r}" for ci, l, cj, r in row) + "\n"
             )
     return 0
 
@@ -1548,13 +1550,21 @@ def calculate_backbone_coverage2_cli(argv: List[str]) -> int:
 
 @tool("calculateCoverage")
 def calculate_coverage_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="calculateCoverage")
+    p = argparse.ArgumentParser(
+        prog="calculateCoverage",
+        description="Per-interval per-genome aligned lengths (reference: "
+        "src/calculateCoverage.cpp:70-77), plus a per-genome coverage "
+        "fraction summary",
+    )
     p.add_argument("alignment")
     p.add_argument("seq_files", nargs="*")
     a = p.parse_args(argv)
     from mauvealigner_tpu.analysis.islands import coverage_fraction
 
     ivl = _read_alignment(a.alignment, a.seq_files)
+    for k, iv in enumerate(ivl.intervals):
+        lens = "\t".join(str(int(l)) for l in iv.seq_lengths())
+        print(f"Interval {k}\t{lens}")
     cov = coverage_fraction(ivl, [len(g) for g in ivl.genomes])
     for i, c in enumerate(cov):
         print(f"seq{i}\t{c:.6f}")
