@@ -1527,25 +1527,104 @@ def backbone_global_to_local_cli(argv: List[str]) -> int:
     return 0
 
 
+def _backbone_coverage_report(ivl: IntervalList, min_bb: int, max_gap: int,
+                              lcb_stats: bool) -> int:
+    """Shared body of calculateBackboneCoverage/2
+    (src/calculateBackboneCoverage.cpp:95-138,
+    src/calculateBackboneCoverage2.cpp:58-125)."""
+    from mauvealigner_tpu.analysis.distance import backbone_identity_matrix
+    from mauvealigner_tpu.analysis.islands import simple_find_backbone
+
+    n = ivl.n_seqs
+    if lcb_stats:
+        lens = np.array([iv.seq_lengths() for iv in ivl.intervals], np.float64)
+        avg_cov = 0.0
+        for s in range(n):
+            cur = float(lens[:, s].sum()) if len(lens) else 0.0
+            glen = len(ivl.genomes[s]) or 1
+            print(f"Genome {s} coverage is: {cur:g} / {glen} = {cur / glen:g}")
+            avg_cov += cur / glen
+        print(f"Average coverage = {avg_cov / n:g}")
+        if len(lens):
+            avg_lcb = float(lens.mean())
+            var = float(((lens - avg_lcb) ** 2).sum() / max(lens.size - 1, 1))
+            print(f"Avg lcb len: {avg_lcb:g}")
+            print(f"variance: {var:g}")
+            print(f"std dev: {var ** 0.5:g}")
+    segs = simple_find_backbone(ivl, min_bb, max_gap)
+    print(f"There are {len(segs)} backbone segments")
+    total_bb = np.zeros(n, np.int64)
+    for seg in segs:
+        seg_lens = np.abs(seg.rights) - np.abs(seg.lefts) + 1
+        total_bb += np.where(seg.lefts != 0, seg_lens, 0)
+    for s in range(n):
+        print(f"seq {s} backbone: {int(total_bb[s])}")
+    print(f"Average: {int(total_bb.mean()) if n else 0}")
+    print("Identity matrix: ")
+    ident = backbone_identity_matrix(ivl, ivl.genomes, segs)
+    for i in range(n):
+        print("\t".join(f"{ident[i, j]:g}" for j in range(n)))
+    return 0
+
+
 @tool("calculateBackboneCoverage")
 def calculate_backbone_coverage_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="calculateBackboneCoverage")
-    p.add_argument("backbone")
-    p.add_argument("seq_files", nargs="+")
+    p = argparse.ArgumentParser(
+        prog="calculateBackboneCoverage",
+        description="Backbone coverage statistics of an alignment "
+        "(reference: src/calculateBackboneCoverage.cpp; usage "
+        "<alignment> <min bb length> <max bb gap> <seq1>...<seqN>).  "
+        "With a .backbone rows file as the first arg, prints per-genome "
+        "row coverage instead (--rows mode shortcut).",
+    )
+    p.add_argument("alignment")
+    p.add_argument("rest", nargs="*",
+                   help="<min bb length> <max bb gap> <seq files...>, or "
+                   "just <seq files...> in rows mode")
     a = p.parse_args(argv)
-    from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
-    from mauvealigner_tpu.tools.backbone_tools import backbone_coverage
+    if a.rest and a.rest[0].lstrip("-").isdigit():
+        a.min_bb_length = int(a.rest[0])
+        a.max_gap_length = int(a.rest[1]) if len(a.rest) > 1 and a.rest[1].lstrip("-").isdigit() else None
+        a.seq_files = a.rest[2:] if a.max_gap_length is not None else a.rest[1:]
+    else:
+        a.min_bb_length = None
+        a.max_gap_length = None
+        a.seq_files = a.rest
+    if a.min_bb_length is None:
+        # rows-file mode: per-genome coverage fractions
+        from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
+        from mauvealigner_tpu.tools.backbone_tools import backbone_coverage
 
-    genomes = load_genomes(a.seq_files)
-    cov = backbone_coverage(read_backbone_seq_file(a.backbone), [len(g) for g in genomes])
-    for i, c in enumerate(cov):
-        print(f"seq{i}\t{c:.6f}")
-    return 0
+        genomes = load_genomes(a.seq_files)
+        cov = backbone_coverage(
+            read_backbone_seq_file(a.alignment), [len(g) for g in genomes]
+        )
+        for i, c in enumerate(cov):
+            print(f"seq{i}\t{c:.6f}")
+        return 0
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    return _backbone_coverage_report(
+        ivl, a.min_bb_length, a.max_gap_length or 50, lcb_stats=False
+    )
 
 
 @tool("calculateBackboneCoverage2")
 def calculate_backbone_coverage2_cli(argv: List[str]) -> int:
-    return calculate_backbone_coverage_cli(argv)
+    p = argparse.ArgumentParser(
+        prog="calculateBackboneCoverage2",
+        description="Backbone + LCB coverage statistics of an XMFA "
+        "(reference: src/calculateBackboneCoverage2.cpp; usage "
+        "<XMFA> <min bb length> <max bb gap>)",
+    )
+    p.add_argument("alignment")
+    p.add_argument("min_bb_length", type=int)
+    p.add_argument("max_gap_length", type=int)
+    p.add_argument("seq_files", nargs="*")
+    a = p.parse_args(argv)
+    ivl = _read_alignment(a.alignment, a.seq_files)
+    return _backbone_coverage_report(
+        ivl, a.min_bb_length, a.max_gap_length, lcb_stats=True
+    )
 
 
 @tool("calculateCoverage")
@@ -1933,7 +2012,15 @@ def main(argv: List[str] = None) -> int:
     if name not in TOOLS:
         print(f"unknown tool {name!r}; use --list", file=sys.stderr)
         return 2
-    return TOOLS[name](argv[1:])
+    try:
+        return TOOLS[name](argv[1:])
+    except BrokenPipeError:
+        # downstream pipe (e.g. `| head`) closed early — not an error
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        return 0
 
 
 if __name__ == "__main__":

@@ -79,12 +79,14 @@ def aligned_workdir(tmp_path, rng, monkeypatch):
 
 
 def test_calculate_backbone_coverage2(aligned_workdir, capsys):
-    rc = main(["calculateBackboneCoverage2", "pm.xmfa.backbone", "a.fa", "b.fa"])
+    rc = main(["calculateBackboneCoverage2", "pm.xmfa", "50", "50", "a.fa", "b.fa"])
     assert rc == 0
     out = capsys.readouterr().out
-    covs = [float(l.split()[1]) for l in out.splitlines() if l.startswith("seq")]
-    assert len(covs) == 2 and all(0.0 <= c <= 1.0 for c in covs)
+    covs = [float(l.rsplit("= ", 1)[1]) for l in out.splitlines()
+            if l.startswith("Genome ")]
+    assert len(covs) == 2 and all(0.0 <= c <= 1.5 for c in covs)
     assert max(covs) > 0.5  # mostly-homologous pair
+    assert "backbone segments" in out and "Identity matrix:" in out
 
 
 def test_extract_backbone2(aligned_workdir):
