@@ -192,30 +192,147 @@ def write_backbone_mfa(
 
 # -- getOrthologList (src/getOrthologList.cpp:77) ---------------------------
 
+def _overlap(a1: int, a2: int, b1: int, b2: int) -> int:
+    """Length of [a1,a2] ∩ [b1,b2] (0 when disjoint)."""
+    lo, hi = max(a1, b1), min(a2, b2)
+    return max(hi - lo + 1, 0)
+
+
 def ortholog_list(
     ivs: IntervalList,
     rows: Sequence[np.ndarray],
     annotated_seq: int = 0,
+    output_base: str = "",
 ) -> List[dict]:
-    """Positional ortholog CDS table: for every CDS of the annotated genome,
-    the orthologous coordinates in each other genome via backbone overlap
-    (CDS scan src/getOrthologList.cpp:115-120)."""
+    """Positional ortholog CDS table (src/getOrthologList.cpp:133-313):
+    for every CDS of the annotated genome intersecting N-WAY backbone,
+    find the interval with the largest CDS∩backbone overlap (multiple
+    overlapping intervals mark the gene 'rearranged'), extract the CDS
+    column range as a per-gene alignment (written to
+    `<output_base>_<id>.fas` when output_base given), and pick the
+    best-overlapping CDS in every other genome; a row emits only when
+    every genome carries an annotated ortholog CDS.  Coverage = mean
+    CDS∩backbone fraction; identity = mean pairwise identity over the
+    extracted columns."""
+    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+
     genome = ivs.genomes[annotated_seq]
-    out = []
+    n = ivs.n_seqs
+    nway_rows = [r for r in rows if (r[::2] != 0).all()]
+    out: List[dict] = []
+    ortho_id = 0
     for feat in genome.features:
         if feat.kind != "CDS":
             continue
-        entry = {"name": feat.name, "start": feat.start, "end": feat.end, "orthologs": {}}
-        for r in rows:
-            l, rr = abs(int(r[2 * annotated_seq])), abs(int(r[2 * annotated_seq + 1]))
-            if l == 0 or rr < feat.start or l > feat.end:
+        lend, rend = int(feat.start), int(feat.end)
+        nway_bb = [
+            r for r in nway_rows
+            if _overlap(lend, rend,
+                        abs(int(r[2 * annotated_seq])),
+                        abs(int(r[2 * annotated_seq + 1]))) > 0
+        ]
+        if not nway_bb:
+            continue
+        # interval with the largest CDS∩nway-backbone overlap (:178-212)
+        overlaps = []
+        for k, iv in enumerate(ivs.intervals):
+            if iv.starts[annotated_seq] == 0:
                 continue
-            for s in range(ivs.n_seqs):
-                if s == annotated_seq or r[2 * s] == 0:
+            il = int(iv.lefts()[annotated_seq])
+            ir = int(iv.rights()[annotated_seq])
+            inter = sum(
+                _overlap(max(il, lend), min(ir, rend),
+                         abs(int(r[2 * annotated_seq])),
+                         abs(int(r[2 * annotated_seq + 1])))
+                for r in nway_bb
+            ) if _overlap(il, ir, lend, rend) else 0
+            if inter > 0:
+                overlaps.append((inter, k))
+        if not overlaps:
+            continue
+        overlaps.sort()
+        k = overlaps[-1][1]
+        partial_rr = len(overlaps) > 1
+        iv = ivs.intervals[k]
+        pos = np.abs(_interval_positions(iv, annotated_seq))
+        sel = np.nonzero((pos >= lend) & (pos <= rend))[0]
+        if not len(sel):
+            continue
+        sub = iv.column_slice(int(sel[0]), int(sel[-1]) + 1)
+        # per-genome best-overlap CDS within the extracted region (:239-276)
+        ortho_cds = {}
+        for s in range(n):
+            if sub.starts[s] == 0:
+                continue
+            sl, sr = int(sub.lefts()[s]), int(sub.rights()[s])
+            best = None
+            for f2 in ivs.genomes[s].features:
+                if f2.kind != "CDS":
                     continue
-                entry["orthologs"].setdefault(
-                    s, (int(abs(r[2 * s])), int(abs(r[2 * s + 1])))
+                l2 = _overlap(sl, sr, int(f2.start), int(f2.end))
+                if l2 <= 0:
+                    continue
+                max_bb = max(
+                    (_overlap(max(sl, int(f2.start)), min(sr, int(f2.end)),
+                              abs(int(r[2 * s])), abs(int(r[2 * s + 1])))
+                     for r in nway_bb),
+                    default=0,
                 )
+                if best is None or max_bb > best[0]:
+                    best = (max_bb, f2)
+            if best is not None:
+                ortho_cds[s] = best[1]
+        entry = {
+            "id": ortho_id,
+            "name": feat.name,
+            "start": lend,
+            "end": rend,
+            "rearranged": partial_rr,
+            "orthologs": {
+                s: (int(f2.start), int(f2.end), f2.name)
+                for s, f2 in ortho_cds.items()
+            },
+            "complete": len(ortho_cds) == n,
+        }
+        if len(ortho_cds) != n:
+            out.append(entry)  # tracked but not numbered (reference skips)
+            continue
+        # coverage: mean CDS∩nway-backbone fraction over genomes (:49-71)
+        covs = []
+        for s, f2 in ortho_cds.items():
+            intlen = sum(
+                _overlap(int(f2.start), int(f2.end),
+                         abs(int(r[2 * s])), abs(int(r[2 * s + 1])))
+                for r in nway_bb
+            )
+            covs.append(intlen / max(int(f2.end) - int(f2.start) + 1, 1))
+        entry["coverage"] = float(np.mean(covs))
+        # identity: mean pairwise identity over the extracted columns
+        texts = {
+            s: np.frombuffer(
+                sub.aligned_text(ivs.genomes, s).upper().encode(), np.uint8
+            )
+            for s in range(n)
+            if sub.starts[s] != 0
+        }
+        ids = []
+        keys = sorted(texts)
+        for ai in range(len(keys)):
+            for bi in range(ai + 1, len(keys)):
+                ti, tj = texts[keys[ai]], texts[keys[bi]]
+                both = (ti != ord("-")) & (tj != ord("-"))
+                ids.append(
+                    float((both & (ti == tj)).sum() / both.sum()) if both.any() else 0.0
+                )
+        entry["identity"] = float(np.mean(ids)) if ids else 0.0
+        if output_base:
+            with open(f"{output_base}_{ortho_id}.fas", "w") as fh:
+                for s in range(n):
+                    fh.write(f">seq{s}\n")
+                    text = sub.aligned_text(ivs.genomes, s)
+                    for c in range(0, len(text), 80):
+                        fh.write(text[c : c + 80] + "\n")
+        ortho_id += 1
         out.append(entry)
     return out
 
@@ -230,6 +347,66 @@ def random_gene_sample(
         return list(ortho_list)
     idx = sorted(rng.choice(len(ortho_list), size=count, replace=False))
     return [ortho_list[i] for i in idx]
+
+
+def random_gene_alignments(
+    ivs: IntervalList,
+    rows: Sequence[np.ndarray],
+    annotated_seq: int,
+    count: int,
+    output_base: str,
+    seed: int = 37,
+) -> List[dict]:
+    """Reference randomGeneSample (src/randomGeneSample.cpp:83-160): sample
+    `count` CDS genes (without replacement) fully contained in an N-way
+    backbone segment, extract each gene's column range from the interval
+    that strictly contains it, and write `<base>_<i>.fas` per gene."""
+    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+
+    genome = ivs.genomes[annotated_seq]
+    nway_rows = [r for r in rows if (r[::2] != 0).all()]
+    eligible = []
+    for feat in genome.features:
+        if feat.kind != "CDS":
+            continue
+        lend, rend = int(feat.start), int(feat.end)
+        contained = any(
+            abs(int(r[2 * annotated_seq])) <= lend
+            and rend <= abs(int(r[2 * annotated_seq + 1]))
+            for r in nway_rows
+        )
+        if contained:
+            eligible.append(feat)
+    rng = np.random.default_rng(seed)
+    if count < len(eligible):
+        idx = rng.choice(len(eligible), size=count, replace=False)
+        sample = [eligible[int(i)] for i in idx]
+    else:
+        sample = eligible
+    out = []
+    for i, feat in enumerate(sample):
+        lend, rend = int(feat.start), int(feat.end)
+        for iv in ivs.intervals:
+            if iv.starts[annotated_seq] == 0:
+                continue
+            il = int(iv.lefts()[annotated_seq])
+            ir = int(iv.rights()[annotated_seq])
+            if il < lend and rend < ir:
+                pos = np.abs(_interval_positions(iv, annotated_seq))
+                sel = np.nonzero((pos >= lend) & (pos <= rend))[0]
+                if not len(sel):
+                    break
+                sub = iv.column_slice(int(sel[0]), int(sel[-1]) + 1)
+                with open(f"{output_base}_{i}.fas", "w") as fh:
+                    for s in range(ivs.n_seqs):
+                        fh.write(f">seq{s}\n")
+                        text = sub.aligned_text(ivs.genomes, s)
+                        for c in range(0, len(text), 80):
+                            fh.write(text[c : c + 80] + "\n")
+                out.append({"name": feat.name, "start": lend, "end": rend,
+                            "file": f"{output_base}_{i}.fas"})
+                break
+    return out
 
 
 # -- pairCompare (src/pairCompare.cpp:19-60) --------------------------------

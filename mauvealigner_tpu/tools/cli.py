@@ -1792,10 +1792,19 @@ def unalign_cli(argv: List[str]) -> int:
 
 @tool("getOrthologList")
 def get_ortholog_list_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="getOrthologList")
+    p = argparse.ArgumentParser(
+        prog="getOrthologList",
+        description="Positional ortholog CDS lists + per-CDS alignments "
+        "(reference: src/getOrthologList.cpp; usage <xmfa> <backbone> "
+        "<reference genome #> <ortholog output> <CDS alignment base>)",
+    )
     p.add_argument("alignment")
     p.add_argument("backbone")
     p.add_argument("output")
+    p.add_argument("--ref-genome", type=int, default=0,
+                   help="annotated reference genome index (reference arg 3)")
+    p.add_argument("--cds-base", default="",
+                   help="per-CDS alignment filename base (reference arg 5)")
     p.add_argument("seq_files", nargs="+")
     a = p.parse_args(argv)
     from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
@@ -1803,34 +1812,51 @@ def get_ortholog_list_cli(argv: List[str]) -> int:
 
     ivl = _read_alignment(a.alignment, a.seq_files)
     rows = read_backbone_seq_file(a.backbone)
-    orthos = ortholog_list(ivl, rows)
+    orthos = ortholog_list(ivl, rows, a.ref_genome, a.cds_base)
     with open_out(a.output) as fh:
+        fh.write("OrthoID" + "".join(f"\tGI_in_Genome_{s}" for s in range(ivl.n_seqs))
+                 + "\tCoverage\tIdentity\tRearranged\n")
         for o in orthos:
-            partners = ";".join(
-                f"{s}:{l}-{r}" for s, (l, r) in sorted(o["orthologs"].items())
+            if not o["complete"]:
+                continue
+            gis = "\t".join(
+                o["orthologs"][s][2] or "?" for s in range(ivl.n_seqs)
             )
-            fh.write(f"{o['name']}\t{o['start']}\t{o['end']}\t{partners}\n")
+            fh.write(f"{o['id']}\t{gis}\t{o['coverage']:g}\t{o['identity']:g}"
+                     f"\t{'*' if o['rearranged'] else ''}\n")
     return 0
 
 
 @tool("randomGeneSample")
 def random_gene_sample_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="randomGeneSample")
+    p = argparse.ArgumentParser(
+        prog="randomGeneSample",
+        description="Random sample of gene alignments from xmfa+backbone "
+        "(reference: src/randomGeneSample.cpp; usage <xmfa> <backbone> "
+        "<sample genome> <number of genes> <output base> [seed]).  Per "
+        "sampled CDS fully inside N-way backbone, writes <base>_<i>.fas.",
+    )
     p.add_argument("alignment")
     p.add_argument("backbone")
-    p.add_argument("output")
-    p.add_argument("--count", type=int, required=True)
+    p.add_argument("output", help="output base name for <base>_<i>.fas")
+    p.add_argument("--count", type=int, required=True,
+                   help="number of genes (reference arg 4)")
+    p.add_argument("--sample-genome", type=int, default=0,
+                   help="annotated genome index (reference arg 3)")
+    p.add_argument("--seed", type=int, default=37,
+                   help="random seed (reference arg 6)")
     p.add_argument("seq_files", nargs="+")
     a = p.parse_args(argv)
     from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
-    from mauvealigner_tpu.tools.backbone_tools import ortholog_list, random_gene_sample
+    from mauvealigner_tpu.tools.backbone_tools import random_gene_alignments
 
     ivl = _read_alignment(a.alignment, a.seq_files)
     rows = read_backbone_seq_file(a.backbone)
-    sample = random_gene_sample(ortholog_list(ivl, rows), a.count)
-    with open_out(a.output) as fh:
-        for o in sample:
-            fh.write(f"{o['name']}\t{o['start']}\t{o['end']}\n")
+    sample = random_gene_alignments(
+        ivl, rows, a.sample_genome, a.count, a.output, a.seed
+    )
+    for o in sample:
+        print(f"{o['name']}\t{o['start']}\t{o['end']}\t{o['file']}")
     return 0
 
 

@@ -163,19 +163,27 @@ def _write_gbk(path, seq_text):
 
 
 def test_get_ortholog_list_and_random_gene_sample(aligned_workdir, rng):
-    anc, _ = aligned_workdir
+    anc, der = aligned_workdir
     _write_gbk("a.gbk", anc.to_string().lower())
+    _write_gbk("b.gbk", der.to_string().lower())
     rc = main(["getOrthologList", "pm.xmfa", "pm.xmfa.backbone", "orthos.tsv",
-               "a.gbk", "b.fa"])
+               "--cds-base=cds", "a.gbk", "b.gbk"])
     assert rc == 0
     lines = [l for l in open("orthos.tsv").read().splitlines() if l.strip()]
-    assert len(lines) == 2  # both CDS features reported
-    # nearly-identical genomes: each CDS should map to an ortholog in seq 1
-    assert any("1:" in l for l in lines)
-    rc = main(["randomGeneSample", "pm.xmfa", "pm.xmfa.backbone", "sample.tsv",
-               "--count=1", "a.gbk", "b.fa"])
+    # header + both CDS features (each annotated in both genomes)
+    assert lines[0].startswith("OrthoID\tGI_in_Genome_0")
+    assert len(lines) == 3
+    assert any("orfA" in l for l in lines[1:])
+    assert os.path.exists("cds_0.fas")
+    # coverage/identity columns are sane fractions
+    for l in lines[1:]:
+        cols = l.split("\t")
+        assert 0.0 <= float(cols[3]) <= 1.0 and 0.5 <= float(cols[4]) <= 1.0
+    rc = main(["randomGeneSample", "pm.xmfa", "pm.xmfa.backbone", "genealn",
+               "--count=1", "a.gbk", "b.gbk"])
     assert rc == 0
-    assert len(open("sample.tsv").read().splitlines()) == 1
+    assert os.path.exists("genealn_0.fas")
+    assert open("genealn_0.fas").read().startswith(">seq0")
 
 
 def test_xmfa2maf_contig_local_rows(rng):
