@@ -324,7 +324,7 @@ def mauve_aligner_cli(argv: List[str]) -> int:
         import os
 
         from mauvealigner_tpu.core.interval import IntervalList as _IVL
-        from mauvealigner_tpu.tools.convert import to_multi_fasta, write_clustal, write_phylip
+        from mauvealigner_tpu.tools.convert import write_clustal, write_phylip
 
         os.makedirs(a.alignment_output_dir, exist_ok=True)
         fmt = a.alignment_output_format.lower()
@@ -339,7 +339,14 @@ def mauve_aligner_cli(argv: List[str]) -> int:
                 with open(path, "w") as fh:
                     write_phylip(sub, fh)
             elif fmt == "mfa":
-                to_multi_fasta(sub, path)
+                with open(path, "w") as fh:
+                    for s in range(iv.n_seqs):
+                        if iv.starts[s] == 0:
+                            continue
+                        fh.write(f">{sub.filenames()[s] or f'seq{s}'}\n")
+                        text = iv.aligned_text(genomes, s)
+                        for c in range(0, len(text), 80):
+                            fh.write(text[c : c + 80] + "\n")
             else:
                 sub.write_xmfa(path)
     if a.permutation_matrix_output:

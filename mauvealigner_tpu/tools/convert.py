@@ -112,10 +112,11 @@ def mfa2xmfa(aligned_records: Sequence[Genome], out: TextIO) -> IntervalList:
 # -- toMultiFastA (src/toMultiFastA.cpp) -----------------------------------
 
 def to_multi_fasta(ivs: IntervalList, prefix: str, width: int = 80) -> List[str]:
-    """One gapped MFA file per interval; returns file names."""
+    """One gapped MFA file per interval, named `<base>.lcb_<i>` as the
+    reference does (src/toMultiFastA.cpp:32-33); returns file names."""
     names = []
     for k, iv in enumerate(ivs.intervals):
-        fname = f"{prefix}{k}.mfa"
+        fname = f"{prefix}.lcb_{k}"
         with open(fname, "w") as fh:
             for s in range(iv.n_seqs):
                 if iv.starts[s] == 0:

@@ -89,7 +89,7 @@ def test_converters_on_alignment(workdir, capsys):
     assert maf.startswith("##maf")
     assert "\ns " in maf
     assert run(["toMultiFastA", "pm.xmfa", "gapblock", "a.fa", "b.fa"]) == 0
-    assert run(["gappiness", "gapblock0.mfa"]) == 0
+    assert run(["gappiness", "gapblock.lcb_0"]) == 0
     out = capsys.readouterr().out
     assert "aln_length\t" in out and "percent_id\t" in out
     assert run(["stripGapColumns", "pm.xmfa", "sgc.xmfa", "a.fa", "b.fa"]) == 0
