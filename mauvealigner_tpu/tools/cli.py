@@ -1257,15 +1257,31 @@ def xmfa2maf_cli(argv: List[str]) -> int:
 
 @tool("mfa2xmfa")
 def mfa2xmfa_cli(argv: List[str]) -> int:
-    p = argparse.ArgumentParser(prog="mfa2xmfa")
+    p = argparse.ArgumentParser(
+        prog="mfa2xmfa",
+        description="MFA -> XMFA; the optional third argument writes the "
+        "gap-stripped records as unaligned FastA "
+        "(reference: src/mfa2xmfa.cpp:14,40-61)",
+    )
     p.add_argument("mfa")
     p.add_argument("xmfa")
+    p.add_argument("unaligned", nargs="?", default="",
+                   help="unaligned FastA output (optional)")
     a = p.parse_args(argv)
     from mauvealigner_tpu.genome.fasta import read_fasta_records
     from mauvealigner_tpu.tools.convert import mfa2xmfa
 
+    records = read_fasta_records(a.mfa)
     with open_out(a.xmfa) as fh:
-        mfa2xmfa(read_fasta_records(a.mfa), fh)
+        mfa2xmfa(records, fh)
+    if a.unaligned:
+        with open_out(a.unaligned) as fh:
+            for rec in records:
+                seq = rec.seq[rec.seq != ord("-")]
+                fh.write(f">{rec.name}\n")
+                text = seq.tobytes().decode("ascii")
+                for c in range(0, len(text), 80):
+                    fh.write(text[c : c + 80] + "\n")
     return 0
 
 
