@@ -934,21 +934,36 @@ def transpose_coordinates_cli(argv: List[str]) -> int:
     )
     p.add_argument("match_list")
     p.add_argument("regions",
-                   help="removed-region TSV: seq_index<TAB>start<TAB>length "
-                   "per line (non-numeric lines skipped)")
+                   help="removed-region TSV seq<TAB>start<TAB>length per "
+                   "line; OR (reference mode, with seq_id given) a flat "
+                   "whitespace list of start/length pairs for that one "
+                   "sequence")
+    p.add_argument("seq_id", nargs="?", type=int, default=None,
+                   help="sequence ID the coordinates apply to (reference "
+                   "arg 3; enables reference mode + n-way filter)")
     p.add_argument("output")
     a = p.parse_args(argv)
     from mauvealigner_tpu.core import mln
     from mauvealigner_tpu.tools.manipulate import transpose_coordinates
 
     ml, names, lens = mln.read_match_list(a.match_list)
+    per_seq: dict = {}
+    if a.seq_id is not None:
+        # reference interface (src/transposeCoordinates.cpp:44-55):
+        # flat coordinate list for one sequence, n-way filter first
+        ml = ml.select(ml.multiplicity() >= ml.n_seqs)
+        toks = open(a.regions).read().split()
+        vals = [int(t) for t in toks if t.lstrip("-").isdigit()]
+        per_seq[a.seq_id] = list(zip(vals[::2], vals[1::2]))
+    else:
+        with open(a.regions) as fh:
+            for line in fh:
+                toks = line.split()
+                if len(toks) >= 3 and all(t.lstrip("-").isdigit() for t in toks[:3]):
+                    per_seq.setdefault(int(toks[0]), []).append(
+                        (int(toks[1]), int(toks[2]))
+                    )
     regions = []
-    with open(a.regions) as fh:
-        per_seq: dict = {}
-        for line in fh:
-            toks = line.split()
-            if len(toks) >= 3 and all(t.lstrip("-").isdigit() for t in toks[:3]):
-                per_seq.setdefault(int(toks[0]), []).append((int(toks[1]), int(toks[2])))
     for s in range(ml.n_seqs):
         regs = per_seq.get(s, [])
         regions.append(np.array(regs, np.int64).reshape(-1, 2))
