@@ -26,6 +26,16 @@ class SegmentReport:
     length: int            # in the annotated reference (or max member length)
     features: List[str]    # overlapping CDS/gene names in the reference
     intergenic: bool
+    # alternalog classification vs the reference annotations
+    # (src/bbAnalyze.cpp:816-931)
+    genic: bool = False         # entirely inside one CDS
+    spanner: bool = False       # overlaps a CDS boundary
+    contains_trna: bool = False
+    contains_rrna: bool = False
+    contains_miscrna: bool = False
+    # intergenic-neighbor classification (:869-873): orientation of the
+    # flanking CDS pair, or an RNA nearest neighbor
+    neighbor: str = ""          # converging | diverging | inline | tRNA | miscRNA
 
 
 def classify_segments(
@@ -34,10 +44,15 @@ def classify_segments(
     reference: Optional[Genome] = None,
     ref_index: int = 0,
 ) -> List[SegmentReport]:
-    feats = sorted(
-        (f for f in (reference.features if reference else []) if f.kind in ("CDS", "gene")),
-        key=lambda f: f.start,
+    all_feats = sorted(
+        (reference.features if reference else []), key=lambda f: f.start
     )
+    feats = [f for f in all_feats if f.kind in ("CDS", "gene")]
+    cds = [f for f in all_feats if f.kind == "CDS"]
+    rnas = {
+        kind: [f for f in all_feats if f.kind == kind]
+        for kind in ("tRNA", "rRNA", "misc_RNA")
+    }
     feat_starts = np.array([f.start for f in feats], np.int64)
     reports = []
     for i, r in enumerate(rows):
@@ -46,25 +61,62 @@ def classify_segments(
         lengths = np.abs(r[1::2]) - np.abs(r[::2]) + 1
         length = int(lengths[members].max()) if n else 0
         overlapping: List[str] = []
-        intergenic = True
+        rep = SegmentReport(
+            row_index=i,
+            n_genomes=n,
+            is_core=n == n_seqs,
+            is_variable=0 < n < n_seqs,
+            length=length,
+            features=overlapping,
+            intergenic=True,
+        )
         if reference is not None and members[ref_index]:
             l, rr = abs(int(r[2 * ref_index])), abs(int(r[2 * ref_index + 1]))
             hi = int(np.searchsorted(feat_starts, rr, side="right"))
             for f in feats[:hi]:
                 if f.end >= l:
                     overlapping.append(f.name)
-                    intergenic = False
-        reports.append(
-            SegmentReport(
-                row_index=i,
-                n_genomes=n,
-                is_core=n == n_seqs,
-                is_variable=0 < n < n_seqs,
-                length=length,
-                features=overlapping,
-                intergenic=intergenic,
+                    rep.intergenic = False
+                    if f.kind == "CDS":
+                        if f.start <= l and rr <= f.end:
+                            rep.genic = True
+                        else:
+                            rep.spanner = True
+            rep.contains_trna = any(
+                f.start <= rr and f.end >= l for f in rnas["tRNA"]
             )
-        )
+            rep.contains_rrna = any(
+                f.start <= rr and f.end >= l for f in rnas["rRNA"]
+            )
+            rep.contains_miscrna = any(
+                f.start <= rr and f.end >= l for f in rnas["misc_RNA"]
+            )
+            if rep.intergenic:
+                # nearest annotated neighbors on each side (:858-873)
+                left_cds = max((f for f in cds if f.end < l),
+                               key=lambda f: f.end, default=None)
+                right_cds = min((f for f in cds if f.start > rr),
+                                key=lambda f: f.start, default=None)
+                near_rna = ""
+                for kind, label in (("tRNA", "tRNA"), ("misc_RNA", "miscRNA")):
+                    for f in rnas[kind]:
+                        lo = left_cds.end if left_cds else 0
+                        hi2 = right_cds.start if right_cds else (rr + length + 1)
+                        if lo <= f.start and f.end <= hi2:
+                            near_rna = label
+                            break
+                    if near_rna:
+                        break
+                if near_rna:
+                    rep.neighbor = near_rna
+                elif left_cds is not None and right_cds is not None:
+                    if left_cds.strand > 0 and right_cds.strand < 0:
+                        rep.neighbor = "converging"
+                    elif left_cds.strand < 0 and right_cds.strand > 0:
+                        rep.neighbor = "diverging"
+                    else:
+                        rep.neighbor = "inline"
+        reports.append(rep)
     return reports
 
 
@@ -117,17 +169,53 @@ def bb_analyze_report(
     if out is not None:
         n_core = sum(1 for r in reports if r.is_core)
         n_var = sum(1 for r in reports if r.is_variable)
+        var = [r for r in reports if r.is_variable]
         out.write(f"segments: {len(reports)}\n")
         out.write(f"core segments: {n_core}\n")
         out.write(f"variable segments: {n_var}\n")
         out.write(
             f"intergenic variable segments: "
-            f"{sum(1 for r in reports if r.is_variable and r.intergenic)}\n"
+            f"{sum(1 for r in var if r.intergenic)}\n"
         )
+        if reference is not None:
+            # reference-style alternalog breakdown (src/bbAnalyze.cpp:816-931)
+            def count(pred):
+                return sum(1 for r in var if pred(r))
+
+            out.write(f"variable sites within CDS: {count(lambda r: r.genic)}\n")
+            out.write(
+                f"variable sites spanning CDS boundaries: "
+                f"{count(lambda r: r.spanner)}\n"
+            )
+            out.write(
+                f"variable sites containing rRNA: "
+                f"{count(lambda r: r.contains_rrna)}\n"
+            )
+            out.write(
+                f"variable sites containing tRNA: "
+                f"{count(lambda r: r.contains_trna)}\n"
+            )
+            out.write(
+                f"variable sites containing misc_RNA: "
+                f"{count(lambda r: r.contains_miscrna)}\n"
+            )
+            for label, text in (
+                ("tRNA", "intergenic segments with a tRNA nearest neighbor"),
+                ("miscRNA", "intergenic segments with a miscRNA nearest neighbor"),
+                ("converging", "intergenic segments surrounded by converging CDS"),
+                ("diverging", "intergenic segments surrounded by diverging CDS"),
+                ("inline", "intergenic segments surrounded by inline CDS"),
+            ):
+                out.write(
+                    f"There are {count(lambda r: r.neighbor == label)} {text}\n"
+                )
         if categories:
-            out.write("category\tvariable\tcore\tchi2\n")
+            out.write("NumGenes\tGenesInCat\tPercent\tChi_square\tCategory\n")
+            total = sum(a + b for _, a, b, _ in category_enrichment(reports, categories)) or 1
             for cat, a, b, chi2 in category_enrichment(reports, categories):
-                out.write(f"{cat}\t{a}\t{b}\t{chi2:.3f}\n")
+                out.write(
+                    f"{a + b}\t{a}\t{(a + b) / total:.4f}\t{chi2:.3f}\t{cat}\n"
+                )
     return reports
 
 

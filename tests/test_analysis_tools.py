@@ -271,3 +271,40 @@ def test_evd_alignjob_mode(tmp_path, rng, monkeypatch):
     with redirect_stdout(buf2):
         assert main(["multiEVD", "2"]) == 0
     assert "multiplicity 2:" in buf2.getvalue()
+
+
+def test_bb_analyze_alternalog_breakdown():
+    """Alternalog classification vs reference annotations: genic/spanner,
+    RNA containment, intergenic neighbor orientation
+    (src/bbAnalyze.cpp:816-931)."""
+    import io
+
+    from mauvealigner_tpu.analysis.bb_analyze import bb_analyze_report
+    from mauvealigner_tpu.genome.sequence import Feature
+
+    ref = Genome.from_string("A" * 2000, name="ref")
+    ref.features = [
+        Feature("CDS", 100, 400, 1),
+        Feature("CDS", 700, 900, -1),    # converging with the first
+        Feature("CDS", 1200, 1400, 1),   # diverging with the second
+        Feature("tRNA", 1500, 1550, 1),
+        Feature("CDS", 1700, 1900, 1),
+    ]
+    rows = [
+        np.array([150, 350, 150, 350], np.int64),   # genic (inside CDS 1), core
+        np.array([380, 450, 0, 0], np.int64),       # spanner, variable
+        np.array([500, 600, 0, 0], np.int64),       # intergenic converging
+        np.array([950, 1100, 0, 0], np.int64),      # intergenic diverging
+        np.array([1450, 1600, 0, 0], np.int64),     # contains tRNA
+    ]
+    buf = io.StringIO()
+    reps = bb_analyze_report(rows, 2, ref, out=buf)
+    assert reps[0].genic and not reps[0].is_variable
+    assert reps[1].spanner and reps[1].is_variable
+    assert reps[2].neighbor == "converging"
+    assert reps[3].neighbor == "diverging"
+    assert reps[4].contains_trna
+    text = buf.getvalue()
+    assert "There are 1 intergenic segments surrounded by converging CDS" in text
+    assert "There are 1 intergenic segments surrounded by diverging CDS" in text
+    assert "variable sites spanning CDS boundaries: 1" in text
