@@ -766,9 +766,11 @@ def score_procrast_cli(argv: List[str]) -> int:
     score = score_procrast_alignment(
         read_repeats_xmfa(a.correct), read_repeats_xmfa(a.calculated)
     )
-    print(f"Sensitivity: {score.sensitivity:.6f}")
-    print(f"PPV: {score.ppv:.6f}")
-    print(f"tp={score.tp} fn={score.fn} fp={score.fp}")
+    # reference output labels (src/scoreProcrastAlignment.cpp:246-257)
+    print(f"sp_truepos {score.tp}")
+    print(f"sp_possible {score.tp + score.fn}")
+    print(f"SP sensitivity: {score.sensitivity:.6g}")
+    print(f"Match component PPV: {score.ppv:.6g}")
     return 0
 
 
