@@ -82,14 +82,16 @@ def classify_segments(
                             rep.genic = True
                         else:
                             rep.spanner = True
+            # containment, like the adjacent genic test: the RNA feature
+            # must lie entirely inside the segment
             rep.contains_trna = any(
-                f.start <= rr and f.end >= l for f in rnas["tRNA"]
+                l <= f.start and f.end <= rr for f in rnas["tRNA"]
             )
             rep.contains_rrna = any(
-                f.start <= rr and f.end >= l for f in rnas["rRNA"]
+                l <= f.start and f.end <= rr for f in rnas["rRNA"]
             )
             rep.contains_miscrna = any(
-                f.start <= rr and f.end >= l for f in rnas["misc_RNA"]
+                l <= f.start and f.end <= rr for f in rnas["misc_RNA"]
             )
             if rep.intergenic:
                 # nearest annotated neighbors on each side (:858-873)
@@ -211,8 +213,9 @@ def bb_analyze_report(
                 )
         if categories:
             out.write("NumGenes\tGenesInCat\tPercent\tChi_square\tCategory\n")
-            total = sum(a + b for _, a, b, _ in category_enrichment(reports, categories)) or 1
-            for cat, a, b, chi2 in category_enrichment(reports, categories):
+            enrich = category_enrichment(reports, categories)
+            total = sum(a + b for _, a, b, _ in enrich) or 1
+            for cat, a, b, chi2 in enrich:
                 out.write(
                     f"{a + b}\t{a}\t{(a + b) / total:.4f}\t{chi2:.3f}\t{cat}\n"
                 )

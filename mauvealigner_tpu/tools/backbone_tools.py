@@ -219,6 +219,20 @@ def ortholog_list(
     genome = ivs.genomes[annotated_seq]
     n = ivs.n_seqs
     nway_rows = [r for r in rows if (r[::2] != 0).all()]
+    # hoist per-interval reference bounds and per-genome sorted CDS lists
+    # out of the gene loop (these were recomputed per CDS)
+    iv_bounds = []
+    for k, iv in enumerate(ivs.intervals):
+        if iv.starts[annotated_seq] == 0:
+            iv_bounds.append(None)
+        else:
+            iv_bounds.append(
+                (int(iv.lefts()[annotated_seq]), int(iv.rights()[annotated_seq]))
+            )
+    cds_by_genome = [
+        sorted((f for f in g.features if f.kind == "CDS"), key=lambda f: f.start)
+        for g in ivs.genomes
+    ]
     out: List[dict] = []
     ortho_id = 0
     for feat in genome.features:
@@ -236,10 +250,9 @@ def ortholog_list(
         # interval with the largest CDS∩nway-backbone overlap (:178-212)
         overlaps = []
         for k, iv in enumerate(ivs.intervals):
-            if iv.starts[annotated_seq] == 0:
+            if iv_bounds[k] is None:
                 continue
-            il = int(iv.lefts()[annotated_seq])
-            ir = int(iv.rights()[annotated_seq])
+            il, ir = iv_bounds[k]
             inter = sum(
                 _overlap(max(il, lend), min(ir, rend),
                          abs(int(r[2 * annotated_seq])),
@@ -266,9 +279,9 @@ def ortholog_list(
                 continue
             sl, sr = int(sub.lefts()[s]), int(sub.rights()[s])
             best = None
-            for f2 in ivs.genomes[s].features:
-                if f2.kind != "CDS":
-                    continue
+            for f2 in cds_by_genome[s]:
+                if int(f2.start) > sr:
+                    break  # sorted by start: nothing further overlaps
                 l2 = _overlap(sl, sr, int(f2.start), int(f2.end))
                 if l2 <= 0:
                     continue
@@ -326,12 +339,11 @@ def ortholog_list(
                 )
         entry["identity"] = float(np.mean(ids)) if ids else 0.0
         if output_base:
+            from mauvealigner_tpu.tools.common import write_fasta_row
+
             with open(f"{output_base}_{ortho_id}.fas", "w") as fh:
                 for s in range(n):
-                    fh.write(f">seq{s}\n")
-                    text = sub.aligned_text(ivs.genomes, s)
-                    for c in range(0, len(text), 80):
-                        fh.write(text[c : c + 80] + "\n")
+                    write_fasta_row(fh, f"seq{s}", sub.aligned_text(ivs.genomes, s))
         ortho_id += 1
         out.append(entry)
     return out
@@ -397,12 +409,12 @@ def random_gene_alignments(
                 if not len(sel):
                     break
                 sub = iv.column_slice(int(sel[0]), int(sel[-1]) + 1)
+                from mauvealigner_tpu.tools.common import write_fasta_row
+
                 with open(f"{output_base}_{i}.fas", "w") as fh:
                     for s in range(ivs.n_seqs):
-                        fh.write(f">seq{s}\n")
-                        text = sub.aligned_text(ivs.genomes, s)
-                        for c in range(0, len(text), 80):
-                            fh.write(text[c : c + 80] + "\n")
+                        write_fasta_row(fh, f"seq{s}",
+                                        sub.aligned_text(ivs.genomes, s))
                 out.append({"name": feat.name, "start": lend, "end": rend,
                             "file": f"{output_base}_{i}.fas"})
                 break

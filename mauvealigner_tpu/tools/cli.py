@@ -18,7 +18,12 @@ from typing import Callable, Dict, List
 import numpy as np
 
 from mauvealigner_tpu.core.interval import IntervalList
-from mauvealigner_tpu.tools.common import load_genome, load_genomes, open_out
+from mauvealigner_tpu.tools.common import (
+    load_genome,
+    load_genomes,
+    open_out,
+    write_fasta_row,
+)
 
 TOOLS: Dict[str, Callable[[List[str]], int]] = {}
 
@@ -343,10 +348,8 @@ def mauve_aligner_cli(argv: List[str]) -> int:
                     for s in range(iv.n_seqs):
                         if iv.starts[s] == 0:
                             continue
-                        fh.write(f">{sub.filenames()[s] or f'seq{s}'}\n")
-                        text = iv.aligned_text(genomes, s)
-                        for c in range(0, len(text), 80):
-                            fh.write(text[c : c + 80] + "\n")
+                        write_fasta_row(fh, sub.filenames()[s] or f"seq{s}",
+                                        iv.aligned_text(genomes, s))
             else:
                 sub.write_xmfa(path)
     if a.permutation_matrix_output:
@@ -1175,10 +1178,8 @@ def get_alignment_windows_cli(argv: List[str]) -> int:
             fname = os.path.join(iv_dir, f"window_{left}_to_{left + size - 1}.mfa")
             with open(fname, "w") as fh:
                 for s, text in texts.items():
-                    fh.write(f">{names[s] or f'seq{s}'}\n")
-                    chunk = text[left : left + size]
-                    for c in range(0, len(chunk), 80):
-                        fh.write(chunk[c : c + 80] + "\n")
+                    write_fasta_row(fh, names[s] or f"seq{s}",
+                                    text[left : left + size])
             left += shift
     return 0
 
@@ -1295,10 +1296,7 @@ def mfa2xmfa_cli(argv: List[str]) -> int:
         with open_out(a.unaligned) as fh:
             for rec in records:
                 seq = rec.seq[rec.seq != ord("-")]
-                fh.write(f">{rec.name}\n")
-                text = seq.tobytes().decode("ascii")
-                for c in range(0, len(text), 80):
-                    fh.write(text[c : c + 80] + "\n")
+                write_fasta_row(fh, rec.name, seq.tobytes().decode("ascii"))
     return 0
 
 
@@ -1785,17 +1783,15 @@ def create_backbone_mfa_cli(argv: List[str]) -> int:
         )
     else:
         ivl = _read_alignment(a.alignment, a.seq_files)
-    rows = ["" for _ in range(ivl.n_seqs)]
+    rows = [[] for _ in range(ivl.n_seqs)]
     for k, iv in enumerate(ivl.intervals):
         if k % max(a.stride, 1) != 0:
             continue
         for s in range(ivl.n_seqs):
-            rows[s] += iv.aligned_text(ivl.genomes, s)
+            rows[s].append(iv.aligned_text(ivl.genomes, s))
     with open_out(a.output) as fh:
-        for s, text in enumerate(rows):
-            fh.write(f">{s}\n")
-            for c in range(0, len(text), 80):
-                fh.write(text[c : c + 80] + "\n")
+        for s, chunks in enumerate(rows):
+            write_fasta_row(fh, str(s), "".join(chunks))
     return 0
 
 

@@ -47,3 +47,10 @@ def open_out(path: Optional[str]) -> TextIO:
     if path in (None, "", "-"):
         return _NonClosing(sys.stdout)
     return open(path, "w")
+
+
+def write_fasta_row(fh: TextIO, name: str, text: str, width: int = 80) -> None:
+    """One `>name` record with the body wrapped at `width` columns."""
+    fh.write(f">{name}\n")
+    for c in range(0, len(text), width):
+        fh.write(text[c : c + width] + "\n")

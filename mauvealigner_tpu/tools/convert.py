@@ -27,19 +27,24 @@ def xmfa2maf(ivs: IntervalList, out: TextIO) -> None:
         present = [s for s in range(iv.n_seqs) if iv.starts[s] != 0]
         if not present:
             continue
-        # find split columns: any sequence crossing one of its contig starts
+        # find split columns: cut wherever a sequence's contig index
+        # changes between adjacent base-bearing columns (strand-safe —
+        # reverse rows walk their contigs in descending coordinates)
         split_cols = set()
         for s in present:
             g = ivs.genomes[s]
             if len(g.contigs) <= 1:
                 continue
             pos = _interval_positions(iv, s)
-            bounds = set(int(b) for b in g.contig_boundaries()[1:])
-            prev = None
-            for c in range(iv.n_cols):
-                p = abs(int(pos[c]))
-                if p and p in bounds:
-                    split_cols.add(c)
+            bounds = g.contig_boundaries()  # starts of each contig
+            absp = np.abs(pos)
+            nz = np.nonzero(absp)[0]
+            if len(nz) < 2:
+                continue
+            contig_of = np.searchsorted(np.asarray(bounds), absp[nz], side="right")
+            change = np.nonzero(contig_of[1:] != contig_of[:-1])[0]
+            for ci in change:
+                split_cols.add(int(nz[ci + 1]))
         cuts = sorted(split_cols)
         ranges = []
         start = 0
@@ -307,10 +312,15 @@ def _alphabet_id(counter: int) -> str:
 
 
 def _chromosome_of(bounds: Sequence[int], pos: int) -> int:
-    """First cumulative bound strictly greater than pos (getChromosome,
-    src/toEvoHighwayFormat.cpp:11-19)."""
+    """Chromosome index of a 1-based coordinate: first cumulative bound
+    >= pos, so a chromosome's LAST base stays in that chromosome —
+    consistent with the species-side `pos > bound` walk.  (The
+    reference's getChromosome uses strictly-greater on the same 1-based
+    coords, src/toEvoHighwayFormat.cpp:11-19, pushing a boundary base
+    into the next chromosome with local coordinate 0 — off-by-one, not
+    replicated.)"""
     for i, b in enumerate(bounds):
-        if b > pos:
+        if b >= pos:
             return i
     return len(bounds)
 

@@ -323,8 +323,12 @@ def contig_placements_from_lcbs(
         # little deeper on both ends: a boundary contig joins the range only
         # when the LCB overlaps it by > 15 bases.
         trim = min(15, (r - l) // 2)
-        cl, _ = draft.global_to_local(max(1, min(l + trim, len(draft))))
-        cr, _ = draft.global_to_local(max(1, min(r - trim - 1, len(draft))))
+        left_probe = l + trim
+        # never let the right probe cross left of the left probe (odd
+        # spans under 32 bases): the LCB must still place its contig
+        right_probe = max(left_probe, r - trim - 1)
+        cl, _ = draft.global_to_local(max(1, min(left_probe, len(draft))))
+        cr, _ = draft.global_to_local(max(1, min(right_probe, len(draft))))
         forward = (
             int(lcb.strands[draft_seq_index]) * int(lcb.strands[ref_seq_index])
         ) >= 0
@@ -366,7 +370,6 @@ def unalign_sequences(ivs: IntervalList, out) -> None:
                 chunk = revcomp_ascii(chunk)
             parts.append(chunk)
         seq = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
-        out.write(f">{names[s] or f'seq{s}'}\n")
-        text = seq.tobytes().decode("ascii")
-        for c in range(0, len(text), 80):
-            out.write(text[c : c + 80] + "\n")
+        from mauvealigner_tpu.tools.common import write_fasta_row
+
+        write_fasta_row(out, names[s] or f"seq{s}", seq.tobytes().decode("ascii"))

@@ -51,12 +51,15 @@ def extract_bci_trees(
     cumulative = 0.0
     for i, (name, tree) in enumerate(trees):
         p = float(probs[i]) if i < len(probs) else 0.0
-        # the reference breaks when the cumulative posterior INCLUDING this
-        # tree passes the threshold, before pushing it
-        # (src/extractBCITrees.cpp:258-265)
-        cumulative += p
-        if cumulative > credibility + 1e-9:
+        # standard Bayes credible set: include trees while the cumulative
+        # posterior BEFORE this tree is below the threshold (the smallest
+        # set reaching it).  The reference instead breaks before pushing
+        # the crossing tree (src/extractBCITrees.cpp:258-265), which
+        # returns an EMPTY set whenever the first topology alone exceeds
+        # the threshold — an evident bug, not replicated.
+        if cumulative >= credibility - 1e-9:
             break
+        cumulative += p
         out.append((name, p, tree))
     return out
 

@@ -301,11 +301,15 @@ end;
     from mauvealigner_tpu.tools.tree_tools import aggregate_bci_trees
 
     uniq = aggregate_bci_trees([trprobs, trprobs], bci_threshold=0.9)
-    # trees 1 and 2 are the same topology -> merged; tree 4 is past the
-    # 0.9 cumulative cutoff -> dropped.  2 unique topologies remain.
-    assert len(uniq) == 2
+    # trees 1 and 2 merge (same topology); tree 4 is the crossing tree
+    # (cumulative 0.85 < 0.9 before it) so it joins the credible set.
+    assert len(uniq) == 3
     assert uniq[0][1] == pytest.approx(2 * 0.75)
     assert uniq[1][1] == pytest.approx(2 * 0.10)
+    assert uniq[2][1] == pytest.approx(2 * 0.08)
+    # a dominant first topology must NOT produce an empty set
+    solo = aggregate_bci_trees([trprobs], bci_threshold=0.3)
+    assert len(solo) >= 1
     assert run(["extractBCITrees", "t1.trprobs", "t2.trprobs", "bci2.nwk",
                 "--credibility=0.9", "--max-trees=1"]) == 0
     out = open("bci2.nwk").read()

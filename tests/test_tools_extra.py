@@ -323,3 +323,36 @@ def test_in_place_inversions(rng):
         mk([201, 201, 101], [300, 300, 200], [1, 1, 1]),
     ]
     assert find_in_place_inversions(lcbs2) == []
+
+
+def test_xmfa2maf_reverse_strand_contig_split(rng):
+    """A reverse-strand row crossing a contig boundary must split into
+    valid contig-local MAF rows (0 <= start, start+size <= srcSize)."""
+    import io
+
+    from mauvealigner_tpu.core.interval import Interval, IntervalList
+    from mauvealigner_tpu.genome.sequence import Contig, revcomp_ascii
+    from mauvealigner_tpu.tools.convert import xmfa2maf
+    from mauvealigner_tpu.utils import simulate
+
+    g0 = simulate.random_genome(rng, 200, name="g0")
+    g1 = Genome(
+        revcomp_ascii(g0.seq),
+        contigs=[Contig("ctgA", 120, 0), Contig("ctgB", 80, 120)],
+        name="g1",
+    )
+    # g1 aligned reverse: its row walks coordinates 200..1 across ctgB|ctgA
+    iv = Interval(np.array([1, -1], np.int64), np.ones((2, 200), bool))
+    ivl = IntervalList(genomes=[g0, g1], intervals=[iv],
+                       seq_filenames=["g0.fa", "g1.fa"])
+    buf = io.StringIO()
+    xmfa2maf(ivl, buf)
+    rows = [l.split() for l in buf.getvalue().splitlines() if l.startswith("s ")]
+    assert len(rows) == 4  # 2 blocks x 2 seqs
+    for r in rows:
+        start, size, src_size = int(r[2]), int(r[3]), int(r[5])
+        assert start >= 0 and size > 0
+        assert start + size <= src_size, r
+    g1_rows = [r for r in rows if "g1" in r[1]]
+    assert {r[1].rsplit(".", 1)[1] for r in g1_rows} == {"ctgA", "ctgB"}
+    assert all(r[4] == "-" for r in g1_rows)
