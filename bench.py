@@ -62,5 +62,38 @@ def main():
     print(json.dumps(result))
 
 
+def _device_available(timeout_s: float = 600.0) -> bool:
+    """Probe jax.devices() with a timeout: the axon tunnel hangs
+    indefinitely when down, which would otherwise stall the whole bench
+    run.  A daemon thread keeps the probe from blocking exit."""
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            import jax
+
+            jax.devices()
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 if __name__ == "__main__":
+    if not _device_available():
+        print(json.dumps({
+            "metric": "pairwise_1mbp_wallclock",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "error": "device backend unavailable (axon tunnel down; "
+                     "jax.devices() did not return within 600s)",
+        }))
+        raise SystemExit(1)
     main()
