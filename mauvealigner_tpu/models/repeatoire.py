@@ -604,21 +604,20 @@ class Repeatoire:
     #    src/repeatoire.cpp:2538-2658) ---------------------------------------
     def _crop_components(
         self, fam: RepeatFamily, left_crop: np.ndarray, right_crop: np.ndarray
-    ) -> Optional[RepeatFamily]:
+    ) -> RepeatFamily:
         """Crop genome-left/right edges per component (CropLeft/CropRight,
-        src/repeatoire.cpp:2596-2630); drop emptied components and all-gap
-        columns.  Returns None if < min_multiplicity components survive."""
+        src/repeatoire.cpp:2596-2630); drop all-gap columns.  A component is
+        never emptied: the reference caps every crop at Length-1
+        (CropLeft(Length-1), :2607-2610), so a fully-subsumed component
+        survives as a 1 bp stub at its genome-right end and the record's
+        multiplicity is unchanged."""
         aln = fam.aln.copy()
         starts = fam.starts.copy()
-        keep_rows = np.ones(fam.multiplicity, bool)
         for k in range(fam.multiplicity):
             idx = np.flatnonzero(aln[k])
             n = len(idx)
-            lc, rc = int(left_crop[k]), int(right_crop[k])
-            if lc + rc >= n:
-                keep_rows[k] = False
-                aln[k] = False
-                continue
+            lc = min(int(left_crop[k]), n - 1)
+            rc = min(int(right_crop[k]), n - 1 - lc)
             s = int(starts[k])
             if s > 0:
                 # genome-left = alignment-left for a forward component
@@ -634,13 +633,8 @@ class Repeatoire:
                     starts[k] = -(abs(s) + lc)
                 if rc:
                     aln[k, idx[:rc]] = False
-        if keep_rows.sum() < self.options.min_multiplicity:
-            return None
-        aln = aln[keep_rows]
         keep_cols = aln.any(axis=0)
-        return RepeatFamily(
-            starts[keep_rows], aln[:, keep_cols], tandem=fam.tandem
-        )
+        return RepeatFamily(starts, aln[:, keep_cols], tandem=fam.tandem)
 
     def _remove_redundancy(
         self, genome: Genome, fams: List[RepeatFamily]
@@ -654,11 +648,9 @@ class Repeatoire:
         the reference marks subsuming_match before cropping (:2590-2593)
         and never unmarks, so a record that subsequently fails the
         length/SP/tandem filters still blocks lower-ranked records.
-        Deviation: the reference crops a fully-subsumed component to
-        length 1 and keeps the row (CropLeft(Length-1), :2607-2610); we
-        drop the row (and the family if < min_multiplicity survive) —
-        1-bp stubs would mostly gap every column and sink the recomputed
-        SP score anyway."""
+        A fully-subsumed component is cropped to a 1 bp stub at its
+        genome-right end, never dropped (CropLeft(Length-1), :2607-2610),
+        so multiplicity is invariant under redundancy removal."""
         o = self.options
         if o.large_repeats:  # score_by_length (:89)
             key = lambda i: (-fams[i].n_cols, -fams[i].score)
@@ -683,14 +675,13 @@ class Repeatoire:
             for ki, (l, r) in enumerate(spans):
                 own = owner[l : r + 1] == fi
                 if not own.any():
-                    left_crop[ki] = r - l + 1
+                    # fully subsumed: keep the genome-rightmost base (:2607)
+                    left_crop[ki] = r - l
                     continue
                 left_crop[ki] = int(np.argmax(own))
                 right_crop[ki] = int(np.argmax(own[::-1]))
             if left_crop.any() or right_crop.any():
                 f2 = self._crop_components(f, left_crop, right_crop)
-                if f2 is None:
-                    continue
                 # recompute the SP score after cropping (:2643-2646)
                 f2.score = self.sp_score(genome, f2)
                 out.append(f2)

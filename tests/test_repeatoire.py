@@ -195,6 +195,40 @@ def test_redundancy_removal_crops_overlaps(rng):
     assert len(uniq) <= len(dup)
 
 
+def test_redundancy_fully_subsumed_component_keeps_1bp_stub(rng):
+    # a component entirely inside a higher-scoring family's territory is
+    # cropped to a 1 bp stub at its genome-right end, never dropped
+    # (CropLeft(Length-1), src/repeatoire.cpp:2607-2610)
+    from mauvealigner_tpu.models.repeatoire import RepeatFamily
+
+    g = simulate.random_genome(rng, 500)
+    rep = Repeatoire(RepeatoireOptions(z=9))
+    winner = RepeatFamily(
+        np.array([101, 301], np.int64), np.ones((2, 50), bool), score=1000.0
+    )
+    # loser's first component [111,130] sits fully inside winner's [101,150];
+    # second component [401,420] is untouched
+    loser = RepeatFamily(
+        np.array([111, 401], np.int64), np.ones((2, 20), bool), score=10.0
+    )
+    out = rep._remove_redundancy(g, [winner, loser])
+    assert len(out) == 2
+    cropped = out[1]
+    assert cropped.multiplicity == 2  # row kept
+    spans = cropped.spans()
+    assert tuple(spans[0]) == (130, 130)  # 1 bp stub at genome-right end
+    assert tuple(spans[1]) == (401, 420)  # untouched component intact
+
+    # same for a reverse-strand fully-subsumed component
+    loser_rc = RepeatFamily(
+        np.array([-111, 401], np.int64), np.ones((2, 20), bool), score=10.0
+    )
+    out = rep._remove_redundancy(g, [winner, loser_rc])
+    spans = out[1].spans()
+    assert tuple(spans[0]) == (130, 130)
+    assert out[1].starts[0] == -130
+
+
 def test_tandem_detection_and_filter(rng):
     # tandem: back-to-back copies with no spacer
     unit = simulate.random_genome(rng, 150).seq
