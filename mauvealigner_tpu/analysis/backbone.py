@@ -294,6 +294,87 @@ def detect_backbone(
     return segments
 
 
+def detect_backbone_big_gaps(
+    ivs: IntervalList,
+    gap_size: int,
+    gene_bounds: Optional[Sequence[np.ndarray]] = None,
+) -> List[BackboneColumnSegment]:
+    """Gap-structure-only backbone (the bbBreakOnGenes pipeline,
+    src/bbBreakOnGenes.cpp:41-225): for every sequence pair, HSS = maximal
+    runs of pairwise-projected columns with no gap run > gap_size in either
+    member (BigGapsDetector semantics); pairwise predictions merge into
+    n-way segments by the constant homologous-set signature.
+
+    gene_bounds[s] (sorted positions p, "cut between genome positions p-1
+    and p of sequence s") additionally split segments at the matching
+    alignment columns — the applyBreakpoints(gene_bounds) step
+    (src/bbBreakOnGenes.cpp:92-103,222).  Deviation: the reference splits
+    each *pairwise* HSS before the n-way merge; splitting the merged
+    segments at all members' bound columns yields the same cut positions
+    because merging never moves a pairwise cut."""
+    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+
+    segments: List[BackboneColumnSegment] = []
+    for k, iv in enumerate(ivs.intervals):
+        present = [s for s in range(iv.n_seqs) if iv.starts[s] != 0]
+        if len(present) < 2:
+            continue
+        hom = np.zeros((iv.n_seqs, iv.n_cols), bool)
+        for a in range(len(present)):
+            for b in range(a + 1, len(present)):
+                i, j = present[a], present[b]
+                proj_cols = np.nonzero(iv.aln[i] | iv.aln[j])[0]
+                if not len(proj_cols):
+                    continue
+                big = np.zeros(len(proj_cols), bool)
+                for s in (i, j):
+                    gaps = ~iv.aln[s, proj_cols]
+                    d = np.diff(np.concatenate([[0], gaps.view(np.int8), [0]]))
+                    for ga, gb in zip(np.nonzero(d == 1)[0], np.nonzero(d == -1)[0]):
+                        if gb - ga > gap_size:
+                            big[ga:gb] = True
+                keep = proj_cols[~big]
+                hom[i, keep] = True
+                hom[j, keep] = True
+        # per-interval cut columns from gene boundaries of every member
+        cuts: set = set()
+        if gene_bounds is not None:
+            for s in present:
+                bounds = gene_bounds[s]
+                if bounds is None or not len(bounds):
+                    continue
+                pos = np.abs(_interval_positions(iv, s))
+                pcols = np.nonzero(pos)[0]
+                if not len(pcols):
+                    continue
+                pvals = pos[pcols]
+                if iv.starts[s] > 0:
+                    # ascending positions: cut before first col with pos >= p
+                    idx = np.searchsorted(pvals, bounds, side="left")
+                    ok = (idx > 0) & (idx < len(pcols))
+                    cuts.update(int(c) for c in pcols[idx[ok]])
+                else:
+                    # descending: cols with pos < p are the last (count) ones
+                    rv = pvals[::-1]
+                    cnt = np.searchsorted(rv, bounds, side="left")
+                    ok = (cnt > 0) & (cnt < len(pcols))
+                    cuts.update(int(c) for c in pcols[len(pcols) - cnt[ok]])
+        cut_list = sorted(cuts)
+        # segment columns by the constant homologous-set signature
+        sig = hom[present].T
+        change = np.ones(iv.n_cols, bool)
+        change[1:] = np.any(sig[1:] != sig[:-1], axis=1)
+        for c in cut_list:
+            change[c] = True
+        seg_starts = np.nonzero(change)[0]
+        seg_ends = np.append(seg_starts[1:], iv.n_cols)
+        for a, b in zip(seg_starts, seg_ends):
+            seqs = [present[x] for x in range(len(present)) if sig[a, x]]
+            if len(seqs) >= 2:
+                segments.append(BackboneColumnSegment(k, int(a), int(b), seqs))
+    return segments
+
+
 def merge_adjacent_segments(segments: List[BackboneColumnSegment]) -> List[BackboneColumnSegment]:
     """Merge column-adjacent segments with the same sequence set
     (mergeAdjacentSegments equivalent)."""

@@ -222,51 +222,84 @@ def bb_analyze_report(
     return reports
 
 
+def ptt_gene_bounds(path: str) -> np.ndarray:
+    """Gene boundaries from an NCBI .ptt table (src/bbBreakOnGenes.cpp:261-285):
+    three header lines are skipped; each row's leading ``lend..rend`` yields
+    breakpoints {lend-1, lend, rend, rend+1} (the ptt path breaks on *both*
+    sides of each gene edge)."""
+    bounds: List[int] = []
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    for line in lines[3:]:
+        head = line.split("\t", 1)[0]
+        if ".." not in head:
+            continue
+        a, _, b = head.partition("..")
+        try:
+            lend, rend = int(a.strip()), int(b.strip().split()[0])
+        except ValueError:
+            continue
+        bounds.extend((lend - 1, lend, rend, rend + 1))
+    return np.array(sorted(bounds), np.int64)
+
+
+def genbank_gene_bounds(genome: Genome) -> np.ndarray:
+    """CDS boundaries {first, last+1} from annotations
+    (src/bbBreakOnGenes.cpp:289-307; only CDS features count, and
+    malformed locations — first > last or a zero — are skipped)."""
+    bounds: List[int] = []
+    for f in genome.features:
+        if f.kind != "CDS":
+            continue
+        if f.start > f.end or f.start == 0 or f.end == 0:
+            continue
+        bounds.extend((f.start, f.end + 1))
+    return np.array(sorted(bounds), np.int64)
+
+
 def break_on_genes(
-    rows: Sequence[np.ndarray], reference: Genome, ref_index: int = 0
+    ivs, min_bb_gap: int, gene_bounds: Sequence[np.ndarray]
 ) -> List[np.ndarray]:
-    """Split every backbone row at the reference's gene boundaries
-    (bbBreakOnGenes semantics).  Coordinates of non-reference members are
-    split proportionally."""
-    bounds = sorted(
-        {f.start for f in reference.features if f.kind in ("CDS", "gene")}
-        | {f.end + 1 for f in reference.features if f.kind in ("CDS", "gene")}
+    """bbBreakOnGenes pipeline (src/bbBreakOnGenes.cpp:203-353): re-detect
+    backbone from the alignment with a BigGapsDetector(min_bb_gap) over all
+    pairwise projections, splitting segments at every genome's gene-boundary
+    columns, then emit per-segment signed coordinate rows.  The reference
+    leaves mergeAdjacentSegments/addUniqueSegments commented out (:341-342)
+    so gene splits survive to the output."""
+    from mauvealigner_tpu.analysis.backbone import (
+        backbone_seq_coordinates,
+        detect_backbone_big_gaps,
     )
-    out: List[np.ndarray] = []
-    for r in rows:
-        if r[2 * ref_index] == 0:
-            out.append(r.copy())
-            continue
-        l, rr = abs(int(r[2 * ref_index])), abs(int(r[2 * ref_index + 1]))
-        cuts = [b for b in bounds if l < b <= rr]
-        if not cuts:
-            out.append(r.copy())
-            continue
-        edges = [l] + cuts + [rr + 1]
-        span = rr - l + 1
-        ref_sign = int(np.sign(r[2 * ref_index])) or 1
-        for a, b in zip(edges[:-1], edges[1:]):
-            if b <= a:
-                continue
-            frac_a, frac_b = (a - l) / span, (b - l) / span
-            nr = np.zeros_like(r)
-            for s in range(len(r) // 2):
-                sl, sr = int(r[2 * s]), int(r[2 * s + 1])
-                if sl == 0:
-                    continue
-                ln = abs(sr) - abs(sl) + 1
-                # a relatively-inverted member runs right-to-left against the
-                # reference: mirror the fractional window
-                if (int(np.sign(sl)) or 1) != ref_sign:
-                    fa, fb = 1.0 - frac_b, 1.0 - frac_a
-                else:
-                    fa, fb = frac_a, frac_b
-                na = abs(sl) + int(round(fa * ln))
-                nb = abs(sl) + int(round(fb * ln)) - 1
-                if nb < na:
-                    continue
-                sign = int(np.sign(sl)) or 1
-                nr[2 * s] = sign * na
-                nr[2 * s + 1] = sign * nb
-            out.append(nr)
-    return out
+
+    segments = detect_backbone_big_gaps(ivs, min_bb_gap, gene_bounds)
+    return backbone_seq_coordinates(ivs, segments)
+
+
+def gene_boundary_violations(
+    rows: Sequence[np.ndarray], gene_bounds: Sequence[np.ndarray]
+) -> List[str]:
+    """Post-write audit (src/bbBreakOnGenes.cpp:313-338): report every
+    backbone segment that strictly straddles a gene boundary (more than
+    1 bp on each side).  The reference's deliberately-bogus self-test
+    bounds (:315-318) are not inserted."""
+    msgs: List[str] = []
+    if not rows:
+        return msgs
+    n_seqs = len(rows[0]) // 2
+    for s in range(n_seqs):
+        bounds = np.sort(np.asarray(gene_bounds[s], np.int64)) if len(gene_bounds) > s and gene_bounds[s] is not None else np.zeros(0, np.int64)
+        srows = sorted(rows, key=lambda r: abs(int(r[2 * s])))
+        bI = 0
+        for g in bounds:
+            while bI < len(srows) and g > abs(int(srows[bI][2 * s + 1])):
+                bI += 1
+            if bI == len(srows):
+                break
+            first = abs(int(srows[bI][2 * s]))
+            second = abs(int(srows[bI][2 * s + 1]))
+            if first + 1 < g < second - 1:
+                msgs.append(
+                    f"segment {srows[bI][2 * s]}, {srows[bI][2 * s + 1]} "
+                    f"violates gene boundary {g} in seq {s}"
+                )
+    return msgs

@@ -907,26 +907,49 @@ def bb_analyze_cli(argv: List[str]) -> int:
 def bb_break_on_genes_cli(argv: List[str]) -> int:
     p = argparse.ArgumentParser(
         prog="bbBreakOnGenes",
-        description="Split backbone segments on gene boundaries "
-        "(reference: src/bbBreakOnGenes.cpp)",
+        description="Re-detect backbone from an alignment with a big-gaps "
+        "detector, split on annotated gene boundaries "
+        "(reference: src/bbBreakOnGenes.cpp:229-353).  Gene bounds come "
+        "from one .ptt file per genome when given, else from CDS features "
+        "of the alignment's (GenBank) sequence files.",
     )
-    p.add_argument("backbone")
-    p.add_argument("reference", help="annotated GenBank reference")
+    p.add_argument("xmfa")
+    p.add_argument("min_bb_gap", type=int,
+                   help="gap runs longer than this break homology")
     p.add_argument("output")
-    p.add_argument("--ref-index", type=int, default=0)
+    p.add_argument("ptt", nargs="*",
+                   help="optional .ptt gene tables, one per genome in "
+                   "alignment order (src/bbBreakOnGenes.cpp:259-285)")
     a = p.parse_args(argv)
-    from mauvealigner_tpu.analysis.backbone import (
-        read_backbone_seq_file,
-        write_backbone_seq_file,
+    from mauvealigner_tpu.analysis.backbone import write_backbone_seq_file
+    from mauvealigner_tpu.analysis.bb_analyze import (
+        break_on_genes,
+        gene_boundary_violations,
+        genbank_gene_bounds,
+        ptt_gene_bounds,
     )
-    from mauvealigner_tpu.analysis.bb_analyze import break_on_genes
+    from mauvealigner_tpu.core.interval import IntervalList
 
-    rows = read_backbone_seq_file(a.backbone)
-    ref = load_genome(a.reference)
-    broken = break_on_genes(rows, ref, a.ref_index)
-    n_seqs = len(rows[0]) // 2 if rows else 0
+    ivs = IntervalList.read_xmfa(a.xmfa)
+    n = ivs.n_seqs
+    if a.ptt and len(a.ptt) != n:
+        p.error(f"got {len(a.ptt)} ptt files for {n} genomes")
+    if a.ptt:
+        gene_bounds = [ptt_gene_bounds(f) for f in a.ptt]
+    else:
+        genomes = load_genomes(ivs.filenames())
+        ivs.genomes = genomes
+        gene_bounds = [genbank_gene_bounds(g) for g in genomes]
+        for i, g in enumerate(genomes):
+            sys.stderr.write(
+                f"Found {len(gene_bounds[i]) // 2} genes for "
+                f"{ivs.filenames()[i]}\n"
+            )
+    rows = break_on_genes(ivs, a.min_bb_gap, gene_bounds)
     with open_out(a.output) as fh:
-        write_backbone_seq_file(broken, fh, n_seqs)
+        write_backbone_seq_file(rows, fh, n)
+    for msg in gene_boundary_violations(rows, gene_bounds):
+        sys.stderr.write(msg + "\n")
     return 0
 
 

@@ -216,3 +216,44 @@ def test_backbone_file_roundtrip(rng):
     segs2 = bb.read_backbone_cols_file(io.StringIO(buf2.getvalue()))
     assert len(segs2) == len(segs)
     assert segs2[0].seqs == segs[0].seqs
+
+
+def test_detect_backbone_big_gaps_splits_on_long_gap():
+    # 3 seqs, 300 cols; seq1 gapped over cols 100-139 (run of 40 > 20):
+    # that range is non-homologous for every pair involving seq1, but
+    # seqs 0/2 stay homologous there -> membership changes -> 3 segments
+    from mauvealigner_tpu.analysis.bb_analyze import gene_boundary_violations
+    from mauvealigner_tpu.core.interval import Interval, IntervalList
+
+    aln = np.ones((3, 300), bool)
+    aln[1, 100:140] = False
+    gs = [Genome.from_string("A" * int(aln[s].sum()), name=f"g{s}") for s in range(3)]
+    ivl = IntervalList(
+        genomes=gs,
+        intervals=[Interval(np.array([1, 1, 1], np.int64), aln)],
+    )
+    segs = bb.detect_backbone_big_gaps(ivl, 20)
+    assert [(s.col_start, s.col_end, tuple(s.seqs)) for s in segs] == [
+        (0, 100, (0, 1, 2)),
+        (100, 140, (0, 2)),
+        (140, 300, (0, 1, 2)),
+    ]
+    # a short gap (<= gap size) does not split
+    aln2 = np.ones((3, 300), bool)
+    aln2[1, 100:120] = False
+    ivl2 = IntervalList(
+        genomes=[Genome.from_string("A" * int(aln2[s].sum()), name=f"g{s}") for s in range(3)],
+        intervals=[Interval(np.array([1, 1, 1], np.int64), aln2)],
+    )
+    segs2 = bb.detect_backbone_big_gaps(ivl2, 20)
+    assert len(segs2) == 1
+
+    # violations audit: a row straddling a bound is reported
+    rows = bb.backbone_seq_coordinates(ivl, segs)
+    bounds = [np.array([150], np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)]
+    viol = gene_boundary_violations(rows, bounds)
+    assert viol and "150" in viol[0]
+    # after splitting at the bound, no violations remain
+    segs_cut = bb.detect_backbone_big_gaps(ivl, 20, bounds)
+    rows_cut = bb.backbone_seq_coordinates(ivl, segs_cut)
+    assert not gene_boundary_violations(rows_cut, bounds)

@@ -124,12 +124,38 @@ ORIGIN
     lines = [f"{i+1:>9} {seq[i:i+60]}" for i in range(0, 1000, 60)]
     with open("ref.gbk", "w") as fh:
         fh.write(gbk + "\n".join(lines) + "\n//\n")
-    with open("bb.backbone", "w") as fh:
-        fh.write("seq0_leftend\tseq0_rightend\tseq1_leftend\tseq1_rightend\n")
-        fh.write("1\t1000\t1\t1000\n")
-    assert main(["bbBreakOnGenes", "bb.backbone", "ref.gbk", "broken.txt"]) == 0
-    rows = [l for l in open("broken.txt").read().splitlines() if not l.startswith("seq0")]
-    assert len(rows) == 3  # split at 201 and 401
+    with open("g2.fa", "w") as fh:
+        fh.write(">g2\n" + seq.upper() + "\n")
+    from mauvealigner_tpu.core.interval import Interval, IntervalList
+
+    g0 = Genome.from_string(seq.upper(), name="ref")
+    g1 = Genome.from_string(seq.upper(), name="g2")
+    ivl = IntervalList(
+        genomes=[g0, g1],
+        intervals=[Interval(np.array([1, 1], np.int64), np.ones((2, 1000), bool))],
+        seq_filenames=["ref.gbk", "g2.fa"],
+    )
+    ivl.write_xmfa("a.xmfa")
+    # GenBank mode: gene bounds from CDS features -> cuts at 201 and 401
+    assert main(["bbBreakOnGenes", "a.xmfa", "20", "broken.txt"]) == 0
+    rows = [l for l in open("broken.txt").read().splitlines()
+            if l and not l.startswith("seq0")]
+    assert len(rows) == 3
+    lefts = sorted(int(r.split("\t")[0]) for r in rows)
+    assert lefts == [1, 201, 401]
+    # ptt mode breaks on BOTH sides of each gene edge
+    # (bounds lend-1, lend, rend, rend+1 -- src/bbBreakOnGenes.cpp:276-280)
+    with open("ref.ptt", "w") as fh:
+        fh.write("h1\nh2\nh3\n201..400\t+\t66\tg1\n")
+    with open("empty.ptt", "w") as fh:
+        fh.write("h1\nh2\nh3\n")
+    assert main(
+        ["bbBreakOnGenes", "a.xmfa", "20", "b2.txt", "ref.ptt", "empty.ptt"]
+    ) == 0
+    rows = [l for l in open("b2.txt").read().splitlines()
+            if l and not l.startswith("seq0")]
+    lefts = sorted(int(r.split("\t")[0]) for r in rows)
+    assert lefts == [1, 200, 201, 400, 401]
 
 
 # ---------------- reference-convention scoreAlignment counters ----------------

@@ -135,19 +135,31 @@ def test_extract_subalignment_reverse_strand():
 
 
 def test_break_on_genes_mirrors_inverted_member():
+    from mauvealigner_tpu.analysis.bb_analyze import genbank_gene_bounds
+    from mauvealigner_tpu.core.interval import Interval, IntervalList
+
     ref = Genome.from_string("A" * 1000, name="ref")
     ref.features.append(Feature("CDS", 401, 600, 1, {"gene": "x"}))
-    rows = [np.array([1, 1000, -1, -1000], np.int64)]
-    out = break_on_genes(rows, ref, ref_index=0)
+    mem = Genome.from_string("A" * 1000, name="mem")
+    ivl = IntervalList(
+        genomes=[ref, mem],
+        intervals=[
+            Interval(np.array([1, -1], np.int64), np.ones((2, 1000), bool))
+        ],
+    )
+    bounds = [genbank_gene_bounds(ref), np.zeros(0, np.int64)]
+    out = break_on_genes(ivl, 20, bounds)
+    out.sort(key=lambda r: int(r[0]))
     assert len(out) == 3
     # ref pieces ascend left-to-right; inverted member pieces mirror
     assert [int(r[0]) for r in out] == [1, 401, 601]
     assert [int(r[1]) for r in out] == [400, 600, 1000]
-    mem = [(int(r[2]), int(r[3])) for r in out]
-    assert mem[1] == (-401, -600)
-    assert mem[0][0] < mem[0][1] == -1000 or mem[0] == (-601, -1000)
+    pairs = [(int(r[2]), int(r[3])) for r in out]
+    assert pairs[0] == (-601, -1000)
+    assert pairs[1] == (-401, -600)
+    assert pairs[2] == (-1, -400)
     # every member base is covered exactly once across the three pieces
-    spans = sorted((min(-a, -b), max(-a, -b)) for a, b in mem)
+    spans = sorted((min(-a, -b), max(-a, -b)) for a, b in pairs)
     assert spans[0][0] == 1 and spans[-1][1] == 1000
     for (a, b), (c, d) in zip(spans[:-1], spans[1:]):
         assert c == b + 1
