@@ -109,27 +109,33 @@ class RepeatFamily:
         return np.stack([lefts, lefts + lens - 1], axis=1)
 
 
-def _column_symbols(flanks: List[np.ndarray], aln: np.ndarray) -> np.ndarray:
-    """Per-column HMM symbols from the pairwise agreement fraction: random
-    unrelated columns agree on ~25% of pairs, homologous ones on most.
+def _component_symbols(flanks: List[np.ndarray], aln: np.ndarray) -> np.ndarray:
+    """Per-component HMM symbol streams [k, T]: each component classified
+    against the rest of the family, the batched analog of ExtendMatch's
+    per-sequence detectAndApplyBackbone decode (src/repeatoire.cpp:1324)
+    whose backbone segments carry per-component membership.  A component's
+    column is MATCH when its base agrees with at least half of the other
+    present bases, GAP when it (or every other component) is gapped.
     Fully vectorized (a per-column np.unique loop here once dominated the
     whole repeatoire pipeline)."""
     k, T = aln.shape
     if T == 0:
-        return np.zeros(0, np.int8)
+        return np.zeros((k, 0), np.int8)
     col_codes = np.full((k, T), 5, np.int8)  # 5 = gap
     for i in range(k):
         cols = np.nonzero(aln[i])[0]
         col_codes[i, cols] = np.minimum(flanks[i][: len(cols)], 4)
     counts = np.stack([(col_codes == b).sum(axis=0) for b in range(4)])  # [4, T]
-    n_bases = counts.sum(axis=0)
-    n_gap = (col_codes == 5).sum(axis=0)
-    pairs_total = n_bases * (n_bases - 1) / 2.0
-    pairs_agree = (counts * (counts - 1) / 2.0).sum(axis=0)
-    agree_ok = pairs_agree >= 0.5 * np.maximum(pairs_total, 1e-9)
-    sym = np.where(agree_ok, bb.SYM_MATCH, bb.SYM_TRANSVERSION).astype(np.int8)
-    sym[n_gap * 2 > k] = bb.SYM_GAP
-    sym[n_bases < 2] = bb.SYM_GAP
+    n_bases = counts.sum(axis=0)                  # [T]
+    has_base = col_codes < 4                      # N (4) counts as no base
+    safe = np.where(has_base, col_codes, 0).astype(np.int64)
+    agree = counts[safe, np.arange(T)] - has_base  # others sharing my base
+    others = n_bases[None, :] - has_base
+    sym = np.where(
+        agree * 2 >= np.maximum(others, 1), bb.SYM_MATCH, bb.SYM_TRANSVERSION
+    ).astype(np.int8)
+    sym[~has_base] = np.int8(bb.SYM_GAP)
+    sym[(others == 0) & has_base] = np.int8(bb.SYM_GAP)
     return sym
 
 
@@ -229,12 +235,12 @@ class Repeatoire:
     def _gapped_extend_batch(
         self, genome: Genome, fams: List[RepeatFamily]
     ) -> List[RepeatFamily]:
-        """Extend every family in lockstep waves.  Per wave, every family
-        still extending contributes its current flank-alignment job; all
-        jobs run in ONE batched closure call and ONE bucketed HMM pass.
-        Equivalent to running _gapped_extend per family (extension reads
-        only the genome), but ~16 device dispatches instead of 2 per
-        family."""
+        """Extend every family in lockstep waves (ExtendMatch equivalent,
+        src/repeatoire.cpp:1142-1408).  Per wave, every family still
+        extending contributes its current flank-alignment job; all jobs run
+        in ONE batched closure call and ONE bucketed HMM pass (~16 device
+        dispatches per wave instead of 2 per family).  Extension is safe to
+        batch because it reads only the genome, never other families."""
         o = self.options
         n = len(fams)
         cur = list(fams)
@@ -280,11 +286,12 @@ class Repeatoire:
                 max_len=4096,
             )
             alns = [aln[: len(j[3])] for j, aln in zip(jobs, got)]
-            prefixes = self._homologous_prefix_batch(
+            homs = self._homology_columns_batch(
                 genome, [j[3] for j in jobs], alns
             )
-            for (i, d, w, flanks), aln, hom_cols in zip(jobs, alns, prefixes):
+            for (i, d, w, flanks), aln, hom in zip(jobs, alns, homs):
                 advance = True
+                hom_cols = self._chainable_cols(aln, hom)
                 if aln.shape[1] and hom_cols:
                     fam = cur[i]
                     ext = aln[:, :hom_cols]
@@ -303,40 +310,83 @@ class Repeatoire:
                                 abs(s) - int(added_per_comp[k])
                             )
                     cur[i] = RepeatFamily(new_starts, new_aln)
-                    keep_going = hom_cols == aln.shape[1] and all(
-                        len(f) == w for f in flanks
-                    )
+                    # a successful chain enables another round in the SAME
+                    # direction (src/repeatoire.cpp:2318-2324); a failed one
+                    # flips it (:2157-2162).  Exhausted flanks end the round
+                    # via the empty-flank check at the top of the wave loop.
                     rounds[i] += 1
-                    advance = (not keep_going) or rounds[i] >= o.max_extension_rounds
+                    advance = rounds[i] >= o.max_extension_rounds
                 if advance:
                     dir_idx[i] += 1
                     rounds[i] = 0
         return cur
 
-    def _homologous_prefix_batch(
+    @staticmethod
+    def _chainable_cols(aln: np.ndarray, hom: np.ndarray) -> int:
+        """Columns of the extension alignment that chain onto the record.
+
+        Reference semantics (src/repeatoire.cpp:2166-2189): ExtendMatch's
+        backbone segments arrive in column order; only the segment NEAREST
+        the record can extend it, and only when its multiplicity equals the
+        record's.  Runs where <2 components are homologous are not backbone
+        segments at all, so they never block — a full-multiplicity segment
+        behind leading junk still chains (the junk columns ride along as
+        the inter-chain fill that finalize() would add).  A nearer subset
+        segment blocks chaining entirely."""
+        T = aln.shape[1]
+        if T == 0 or not hom.size:
+            return 0
+        k = aln.shape[0]
+        sig = hom.T  # [T, k]
+        change = np.ones(T, bool)
+        change[1:] = np.any(sig[1:] != sig[:-1], axis=1)
+        run_starts = np.nonzero(change)[0]
+        run_ends = np.append(run_starts[1:], T)
+        for a, b in zip(run_starts, run_ends):
+            members = [c for c in np.nonzero(sig[a])[0] if aln[c, a:b].any()]
+            if len(members) < 2:
+                continue
+            # nearest >=2-member segment decides: chain to its end iff it
+            # has full multiplicity (M_e->Multiplicity() == M_i's, :2175)
+            return int(b) if len(members) == k else 0
+        return 0
+
+    def _homology_columns_batch(
         self,
         genome: Genome,
         flanks_list: List[List[np.ndarray]],
         alns: List[np.ndarray],
-    ) -> List[int]:
-        """Batched _homologous_prefix: symbol classification is vectorized
-        per job; the HMM decodes run through the shared bucketed kernel
-        driver (ops/hmm.bucketed_decode)."""
+    ) -> List[np.ndarray]:
+        """Per-component homologous-column masks [k_j, T_j] for a wave of
+        extension jobs: one HMM stream per (job, component) pair through the
+        shared bucketed kernel driver (ops/hmm.bucketed_decode)."""
         from mauvealigner_tpu.ops import hmm as hmm_ops
 
         params = self._hmm_params(genome)
         emit_table = params.log_emit_table()
-        emits = [
-            emit_table[:, _column_symbols(flanks, aln)].T.astype(np.float32)
-            for flanks, aln in zip(flanks_list, alns)
-        ]
-        return hmm_ops.bucketed_decode(
-            emits,
+        streams: List[np.ndarray] = []
+        shapes: List[Tuple[int, int]] = []
+        for flanks, aln in zip(flanks_list, alns):
+            syms = _component_symbols(flanks, aln)
+            shapes.append(syms.shape)
+            for c in range(syms.shape[0]):
+                streams.append(emit_table[:, syms[c]].T.astype(np.float32))
+        decoded = hmm_ops.bucketed_decode(
+            streams,
             params.log_trans(),
             np.log([0.9, 0.1]),
-            mode="prefix0",
+            mode="threshold0",
             threshold=self.options.posterior_threshold,
         )
+        out: List[np.ndarray] = []
+        pos = 0
+        for k, T in shapes:
+            hom = np.zeros((k, T), bool)
+            for c in range(k):
+                hom[c] = decoded[pos]
+                pos += 1
+            out.append(hom)
+        return out
 
     def _hmm_params(self, genome: Genome):
         cached = getattr(self, "_hmm_params_cache", None)
@@ -502,18 +552,6 @@ class Repeatoire:
                 out.append(_project_family(mj, ys))
         return out
 
-    def _gapped_extend(self, genome: Genome, fam: RepeatFamily) -> RepeatFamily:
-        """Extend both flanks while the homology HMM keeps the columns
-        homologous (ExtendMatch equivalent)."""
-        o = self.options
-        for direction in (+1, -1):  # right, then left (match space)
-            for _ in range(o.max_extension_rounds):
-                fam2, keep_going = self._extend_once(genome, fam, direction)
-                fam = fam2
-                if not keep_going:
-                    break
-        return fam
-
     def _flank_codes(
         self, genome: Genome, start: int, length: int, direction: int, w: int
     ) -> np.ndarray:
@@ -534,51 +572,6 @@ class Repeatoire:
             out[acgt] = 3 - out[acgt]
             codes = out
         return codes
-
-    def _extend_once(
-        self, genome: Genome, fam: RepeatFamily, direction: int
-    ) -> Tuple[RepeatFamily, bool]:
-        o = self.options
-        w = self.flank_window(fam.multiplicity)
-        lens = fam.component_lengths()
-        flanks = [
-            self._flank_codes(genome, int(fam.starts[k]), int(lens[k]), direction, w)
-            for k in range(fam.multiplicity)
-        ]
-        if all(len(f) == 0 for f in flanks):
-            return fam, False
-        aln = closure.align_region_groups(
-            [flanks], gap_open=o.gap_open, gap_extend=o.gap_extend, max_len=4096
-        )[0]
-        if aln.shape[1] == 0:
-            return fam, False
-        hom_cols = self._homologous_prefix(genome, flanks, aln)
-        if hom_cols == 0:
-            return fam, False
-        ext = aln[:, :hom_cols]
-        added_per_comp = ext.sum(axis=1).astype(np.int64)
-        if direction < 0:
-            new_aln = np.concatenate([ext[:, ::-1], fam.aln], axis=1)
-        else:
-            new_aln = np.concatenate([fam.aln, ext], axis=1)
-        new_starts = fam.starts.copy()
-        for k in range(fam.multiplicity):
-            s = int(fam.starts[k])
-            fwd = s > 0
-            genome_right = (direction > 0) == fwd
-            if not genome_right:
-                # component grew toward the genome left: |start| decreases
-                new_starts[k] = (1 if fwd else -1) * (abs(s) - int(added_per_comp[k]))
-        keep_going = hom_cols == aln.shape[1] and all(len(f) == w for f in flanks)
-        return RepeatFamily(new_starts, new_aln), keep_going
-
-    def _homologous_prefix(
-        self, genome: Genome, flanks: List[np.ndarray], aln: np.ndarray
-    ) -> int:
-        """Number of leading columns that stay homologous: HMM posterior on
-        column classes vs the consensus (detectAndApplyBackbone analog,
-        src/repeatoire.cpp:1324)."""
-        return self._homologous_prefix_batch(genome, [flanks], [aln])[0]
 
     # -- step 6: SP score ---------------------------------------------------
     def sp_score(self, genome: Genome, fam: RepeatFamily) -> float:

@@ -396,3 +396,56 @@ def test_sp_score_projects_both_gap_columns(rng):
     assert score == pytest.approx(expect)
     # pair (1,2): one gap run in each sequence after projection -> exactly
     # two opens among them, not three
+
+
+def test_chainable_cols_reference_segment_semantics():
+    # reference ExtendMatch chaining (src/repeatoire.cpp:2166-2189): the
+    # backbone segment nearest the record decides — chain iff it has full
+    # multiplicity; <2-member junk never blocks; a subset segment does.
+    from mauvealigner_tpu.models.repeatoire import Repeatoire
+
+    cc = Repeatoire._chainable_cols
+    aln = np.ones((3, 10), bool)
+    full = np.ones((3, 10), bool)
+    # full homology -> whole extension chains
+    assert cc(aln, full) == 10
+    # nearest segment is full-multiplicity behind 3 junk columns -> the
+    # junk rides along as inter-chain fill
+    h = np.ones((3, 10), bool)
+    h[:, :3] = False
+    h[0, :3] = True  # single homologous component = not a segment
+    assert cc(aln, h) == 10
+    # nearest segment is a 2-of-3 subset -> blocks chaining entirely
+    h2 = np.ones((3, 10), bool)
+    h2[2, :4] = False
+    assert cc(aln, h2) == 0
+    # full segment then subset tail: chain stops at the segment end
+    h3 = np.ones((3, 10), bool)
+    h3[2, 6:] = False
+    assert cc(aln, h3) == 6
+    # a posterior-homologous component with NO bases in the run doesn't
+    # count toward segment multiplicity (copyRange drops empty components)
+    aln2 = np.ones((3, 10), bool)
+    aln2[2, :] = False
+    assert cc(aln2, full) == 0
+    # nothing homologous
+    assert cc(aln, np.zeros((3, 10), bool)) == 0
+
+
+def test_component_symbols_per_component_membership():
+    from mauvealigner_tpu.models import repeatoire as rt
+    from mauvealigner_tpu.analysis import backbone as bbmod
+
+    # 3 components: 0 and 1 agree everywhere, 2 disagrees everywhere
+    flanks = [np.zeros(8, np.int64), np.zeros(8, np.int64),
+              np.full(8, 2, np.int64)]
+    aln = np.ones((3, 8), bool)
+    sym = rt._component_symbols(flanks, aln)
+    assert (sym[0] == bbmod.SYM_MATCH).all()
+    assert (sym[1] == bbmod.SYM_MATCH).all()
+    assert (sym[2] == bbmod.SYM_TRANSVERSION).all()
+    # gapped component columns are SYM_GAP
+    aln2 = aln.copy()
+    aln2[1, 3:5] = False
+    sym2 = rt._component_symbols([flanks[0], np.zeros(6, np.int64), flanks[2]], aln2)
+    assert (sym2[1, 3:5] == bbmod.SYM_GAP).all()
