@@ -25,26 +25,29 @@ def coverage_distance_matrix(ml: MatchList, seq_lengths: Sequence[int]) -> np.nd
     n-way counterparts, so summing lengths would double-count)."""
     n = len(seq_lengths)
     shared = np.zeros((n, n), np.int64)
+    # per-sequence sort orders are pair-independent; compute once
+    abs_starts = np.abs(ml.starts)
+    orders = [np.argsort(abs_starts[:, i], kind="stable") for i in range(n)]
     for i in range(n):
+        oi = orders[i]
+        lefts_all = abs_starts[oi, i]
+        rights_all = lefts_all + ml.lengths[oi] - 1
+        present_i = ml.starts[oi, i] != 0
         for j in range(n):
             if i == j:
                 continue
-            both = (ml.starts[:, i] != 0) & (ml.starts[:, j] != 0)
+            both = present_i & (ml.starts[oi, j] != 0)
             if not both.any():
                 continue
-            lefts = np.abs(ml.starts[both, i])
-            rights = lefts + ml.lengths[both] - 1
-            order = np.argsort(lefts)
-            covered = 0
-            cur_l, cur_r = 0, -1
-            for l, r in zip(lefts[order], rights[order]):
-                if l > cur_r + 1:
-                    covered += max(cur_r - cur_l + 1, 0)
-                    cur_l, cur_r = int(l), int(r)
-                else:
-                    cur_r = max(cur_r, int(r))
-            covered += max(cur_r - cur_l + 1, 0)
-            shared[i, j] = covered
+            l = lefts_all[both]
+            r = rights_all[both]
+            # union length of sorted-by-left intervals: interval k adds the
+            # part of [l_k, r_k] past the running right frontier cm_{k-1}
+            cm = np.maximum.accumulate(r)
+            prev = np.concatenate(([np.int64(-1)], cm[:-1]))
+            shared[i, j] = int(
+                np.maximum(r - np.maximum(l, prev + 1) + 1, 0).sum()
+            )
     dist = np.ones((n, n))
     for i in range(n):
         dist[i, i] = 0.0

@@ -68,11 +68,12 @@ def tree_plan(tree) -> List[Tuple[NodeId, NodeId, NodeId]]:
 
 def _profile_of(cc: np.ndarray) -> np.ndarray:
     """[m, n_cols] column codes -> [n_cols, 5] float32 base counts (gaps
-    excluded)."""
-    prof = np.empty((cc.shape[1], 5), np.float32)
-    for b in range(5):
-        prof[:, b] = (cc == b).sum(axis=0)
-    return prof
+    excluded).  One bincount pass over (column, symbol) cells; GAP (=5)
+    lands in the dropped sixth slot."""
+    T = cc.shape[1]
+    flat = np.arange(T, dtype=np.int64) * 6 + cc
+    counts = np.bincount(flat.ravel(), minlength=T * 6).reshape(T, 6)
+    return counts[:, :5].astype(np.float32)
 
 
 def _expand(cc: np.ndarray, n_ops: int, consumes: np.ndarray) -> np.ndarray:

@@ -111,6 +111,29 @@ def test_coverage_distance_matrix():
     assert d[0, 1] == pytest.approx(1 - 150 / 1000)
 
 
+def test_coverage_distance_matrix_union_vs_bruteforce():
+    # overlap-heavy random match lists: the vectorized cummax union must
+    # equal a boolean-mask oracle (regression for the vectorized rewrite)
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        m, n = int(rng.integers(1, 60)), int(rng.integers(2, 5))
+        starts = rng.integers(-500, 500, size=(m, n))
+        starts[rng.random((m, n)) < 0.3] = 0
+        lengths = rng.integers(1, 40, size=m).astype(np.int64)
+        ml = MatchList(starts.astype(np.int64), lengths)
+        got = coverage_distance_matrix(ml, [600] * n)
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                mask = np.zeros(2000, bool)
+                for k in range(m):
+                    if starts[k, i] and starts[k, j]:
+                        l = abs(starts[k, i])
+                        mask[l : l + lengths[k]] = True
+                assert got[i, j] == pytest.approx(1 - min(1.0, mask.sum() / 600))
+
+
 def test_identity_matrix_identical():
     g = Genome.from_string("ACGT" * 50)
     iv = Interval(np.array([1, 1], np.int64), np.ones((2, 200), bool))
