@@ -48,9 +48,14 @@ def match_and_gap_scores(
     if T == 0 or k < 2:
         return 0.0, 0.0
     S5 = np.asarray(subst, dtype=np.float64)
-    counts = np.zeros((5, T), np.int64)
-    for c in range(5):
-        counts[c] = (col_codes == c).sum(axis=0)
+    if T <= 4096:
+        # one scatter pass beats 5 compare passes at call-overhead scale
+        flat = np.arange(T, dtype=np.int64) * 6 + col_codes
+        counts = np.bincount(flat.ravel(), minlength=T * 6).reshape(T, 6)[:, :5].T
+    else:
+        counts = np.zeros((5, T), np.int64)
+        for c in range(5):
+            counts[c] = (col_codes == c).sum(axis=0)
     term1 = np.einsum("ct,cd,dt->t", counts, S5, counts)
     term2 = np.einsum("ct,c->t", counts, np.diag(S5))
     match_score = float(((term1 - term2) / 2).sum())
@@ -61,19 +66,42 @@ def match_and_gap_scores(
     gap_positions = int((n_gap * n_base).sum())
     # gap-run starts per ordered pair, with both-gap columns projected out
     # (the pairwise projection the reference scores): a gap run of x against
-    # y continues across columns where y is also gapped
+    # y continues across columns where y is also gapped.
     run_starts = 0
-    for i in range(k):
-        gi = gapped[i]
-        for j in range(i + 1, k):
-            gj = gapped[j]
-            keep = ~(gi & gj)
-            for g in (gi[keep], gj[keep]):
-                if not g.any():
-                    continue
-                starts = g.copy()
-                starts[1:] &= ~g[:-1]
-                run_starts += int(starts.sum())
+    if T <= 4096:
+        # small alignments (refinement windows, repeat families) are numpy
+        # call-overhead bound: batch all pairs into [pairs, T] arrays.  A
+        # kept gap column starts a run iff the nearest kept column to its
+        # left (cummax of kept column indices) is not a gap of the same
+        # sequence.
+        ii, jj = np.triu_indices(k, 1)
+        A = gapped[ii]
+        B = gapped[jj]
+        nonskip = ~(A & B)
+        idx = np.where(nonskip, np.arange(T, dtype=np.int32)[None, :], np.int32(-1))
+        prev = np.maximum.accumulate(idx, axis=1)
+        prev_excl = np.empty_like(prev)
+        prev_excl[:, 0] = -1
+        prev_excl[:, 1:] = prev[:, :-1]
+        has_prev = prev_excl >= 0
+        safe = np.where(has_prev, prev_excl, np.int32(0))
+        for G in (A & nonskip, B & nonskip):
+            g_prev = np.take_along_axis(G, safe, axis=1) & has_prev
+            run_starts += int((G & ~g_prev).sum())
+    else:
+        # long alignments are bandwidth-bound: sequential boolean passes per
+        # pair beat the batched gather
+        for i in range(k):
+            gi = gapped[i]
+            for j in range(i + 1, k):
+                gj = gapped[j]
+                keep = ~(gi & gj)
+                for g in (gi[keep], gj[keep]):
+                    if not g.any():
+                        continue
+                    starts = g.copy()
+                    starts[1:] &= ~g[:-1]
+                    run_starts += int(starts.sum())
     gap_score = run_starts * gap_open + gap_positions * gap_extend
     return match_score, gap_score
 
