@@ -397,25 +397,97 @@ def merge_adjacent_segments(segments: List[BackboneColumnSegment]) -> List[Backb
 def merge_coordinate_rows(rows: List[np.ndarray]) -> List[np.ndarray]:
     """Merge coordinate rows that are exactly adjacent in every member
     sequence with the same membership (mergeAdjacentSegments over
-    bb_seqentry_t rows)."""
+    bb_seqentry_t rows).
+
+    Chain merges only ever replace the growing row's RIGHT ends with the
+    newest row's, so whether sorted row i joins row i-1's chain depends only
+    on the ORIGINAL rows i and i-1 — the whole pass vectorizes as a pairwise
+    joinability test + grouped first/last gather."""
     if not rows:
         return rows
-    rows = sorted(rows, key=lambda r: (tuple(r[::2] == 0), abs(int(r[0])), abs(int(r[2] if len(r) > 2 else 0))))
-    out: List[np.ndarray] = [rows[0].copy()]
-    for r in rows[1:]:
-        prev = out[-1]
-        members_prev = prev[::2] != 0
-        members_r = r[::2] != 0
-        if np.array_equal(members_prev, members_r) and all(
-            abs(int(r[2 * s])) == abs(int(prev[2 * s + 1])) + 1
-            and np.sign(r[2 * s]) == np.sign(prev[2 * s])
-            for s in np.nonzero(members_r)[0]
-        ):
-            for s in np.nonzero(members_r)[0]:
-                prev[2 * s + 1] = r[2 * s + 1]
-        else:
-            out.append(r.copy())
-    return out
+    R = np.stack(rows).astype(np.int64, copy=False)
+    n2 = R.shape[1]
+    absent = R[:, ::2] == 0
+    key2 = np.abs(R[:, 2]) if n2 > 2 else np.zeros(len(R), np.int64)
+    # np.lexsort: last key is primary; mirror the reference tuple key
+    # (membership bools, |left of seq0|, |left of seq1|)
+    keys = [key2, np.abs(R[:, 0])] + [absent[:, s] for s in range(absent.shape[1] - 1, -1, -1)]
+    order = np.lexsort(keys)
+    S = R[order]
+    mem = ~absent[order]
+    if len(S) == 1:
+        return [S[0].copy()]
+    A, P = S[1:], S[:-1]
+    same_mem = (mem[1:] == mem[:-1]).all(axis=1)
+    al, pl, pr = A[:, ::2], P[:, ::2], P[:, 1::2]
+    ok = (~mem[1:]) | ((np.abs(al) == np.abs(pr) + 1) & (np.sign(al) == np.sign(pl)))
+    joinable = same_mem & ok.all(axis=1)
+    newgrp = np.empty(len(S), bool)
+    newgrp[0] = True
+    newgrp[1:] = ~joinable
+    firsts = np.nonzero(newgrp)[0]
+    lasts = np.append(firsts[1:] - 1, len(S) - 1)
+    out = S[firsts].copy()
+    out[:, 1::2] = S[lasts][:, 1::2]
+    return list(out)
+
+
+def _segment_seq_coordinates(
+    ivs: IntervalList, segments: List[BackboneColumnSegment]
+) -> np.ndarray:
+    """Signed per-seq [left, right] coordinate pairs for every segment, as a
+    (n_segments, 2*n_seqs) int64 matrix (row order = segment order).
+
+    Vectorized over segments: within one interval a present row's nonzero
+    positions are strand-monotone (interval tiling invariant), so the min/max
+    |position| over a column range are at the first/last nonzero column —
+    O(1) lookups from cumulative first/last-nonzero scans per (interval, seq).
+    """
+    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+
+    n = ivs.n_seqs
+    coords = np.zeros((len(segments), 2 * n), np.int64)
+    by_iv: Dict[int, List[int]] = {}
+    for i, seg in enumerate(segments):
+        by_iv.setdefault(seg.interval_index, []).append(i)
+    for k, sidx in by_iv.items():
+        iv = ivs.intervals[k]
+        n_cols = iv.n_cols
+        a = np.array([segments[i].col_start for i in sidx], np.int64)
+        b1 = np.array([segments[i].col_end for i in sidx], np.int64) - 1
+        counts = [len(segments[i].seqs) for i in sidx]
+        member = np.zeros((len(sidx), n), bool)
+        if sum(counts):
+            flat_rows = np.repeat(np.arange(len(sidx)), counts)
+            flat_cols = np.concatenate([segments[i].seqs for i in sidx]).astype(np.int64)
+            member[flat_rows, flat_cols] = True
+        arange = np.arange(n_cols, dtype=np.int64)
+        for s in range(n):
+            sel = member[:, s]
+            if not sel.any() or int(iv.starts[s]) == 0:
+                continue
+            pos = _interval_positions(iv, s)
+            nz = pos != 0
+            if not nz.any():
+                continue
+            last_nz = np.maximum.accumulate(np.where(nz, arange, np.int64(-1)))
+            first_nz = np.minimum.accumulate(np.where(nz, arange, np.int64(n_cols))[::-1])[::-1]
+            # python slicing clamps out-of-range column windows; mirror that
+            aa = np.clip(a[sel], 0, n_cols - 1)
+            bb = np.clip(b1[sel], 0, n_cols - 1)
+            f = first_nz[aa]
+            valid = (a[sel] < n_cols) & (b1[sel] >= 0) & (f <= bb)
+            fc = np.where(valid, f, 0)
+            lc = np.where(valid, last_nz[bb], 0)
+            pf, pl = pos[fc], pos[lc]
+            absf, absl = np.abs(pf), np.abs(pl)
+            sign = np.sign(pf)
+            lo = sign * np.minimum(absf, absl)
+            hi = sign * np.maximum(absf, absl)
+            rows = np.asarray(sidx, np.int64)[sel]
+            coords[rows, 2 * s] = np.where(valid, lo, 0)
+            coords[rows, 2 * s + 1] = np.where(valid, hi, 0)
+    return coords
 
 
 def backbone_seq_coordinates(
@@ -423,27 +495,7 @@ def backbone_seq_coordinates(
 ) -> List[np.ndarray]:
     """Per segment: signed per-seq [left, right] coordinate pairs
     (writeBackboneSeqCoordinates equivalent)."""
-    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
-
-    rows = []
-    pos_cache: Dict[Tuple[int, int], np.ndarray] = {}
-    for seg in segments:
-        iv = ivs.intervals[seg.interval_index]
-        coords = np.zeros(2 * ivs.n_seqs, np.int64)
-        for s in seg.seqs:
-            key = (seg.interval_index, s)
-            if key not in pos_cache:
-                pos_cache[key] = _interval_positions(iv, s)
-            p = pos_cache[key][seg.col_start : seg.col_end]
-            p = p[p != 0]
-            if len(p) == 0:
-                continue
-            sign = int(np.sign(p[0]))
-            lo, hi = int(np.abs(p).min()), int(np.abs(p).max())
-            coords[2 * s] = sign * lo
-            coords[2 * s + 1] = sign * hi
-        rows.append(coords)
-    return rows
+    return list(_segment_seq_coordinates(ivs, segments))
 
 
 def add_unique_segments(
@@ -542,13 +594,15 @@ def apply_backbone(
     boundaries so every emitted interval has a constant homologous sequence
     set; bases outside any backbone segment become unaligned single-seq
     intervals."""
-    segs_by_iv: Dict[int, List[BackboneColumnSegment]] = {}
-    for seg in merge_adjacent_segments(segments):
-        segs_by_iv.setdefault(seg.interval_index, []).append(seg)
+    merged = merge_adjacent_segments(segments)
+    coords = _segment_seq_coordinates(ivs, merged)
+    segs_by_iv: Dict[int, List[int]] = {}
+    for i, seg in enumerate(merged):
+        segs_by_iv.setdefault(seg.interval_index, []).append(i)
     new_intervals: List[Interval] = []
     for k, iv in enumerate(ivs.intervals):
-        segs = sorted(segs_by_iv.get(k, []), key=lambda s: s.col_start)
-        if not segs:
+        sidx = sorted(segs_by_iv.get(k, []), key=lambda i: merged[i].col_start)
+        if not sidx:
             new_intervals.append(iv)
             continue
         from mauvealigner_tpu.analysis.score_alignment import _interval_positions
@@ -558,21 +612,27 @@ def apply_backbone(
             for s in range(iv.n_seqs)
             if iv.starts[s] != 0
         }
-        consumed = {s: np.zeros(iv.n_cols, bool) for s in pos}
-        for seg in segs:
-            starts = np.zeros(iv.n_seqs, np.int64)
-            aln = np.zeros((iv.n_seqs, seg.col_end - seg.col_start), bool)
+        # consumed[s] = union of segment column ranges where s is a valid
+        # member (coords nonzero <=> the reference's nz.any() gate)
+        delta = {s: np.zeros(iv.n_cols + 1, np.int32) for s in pos}
+        for i in sidx:
+            seg = merged[i]
             for s in seg.seqs:
-                p = pos[s][seg.col_start : seg.col_end]
-                nz = p != 0
-                if not nz.any():
-                    continue
-                sign = int(np.sign(p[nz][0]))
-                starts[s] = sign * int(np.abs(p[nz]).min())
-                aln[s] = iv.aln[s, seg.col_start : seg.col_end]
-                consumed[s][seg.col_start : seg.col_end] = True
+                if coords[i, 2 * s] != 0:
+                    delta[s][seg.col_start] += 1
+                    delta[s][seg.col_end] -= 1
+        consumed = {s: np.cumsum(d[:-1]) > 0 for s, d in delta.items()}
+        for i in sidx:
+            seg = merged[i]
+            starts = coords[i, ::2].copy()
+            member_valid = starts != 0
+            if not member_valid.any():
+                continue
+            aln = iv.aln[:, seg.col_start : seg.col_end] & member_valid[:, None]
             keep = aln.any(axis=0)
-            if keep.any():
+            if keep.all():
+                new_intervals.append(Interval(starts, aln))
+            elif keep.any():
                 new_intervals.append(Interval(starts, aln[:, keep]))
         # leftover bases per sequence -> unaligned single-seq intervals
         for s in pos:
