@@ -229,14 +229,26 @@ def device_mum_candidates(
     return jnp.concatenate([head, packed], axis=0)
 
 
+@partial(jax.jit, static_argnames=("bucket",))
+def _concat_pad_smls_jit(keys_list, pos_list, bucket):
+    """One fused device program for the concat+pad: the eager version paid
+    ~10 remote dispatches per call over the tunnel."""
+    keys = jnp.concatenate(list(keys_list))
+    pos = jnp.concatenate(list(pos_list))
+    seq_ids = jnp.concatenate(
+        [jnp.full(k.shape[0], i, jnp.int32) for i, k in enumerate(keys_list)]
+    )
+    pad = bucket - keys.shape[0]
+    if pad:
+        keys = jnp.concatenate([keys, jnp.full(pad, INVALID_KEY, jnp.int64)])
+        pos = jnp.concatenate([pos, jnp.zeros(pad, jnp.int32)])
+        seq_ids = jnp.concatenate([seq_ids, jnp.zeros(pad, jnp.int32)])
+    return keys, seq_ids, pos
+
+
 def _concat_device_smls(smls_dev):
     """Concatenate per-genome device SML arrays with padding to a bucket."""
-    keys = jnp.concatenate([k for k, _ in smls_dev])
-    pos = jnp.concatenate([p for _, p in smls_dev])
-    seq_ids = jnp.concatenate(
-        [jnp.full(k.shape[0], i, jnp.int32) for i, (k, _) in enumerate(smls_dev)]
-    )
-    n = keys.shape[0]
+    n = sum(int(k.shape[0]) for k, _ in smls_dev)
     # coarse (x4) buckets: every distinct shape costs a multi-minute remote
     # compile on the TPU tunnel, but sort cost tracks the PADDED size, so a
     # low floor matters for the per-gap recursion searches (a 2 kbp gap
@@ -246,12 +258,9 @@ def _concat_device_smls(smls_dev):
     bucket = 1 << 12
     while bucket < n:
         bucket *= 4 if bucket < (1 << 20) else 2
-    pad = bucket - n
-    if pad:
-        keys = jnp.concatenate([keys, jnp.full(pad, INVALID_KEY, jnp.int64)])
-        pos = jnp.concatenate([pos, jnp.zeros(pad, jnp.int32)])
-        seq_ids = jnp.concatenate([seq_ids, jnp.zeros(pad, jnp.int32)])
-    return keys, seq_ids, pos
+    return _concat_pad_smls_jit(
+        tuple(k for k, _ in smls_dev), tuple(p for _, p in smls_dev), bucket
+    )
 
 
 def find_multi_mums_device(
