@@ -137,3 +137,100 @@ def test_lcb_count_monotone_in_min_weight(rng):
         for l in lcbs:
             assert l.weight >= min_w or min_w == 0
         prev_n, prev_total = n, total
+
+
+def _ref_merge_coordinate_rows(rows):
+    """Brute-force reference of the pre-vectorization merge_coordinate_rows."""
+    if not rows:
+        return rows
+    rows = sorted(
+        rows,
+        key=lambda r: (tuple(r[::2] == 0), abs(int(r[0])), abs(int(r[2] if len(r) > 2 else 0))),
+    )
+    out = [rows[0].copy()]
+    for r in rows[1:]:
+        prev = out[-1]
+        members_prev = prev[::2] != 0
+        members_r = r[::2] != 0
+        if np.array_equal(members_prev, members_r) and all(
+            abs(int(r[2 * s])) == abs(int(prev[2 * s + 1])) + 1
+            and np.sign(r[2 * s]) == np.sign(prev[2 * s])
+            for s in np.nonzero(members_r)[0]
+        ):
+            for s in np.nonzero(members_r)[0]:
+                prev[2 * s + 1] = r[2 * s + 1]
+        else:
+            out.append(r.copy())
+    return out
+
+
+def test_merge_coordinate_rows_matches_reference(rng):
+    """The vectorized pairwise-joinable merge must reproduce the sequential
+    chain merge on random coordinate rows (including adjacency chains,
+    strand flips, and membership changes)."""
+    from mauvealigner_tpu.analysis.backbone import merge_coordinate_rows
+
+    for trial in range(20):
+        n = int(rng.integers(2, 5))
+        rows = []
+        cursors = rng.integers(1, 50, size=n)
+        for _ in range(int(rng.integers(1, 40))):
+            row = np.zeros(2 * n, np.int64)
+            for s in range(n):
+                if rng.random() < 0.3:
+                    continue
+                length = int(rng.integers(1, 20))
+                left = int(cursors[s])
+                sign = -1 if rng.random() < 0.3 else 1
+                row[2 * s] = sign * left
+                row[2 * s + 1] = sign * (left + length - 1)
+                # half the time leave the cursor adjacent (mergeable), half
+                # the time jump (not mergeable)
+                cursors[s] = left + length + (0 if rng.random() < 0.5 else int(rng.integers(1, 10)))
+            if (row[::2] != 0).any():
+                rows.append(row)
+        if not rows:
+            continue
+        got = merge_coordinate_rows([r.copy() for r in rows])
+        want = _ref_merge_coordinate_rows([r.copy() for r in rows])
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            assert np.array_equal(a, b), (a, b)
+
+
+def test_backbone_seq_coordinates_matches_reference(rng):
+    """The scan-based segment coordinate extraction must agree with the
+    direct per-segment slice/min/max computation, including out-of-range
+    column windows (python-slice clamping semantics)."""
+    from mauvealigner_tpu.analysis.backbone import (
+        BackboneColumnSegment,
+        backbone_seq_coordinates,
+    )
+    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+    from mauvealigner_tpu.core.interval import Interval, IntervalList
+
+    genomes = _evolved_genomes(rng, n=4, size=2000)
+    from mauvealigner_tpu.models.aligner import AlignerOptions, MauveAligner
+
+    res = MauveAligner(AlignerOptions(seed_size=9, use_sml_cache=False)).align(genomes)
+    ivl = res.interval_list
+    segs = []
+    for k, iv in enumerate(ivl.intervals):
+        for _ in range(6):
+            a = int(rng.integers(0, max(iv.n_cols, 1)))
+            b = int(rng.integers(a, iv.n_cols + 5))  # may exceed n_cols
+            seqs = [s for s in range(iv.n_seqs) if rng.random() < 0.7]
+            segs.append(BackboneColumnSegment(k, a, b, seqs))
+    rows = backbone_seq_coordinates(ivl, segs)
+    for seg, row in zip(segs, rows):
+        iv = ivl.intervals[seg.interval_index]
+        want = np.zeros(2 * ivl.n_seqs, np.int64)
+        for s in seg.seqs:
+            p = _interval_positions(iv, s)[seg.col_start : seg.col_end]
+            p = p[p != 0]
+            if len(p) == 0:
+                continue
+            sign = int(np.sign(p[0]))
+            want[2 * s] = sign * int(np.abs(p).min())
+            want[2 * s + 1] = sign * int(np.abs(p).max())
+        assert np.array_equal(row, want), (seg, row, want)
