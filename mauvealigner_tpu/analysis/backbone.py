@@ -199,17 +199,14 @@ def pairwise_homology_posteriors(
     out: Dict[Tuple[int, int, int], np.ndarray] = {}
     if not jobs:
         return out
-    log_emit_table = params.log_emit_table()  # [2, 4]
-    emits = [
-        log_emit_table[:, sym].T.astype(np.float32) for (_, _, sym) in jobs
-    ]
     decoded = hmm_ops.bucketed_decode(
-        emits,
+        [sym for (_, _, sym) in jobs],
         params.log_trans(),
         np.log([0.5, 0.5]),
         mode="posterior0" if threshold is None else "threshold0",
         threshold=0.5 if threshold is None else threshold,
         max_cols=max_cols,
+        emit_table=params.log_emit_table(),  # [2, 4]; lookup runs on device
     )
     compact_out: Dict[Tuple[int, int, int], np.ndarray] = {}
     for (key, a, sym), p in zip(jobs, decoded):

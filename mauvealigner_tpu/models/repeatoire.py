@@ -363,20 +363,20 @@ class Repeatoire:
         from mauvealigner_tpu.ops import hmm as hmm_ops
 
         params = self._hmm_params(genome)
-        emit_table = params.log_emit_table()
         streams: List[np.ndarray] = []
         shapes: List[Tuple[int, int]] = []
         for flanks, aln in zip(flanks_list, alns):
             syms = _component_symbols(flanks, aln)
             shapes.append(syms.shape)
             for c in range(syms.shape[0]):
-                streams.append(emit_table[:, syms[c]].T.astype(np.float32))
+                streams.append(syms[c])
         decoded = hmm_ops.bucketed_decode(
             streams,
             params.log_trans(),
             np.log([0.9, 0.1]),
             mode="threshold0",
             threshold=self.options.posterior_threshold,
+            emit_table=params.log_emit_table(),
         )
         out: List[np.ndarray] = []
         pos = 0

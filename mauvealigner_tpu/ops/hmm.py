@@ -115,14 +115,44 @@ def forward_backward_prefix(
     return jnp.minimum(first_bad, lengths).astype(jnp.int32)
 
 
+@jax.jit
+def _fb_state0_sym(symbols, table_T, log_trans, log_init, lengths):
+    """P(state 0) [B, T] from uint8 symbol streams; emissions looked up on
+    device (the symbol upload is 1/8th of the float32 emission upload)."""
+    le = table_T[symbols.astype(jnp.int32)]
+    return forward_backward(le, log_trans, log_init, lengths)[:, :, 0]
+
+
+@jax.jit
+def _fb_state0_gt_sym(symbols, table_T, log_trans, log_init, lengths, threshold):
+    le = table_T[symbols.astype(jnp.int32)]
+    post0 = forward_backward(le, log_trans, log_init, lengths)[:, :, 0]
+    return (post0 > threshold).astype(jnp.uint8)
+
+
+@jax.jit
+def _fb_prefix_sym(symbols, table_T, log_trans, log_init, lengths, threshold):
+    le = table_T[symbols.astype(jnp.int32)]
+    post0 = forward_backward(le, log_trans, log_init, lengths)[:, :, 0]
+    T = post0.shape[1]
+    iota = jnp.arange(T, dtype=jnp.int32)
+    bad = (iota[None, :] < lengths[:, None]) & (post0 < threshold)
+    first_bad = jnp.min(jnp.where(bad, iota[None, :], T), axis=1)
+    return jnp.minimum(first_bad, lengths).astype(jnp.int32)
+
+
 def bucketed_decode(
-    log_emits,            # list of np.float32 [T_j, S] per-job emission rows
+    log_emits,            # list of np.float32 [T_j, S] per-job emission rows,
+                          # OR (with emit_table) np.int8/uint8 [T_j] symbols
     log_trans,            # [S, S] (np or jnp)
     log_init,             # [S]
     mode: str,            # "posterior0" | "threshold0" | "prefix0"
     threshold: float = 0.5,
     max_cols: int = 1 << 16,
     mem_budget: int = 1 << 25,
+    emit_table=None,      # [S, n_symbols] log emission table; when given,
+                          # log_emits holds SYMBOL streams and the emission
+                          # lookup runs on device
 ):
     """Run many variable-length HMM decodes through the batched kernels.
 
@@ -138,6 +168,9 @@ def bucketed_decode(
     lt = jnp.asarray(log_trans)
     li = jnp.asarray(log_init)
     S = int(li.shape[0])
+    tab = None if emit_table is None else jnp.asarray(
+        np.asarray(emit_table, np.float32).T  # [n_symbols, S]
+    )
     out: list = [None] * len(log_emits)
     buckets: dict = {}
     for idx, le_row in enumerate(log_emits):
@@ -156,27 +189,47 @@ def bucketed_decode(
         for off in range(0, len(idxs), cap_rows):
             chunk = idxs[off : off + cap_rows]
             B = 1 << max(3, (len(chunk) - 1).bit_length())
-            le = np.zeros((B, Tp, S), np.float32)
             lengths = np.zeros(B, np.int64)
-            for bi, idx in enumerate(chunk):
-                row = log_emits[idx]
-                lengths[bi] = len(row)
-                le[bi, : len(row)] = row
+            if tab is None:
+                le = np.zeros((B, Tp, S), np.float32)
+                for bi, idx in enumerate(chunk):
+                    row = log_emits[idx]
+                    lengths[bi] = len(row)
+                    le[bi, : len(row)] = row
+            else:
+                le = np.zeros((B, Tp), np.uint8)
+                for bi, idx in enumerate(chunk):
+                    row = log_emits[idx]
+                    lengths[bi] = len(row)
+                    le[bi, : len(row)] = row
             led, lend = jnp.asarray(le), jnp.asarray(lengths)
             if mode == "posterior0":
-                res = np.asarray(forward_backward_state0(led, lt, li, lend))
+                if tab is None:
+                    res = np.asarray(forward_backward_state0(led, lt, li, lend))
+                else:
+                    res = np.asarray(_fb_state0_sym(led, tab, lt, li, lend))
                 for bi, idx in enumerate(chunk):
                     out[idx] = res[bi, : int(lengths[bi])]
             elif mode == "threshold0":
-                res = np.asarray(
-                    forward_backward_state0_gt(led, lt, li, lend, jnp.float32(threshold))
-                ).astype(bool)
+                if tab is None:
+                    res = np.asarray(
+                        forward_backward_state0_gt(led, lt, li, lend, jnp.float32(threshold))
+                    ).astype(bool)
+                else:
+                    res = np.asarray(
+                        _fb_state0_gt_sym(led, tab, lt, li, lend, jnp.float32(threshold))
+                    ).astype(bool)
                 for bi, idx in enumerate(chunk):
                     out[idx] = res[bi, : int(lengths[bi])]
             elif mode == "prefix0":
-                res = np.asarray(
-                    forward_backward_prefix(led, lt, li, lend, jnp.float32(threshold))
-                )
+                if tab is None:
+                    res = np.asarray(
+                        forward_backward_prefix(led, lt, li, lend, jnp.float32(threshold))
+                    )
+                else:
+                    res = np.asarray(
+                        _fb_prefix_sym(led, tab, lt, li, lend, jnp.float32(threshold))
+                    )
                 for bi, idx in enumerate(chunk):
                     out[idx] = int(res[bi])
             else:
