@@ -234,3 +234,30 @@ def test_backbone_seq_coordinates_matches_reference(rng):
             want[2 * s] = sign * int(np.abs(p).min())
             want[2 * s + 1] = sign * int(np.abs(p).max())
         assert np.array_equal(row, want), (seg, row, want)
+
+
+def test_bucketed_decode_symbol_mode_matches_float_mode(rng):
+    """The int8 symbol-stream interface (device emission lookup) must return
+    exactly what the float32 emission-row interface returns, in every mode."""
+    from mauvealigner_tpu.ops import hmm
+
+    emit = np.log(np.array([[0.6, 0.2, 0.1, 0.1], [0.25, 0.25, 0.25, 0.25]]))
+    log_trans = np.log(np.array([[0.99, 0.01], [0.02, 0.98]]))
+    log_init = np.log(np.array([0.5, 0.5]))
+    streams = [
+        rng.integers(0, 4, size=int(rng.integers(1, 200))).astype(np.int8)
+        for _ in range(23)
+    ] + [np.zeros(0, np.int8)]
+    float_rows = [emit[:, s].T.astype(np.float32) for s in streams]
+    for mode in ("posterior0", "threshold0", "prefix0"):
+        want = hmm.bucketed_decode(float_rows, log_trans, log_init, mode=mode, threshold=0.55)
+        got = hmm.bucketed_decode(
+            streams, log_trans, log_init, mode=mode, threshold=0.55, emit_table=emit
+        )
+        for w, g in zip(want, got):
+            if mode == "prefix0":
+                assert w == g
+            elif mode == "threshold0":
+                assert np.array_equal(w, g)
+            else:
+                np.testing.assert_allclose(w, g, rtol=1e-6, atol=1e-7)
