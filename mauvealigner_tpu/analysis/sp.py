@@ -106,6 +106,77 @@ def match_and_gap_scores(
     return match_score, gap_score
 
 
+def match_and_gap_scores_batch(
+    mats: Sequence[np.ndarray],
+    subst: np.ndarray = dp.HOXD70,
+    gap_open: float = dp.DEFAULT_GAP_OPEN,
+    gap_extend: float = dp.DEFAULT_GAP_EXTEND,
+    max_lane_cells: int = 1 << 24,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched match_and_gap_scores over many [k_f, T_f] int8 code matrices;
+    returns (match_scores [F], gap_scores [F]) float64.
+
+    Matrices group by (row count, padded column bucket); column padding uses
+    code 5 (all-gap), which is score-neutral: padded columns add no symbol
+    counts, n_base = 0 kills the extension product, and both-gap pair
+    columns are projected out of the run-start scan.  `max_lane_cells`
+    bounds the (family*pair, columns) work arrays per slab."""
+    F = len(mats)
+    ms = np.zeros(F, np.float64)
+    gs = np.zeros(F, np.float64)
+    S5 = np.asarray(subst, dtype=np.float64)
+    diag = np.diag(S5)
+    groups: dict = {}
+    for f, X in enumerate(mats):
+        k, T = X.shape
+        if T == 0 or k < 2:
+            continue
+        Tb = 1 << max(4, (T - 1).bit_length())
+        groups.setdefault((k, Tb), []).append(f)
+    for (k, Tb), idxs in groups.items():
+        P = k * (k - 1) // 2
+        slab = max(1, max_lane_cells // max(P * Tb, 1))
+        ii, jj = np.triu_indices(k, 1)
+        for off in range(0, len(idxs), slab):
+            chunk = np.asarray(idxs[off : off + slab], np.int64)
+            Fg = len(chunk)
+            X = np.full((Fg, k, Tb), 5, np.int8)
+            for n, f in enumerate(chunk):
+                X[n, :, : mats[f].shape[1]] = mats[f]
+            base = (np.arange(Fg, dtype=np.int64)[:, None] * Tb + np.arange(Tb)[None, :]) * 6
+            flat = base[:, None, :] + X
+            counts = (
+                np.bincount(flat.ravel(), minlength=Fg * Tb * 6)
+                .reshape(Fg, Tb, 6)[..., :5]
+                .astype(np.float64)
+            )
+            term1 = np.einsum("ftc,cd,ftd->f", counts, S5, counts)
+            term2 = np.einsum("ftc,c->f", counts, diag)
+            ms[chunk] = (term1 - term2) / 2
+            gapped = X == 5
+            n_gap = gapped.sum(axis=1)
+            gap_positions = (n_gap * (k - n_gap)).sum(axis=1)
+            A = gapped[:, ii, :].reshape(Fg * P, Tb)
+            B = gapped[:, jj, :].reshape(Fg * P, Tb)
+            nonskip = ~(A & B)
+            idx = np.where(nonskip, np.arange(Tb, dtype=np.int32)[None, :], np.int32(-1))
+            prev = np.maximum.accumulate(idx, axis=1)
+            prev_excl = np.empty_like(prev)
+            prev_excl[:, 0] = -1
+            prev_excl[:, 1:] = prev[:, :-1]
+            has_prev = prev_excl >= 0
+            safe = np.where(has_prev, prev_excl, np.int32(0))
+            run_starts = np.zeros(Fg * P, np.int64)
+            for G in (A & nonskip, B & nonskip):
+                g_prev = np.take_along_axis(G, safe, axis=1) & has_prev
+                run_starts += (G & ~g_prev).sum(axis=1)
+            gs[chunk] = (
+                run_starts.reshape(Fg, P).sum(axis=1) * gap_open
+                + gap_positions * gap_extend
+            )
+    return ms, gs
+
+
 def compute_sp_score(
     iv: Interval,
     genomes: Sequence[Genome],

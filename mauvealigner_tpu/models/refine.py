@@ -16,7 +16,6 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from mauvealigner_tpu.analysis.sp import match_and_gap_scores
 from mauvealigner_tpu.core.interval import Interval, IntervalList
 from mauvealigner_tpu.models import closure
 
@@ -82,16 +81,26 @@ def refine_intervals(
         new_alns = closure.hierarchical_align_region_groups(
             groups, plan, gap_open=gap_open, gap_extend=gap_extend
         )
-        # evaluate and apply per interval
-        by_iv: dict = {}
+        # evaluate and apply per interval; old/new windows score in one
+        # grouped batch (per-window calls were refinement's host hotspot)
+        from mauvealigner_tpu.analysis.sp import match_and_gap_scores_batch
+
+        new_codes_all: List[np.ndarray] = []
         for (k, a, b, win), new_aln, regs in zip(jobs, new_alns, groups):
-            old_m, old_g = match_and_gap_scores(win, gap_open=gap_open, gap_extend=gap_extend)
             new_codes = np.full((win.shape[0], new_aln.shape[1]), 5, np.int8)
             for s in range(win.shape[0]):
                 cols = np.nonzero(new_aln[s])[0]
                 new_codes[s, cols] = regs[s][: len(cols)]
-            new_m, new_g = match_and_gap_scores(new_codes, gap_open=gap_open, gap_extend=gap_extend)
-            if new_m + new_g > old_m + old_g:
+            new_codes_all.append(new_codes)
+        mats = [j[3] for j in jobs] + new_codes_all
+        m_all, g_all = match_and_gap_scores_batch(
+            mats, gap_open=gap_open, gap_extend=gap_extend
+        )
+        scores = m_all + g_all
+        n_jobs = len(jobs)
+        by_iv: dict = {}
+        for j, ((k, a, b, win), new_aln) in enumerate(zip(jobs, new_alns)):
+            if scores[n_jobs + j] > scores[j]:
                 by_iv.setdefault(k, []).append((a, b, new_aln))
         improved_total += sum(len(v) for v in by_iv.values())
         for k, repls in by_iv.items():

@@ -574,6 +574,16 @@ class Repeatoire:
         return codes
 
     # -- step 6: SP score ---------------------------------------------------
+    @staticmethod
+    def _family_col_codes(genome: Genome, fam: RepeatFamily) -> np.ndarray:
+        k, T = fam.aln.shape
+        col_codes = np.full((k, T), 5, np.int8)
+        lens = fam.component_lengths()
+        for i in range(k):
+            codes = genome.sub_codes_signed(int(fam.starts[i]), int(lens[i]))
+            col_codes[i, fam.aln[i]] = np.minimum(codes, 4)
+        return col_codes
+
     def sp_score(self, genome: Genome, fam: RepeatFamily) -> float:
         """Sum-of-pairs hoxd score with affine gaps (computeSPScore,
         src/repeatoire.cpp:2511-2536).  Delegates to the shared
@@ -582,14 +592,19 @@ class Repeatoire:
         from mauvealigner_tpu.analysis import sp as sp_mod
 
         o = self.options
-        k, T = fam.aln.shape
-        col_codes = np.full((k, T), 5, np.int8)
-        lens = fam.component_lengths()
-        for i in range(k):
-            codes = genome.sub_codes_signed(int(fam.starts[i]), int(lens[i]))
-            col_codes[i, fam.aln[i]] = np.minimum(codes, 4)
         m, g = sp_mod.match_and_gap_scores(
-            col_codes, dp.HOXD70, o.gap_open, o.gap_extend
+            self._family_col_codes(genome, fam), dp.HOXD70, o.gap_open, o.gap_extend
+        )
+        return m + g
+
+    def _sp_score_batch(self, genome: Genome, fams: List[RepeatFamily]) -> np.ndarray:
+        """SP scores for many families in one grouped/padded pass."""
+        from mauvealigner_tpu.analysis import sp as sp_mod
+
+        o = self.options
+        mats = [self._family_col_codes(genome, f) for f in fams]
+        m, g = sp_mod.match_and_gap_scores_batch(
+            mats, dp.HOXD70, o.gap_open, o.gap_extend
         )
         return m + g
 
@@ -654,6 +669,7 @@ class Repeatoire:
         order = sorted(range(len(fams)), key=key)
         owner = np.full(len(genome) + 2, -1, np.int64)
         out: List[RepeatFamily] = []
+        rescore: List[int] = []  # indices into `out` needing a post-crop score
         for fi in order:
             f = fams[fi]
             spans = f.spans()
@@ -675,11 +691,17 @@ class Repeatoire:
                 right_crop[ki] = int(np.argmax(own[::-1]))
             if left_crop.any() or right_crop.any():
                 f2 = self._crop_components(f, left_crop, right_crop)
-                # recompute the SP score after cropping (:2643-2646)
-                f2.score = self.sp_score(genome, f2)
+                # recompute the SP score after cropping (:2643-2646); scores
+                # are only read after the ownership walk, so the recompute
+                # batches into one grouped pass at the end
+                rescore.append(len(out))
                 out.append(f2)
             else:
                 out.append(f)
+        if rescore:
+            scores = self._sp_score_batch(genome, [out[i] for i in rescore])
+            for i, sc in zip(rescore, scores):
+                out[i].score = float(sc)
         return out
 
     # -- full pipeline ------------------------------------------------------
@@ -701,8 +723,9 @@ class Repeatoire:
             if o.chain:
                 ml, seed_counts = self.chain_seed_matches(ml, genome)
         fams = self.build_families(genome, ml, seed_counts)
-        for f in fams:
-            f.score = self.sp_score(genome, f)
+        if fams:
+            for f, sc in zip(fams, self._sp_score_batch(genome, fams)):
+                f.score = float(sc)
         if not o.allow_redundant:
             fams = self._remove_redundancy(genome, fams)
         # final filter chain (src/repeatoire.cpp:2636-2653): min length,

@@ -261,3 +261,24 @@ def test_bucketed_decode_symbol_mode_matches_float_mode(rng):
                 assert np.array_equal(w, g)
             else:
                 np.testing.assert_allclose(w, g, rtol=1e-6, atol=1e-7)
+
+
+def test_match_and_gap_scores_batch_matches_single(rng):
+    """The grouped/padded batch SP scorer must equal per-matrix calls
+    bit-for-bit (integer substitution scores keep every sum exact)."""
+    from mauvealigner_tpu.analysis.sp import (
+        match_and_gap_scores,
+        match_and_gap_scores_batch,
+    )
+
+    mats = []
+    for _ in range(40):
+        k = int(rng.integers(1, 7))
+        T = int(rng.integers(0, 90))
+        X = rng.integers(0, 6, size=(k, T)).astype(np.int8)
+        mats.append(X)
+    mb, gb = match_and_gap_scores_batch(mats, gap_open=-100.0, gap_extend=-20.0)
+    for X, m, g in zip(mats, mb, gb):
+        m1, g1 = match_and_gap_scores(X, gap_open=-100.0, gap_extend=-20.0)
+        assert m == m1, (X.shape, m, m1)
+        assert g == g1, (X.shape, g, g1)
