@@ -78,16 +78,25 @@ def match_and_gap_scores(
         A = gapped[ii]
         B = gapped[jj]
         nonskip = ~(A & B)
-        idx = np.where(nonskip, np.arange(T, dtype=np.int32)[None, :], np.int32(-1))
-        prev = np.maximum.accumulate(idx, axis=1)
-        prev_excl = np.empty_like(prev)
-        prev_excl[:, 0] = -1
-        prev_excl[:, 1:] = prev[:, :-1]
-        has_prev = prev_excl >= 0
-        safe = np.where(has_prev, prev_excl, np.int32(0))
-        for G in (A & nonskip, B & nonskip):
-            g_prev = np.take_along_axis(G, safe, axis=1) & has_prev
-            run_starts += int((G & ~g_prev).sum())
+        # packed-code running max: (col index, gapA, gapB) of the nearest
+        # kept column to the left, with no gather passes (see the batch
+        # variant below)
+        code = np.where(
+            nonskip,
+            (np.arange(T, dtype=np.int32) << 2)[None, :]
+            | (A.astype(np.int32) << 1)
+            | B.astype(np.int32),
+            np.int32(-1),
+        )
+        cm = np.maximum.accumulate(code, axis=1)
+        prev_code = np.empty_like(cm)
+        prev_code[:, 0] = -1
+        prev_code[:, 1:] = cm[:, :-1]
+        has_prev = prev_code >= 0
+        pA = has_prev & ((prev_code & 2) != 0)
+        pB = has_prev & ((prev_code & 1) != 0)
+        run_starts += int(((A & nonskip) & ~pA).sum())
+        run_starts += int(((B & nonskip) & ~pB).sum())
     else:
         # long alignments are bandwidth-bound: sequential boolean passes per
         # pair beat the batched gather
@@ -111,7 +120,7 @@ def match_and_gap_scores_batch(
     subst: np.ndarray = dp.HOXD70,
     gap_open: float = dp.DEFAULT_GAP_OPEN,
     gap_extend: float = dp.DEFAULT_GAP_EXTEND,
-    max_lane_cells: int = 1 << 24,
+    max_lane_cells: int = 1 << 20,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Batched match_and_gap_scores over many [k_f, T_f] int8 code matrices;
     returns (match_scores [F], gap_scores [F]) float64.
@@ -120,7 +129,9 @@ def match_and_gap_scores_batch(
     code 5 (all-gap), which is score-neutral: padded columns add no symbol
     counts, n_base = 0 kills the extension product, and both-gap pair
     columns are projected out of the run-start scan.  `max_lane_cells`
-    bounds the (family*pair, columns) work arrays per slab."""
+    bounds the (family*pair, columns) work arrays per slab — sized so the
+    int32 scan arrays stay cache-resident instead of streaming DRAM (a
+    16M-cell slab ran 9x slower than cache-sized slabs on the same work)."""
     F = len(mats)
     ms = np.zeros(F, np.float64)
     gs = np.zeros(F, np.float64)
@@ -131,7 +142,9 @@ def match_and_gap_scores_batch(
         k, T = X.shape
         if T == 0 or k < 2:
             continue
-        Tb = 1 << max(4, (T - 1).bit_length())
+        # multiple-of-64 column buckets: all-host arrays, so fine buckets
+        # cost nothing and cap padding waste at <64 columns
+        Tb = max(16, -(-T // 64) * 64)
         groups.setdefault((k, Tb), []).append(f)
     for (k, Tb), idxs in groups.items():
         P = k * (k - 1) // 2
@@ -159,17 +172,25 @@ def match_and_gap_scores_batch(
             A = gapped[:, ii, :].reshape(Fg * P, Tb)
             B = gapped[:, jj, :].reshape(Fg * P, Tb)
             nonskip = ~(A & B)
-            idx = np.where(nonskip, np.arange(Tb, dtype=np.int32)[None, :], np.int32(-1))
-            prev = np.maximum.accumulate(idx, axis=1)
-            prev_excl = np.empty_like(prev)
-            prev_excl[:, 0] = -1
-            prev_excl[:, 1:] = prev[:, :-1]
-            has_prev = prev_excl >= 0
-            safe = np.where(has_prev, prev_excl, np.int32(0))
-            run_starts = np.zeros(Fg * P, np.int64)
-            for G in (A & nonskip, B & nonskip):
-                g_prev = np.take_along_axis(G, safe, axis=1) & has_prev
-                run_starts += (G & ~g_prev).sum(axis=1)
+            # pack (column index, gapA, gapB) of kept columns into one int32:
+            # a single running max then carries the previous kept column's gap
+            # bits to every position — no gather passes
+            code = np.where(
+                nonskip,
+                (np.arange(Tb, dtype=np.int32) << 2)[None, :]
+                | (A.astype(np.int32) << 1)
+                | B.astype(np.int32),
+                np.int32(-1),
+            )
+            cm = np.maximum.accumulate(code, axis=1)
+            prev_code = np.empty_like(cm)
+            prev_code[:, 0] = -1
+            prev_code[:, 1:] = cm[:, :-1]
+            has_prev = prev_code >= 0
+            pA = has_prev & ((prev_code & 2) != 0)
+            pB = has_prev & ((prev_code & 1) != 0)
+            run_starts = ((A & nonskip) & ~pA).sum(axis=1).astype(np.int64)
+            run_starts += ((B & nonskip) & ~pB).sum(axis=1)
             gs[chunk] = (
                 run_starts.reshape(Fg, P).sum(axis=1) * gap_open
                 + gap_positions * gap_extend
