@@ -139,6 +139,73 @@ def _component_symbols(flanks: List[np.ndarray], aln: np.ndarray) -> np.ndarray:
     return sym
 
 
+def _component_symbols_batch(
+    flanks_list: List[List[np.ndarray]],
+    alns: List[np.ndarray],
+    max_cells: int = 1 << 20,
+) -> List[np.ndarray]:
+    """_component_symbols over many jobs at once: jobs bucket by padded
+    (component, column) shape and classify in slab-sized vector passes.
+    Padded rows/columns are all-gap (code 5), which the classification maps
+    to SYM_GAP; they are sliced off before returning."""
+    out: List[Optional[np.ndarray]] = [None] * len(alns)
+    groups: dict = {}
+    for j, aln in enumerate(alns):
+        k, T = aln.shape
+        if T == 0 or k == 0:
+            out[j] = np.zeros((k, 0), np.int8)
+            continue
+        kb = 1 << (k - 1).bit_length()
+        Tb = max(16, -(-T // 64) * 64)
+        groups.setdefault((kb, Tb), []).append(j)
+    for (kb, Tb), idxs in groups.items():
+        slab = max(1, max_cells // (kb * Tb))
+        for off in range(0, len(idxs), slab):
+            chunk = idxs[off : off + slab]
+            J = len(chunk)
+            A = np.zeros((J, kb, Tb), bool)
+            Fm = np.zeros((J, kb, Tb), np.int8)  # flank codes by base rank
+            for n, j in enumerate(chunk):
+                aln = alns[j]
+                k, T = aln.shape
+                A[n, :k, :T] = aln
+                cnts = aln.sum(axis=1)
+                for i, f in enumerate(flanks_list[j]):
+                    c = int(cnts[i])
+                    if c:
+                        Fm[n, i, :c] = np.minimum(f[:c], 4)
+            rank = np.cumsum(A, axis=2, dtype=np.int32) - 1
+            col_codes = np.where(
+                A,
+                np.take_along_axis(Fm, np.clip(rank, 0, Tb - 1), axis=2),
+                np.int8(5),
+            )
+            counts = np.stack(
+                [(col_codes == b).sum(axis=1) for b in range(4)], axis=1
+            )  # [J, 4, Tb]
+            n_bases = counts.sum(axis=1)              # [J, Tb]
+            has_base = col_codes < 4
+            safe = np.where(has_base, col_codes, 0).astype(np.int64)
+            agree = (
+                counts[
+                    np.arange(J)[:, None, None],
+                    safe,
+                    np.arange(Tb)[None, None, :],
+                ]
+                - has_base
+            )
+            others = n_bases[:, None, :] - has_base
+            sym = np.where(
+                agree * 2 >= np.maximum(others, 1), bb.SYM_MATCH, bb.SYM_TRANSVERSION
+            ).astype(np.int8)
+            sym[~has_base] = np.int8(bb.SYM_GAP)
+            sym[(others == 0) & has_base] = np.int8(bb.SYM_GAP)
+            for n, j in enumerate(chunk):
+                k, T = alns[j].shape
+                out[j] = sym[n, :k, :T]
+    return out  # type: ignore[return-value]
+
+
 def _is_tandem(fam: RepeatFamily, window: int) -> bool:
     """Another component of the SAME record within the neighborhood window
     of a component's end (src/repeatoire.cpp:898)."""
@@ -365,8 +432,7 @@ class Repeatoire:
         params = self._hmm_params(genome)
         streams: List[np.ndarray] = []
         shapes: List[Tuple[int, int]] = []
-        for flanks, aln in zip(flanks_list, alns):
-            syms = _component_symbols(flanks, aln)
+        for syms in _component_symbols_batch(flanks_list, alns):
             shapes.append(syms.shape)
             for c in range(syms.shape[0]):
                 streams.append(syms[c])

@@ -449,3 +449,26 @@ def test_component_symbols_per_component_membership():
     aln2[1, 3:5] = False
     sym2 = rt._component_symbols([flanks[0], np.zeros(6, np.int64), flanks[2]], aln2)
     assert (sym2[1, 3:5] == bbmod.SYM_GAP).all()
+
+
+def test_component_symbols_batch_matches_single(rng):
+    """The bucketed/slabbed batch classifier must reproduce
+    _component_symbols exactly across ragged job shapes."""
+    from mauvealigner_tpu.models import repeatoire as rt
+
+    flanks_list, alns = [], []
+    for _ in range(30):
+        k = int(rng.integers(1, 9))
+        T = int(rng.integers(0, 120))
+        aln = rng.random((k, T)) < 0.7
+        flanks = []
+        for i in range(k):
+            c = int(aln[i].sum())
+            extra = int(rng.integers(0, 5))
+            flanks.append(rng.integers(0, 6, size=c + extra).astype(np.int64))
+        flanks_list.append(flanks)
+        alns.append(aln)
+    got = rt._component_symbols_batch(flanks_list, alns)
+    for flanks, aln, g in zip(flanks_list, alns, got):
+        want = rt._component_symbols(flanks, aln)
+        assert np.array_equal(g, want), (aln.shape, g, want)
