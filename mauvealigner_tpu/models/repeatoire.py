@@ -105,8 +105,10 @@ class RepeatFamily:
     def spans(self) -> np.ndarray:
         """[k, 2] absolute [left, right] per component."""
         lens = self.component_lengths()
-        lefts = np.abs(self.starts)
-        return np.stack([lefts, lefts + lens - 1], axis=1)
+        out = np.empty((len(lens), 2), np.int64)
+        np.abs(self.starts, out=out[:, 0])
+        out[:, 1] = out[:, 0] + lens - 1
+        return out
 
 
 def _component_symbols(flanks: List[np.ndarray], aln: np.ndarray) -> np.ndarray:
@@ -409,14 +411,20 @@ class Repeatoire:
         change[1:] = np.any(sig[1:] != sig[:-1], axis=1)
         run_starts = np.nonzero(change)[0]
         run_ends = np.append(run_starts[1:], T)
-        for a, b in zip(run_starts, run_ends):
-            members = [c for c in np.nonzero(sig[a])[0] if aln[c, a:b].any()]
-            if len(members) < 2:
-                continue
-            # nearest >=2-member segment decides: chain to its end iff it
-            # has full multiplicity (M_e->Multiplicity() == M_i's, :2175)
-            return int(b) if len(members) == k else 0
-        return 0
+        # member counts for ALL runs in one pass: component c is a member of
+        # run [a, b) iff sig[a, c] and it has a base inside the run
+        pref = np.cumsum(aln, axis=1, dtype=np.int32)  # [k, T]
+        hi = pref[:, run_ends - 1]
+        lo = np.where(run_starts > 0, pref[:, np.maximum(run_starts - 1, 0)], 0)
+        members = sig[run_starts].T & (hi - lo > 0)    # [k, R]
+        counts = members.sum(axis=0)
+        cand = np.nonzero(counts >= 2)[0]
+        if not len(cand):
+            return 0
+        # nearest >=2-member segment decides: chain to its end iff it has
+        # full multiplicity (M_e->Multiplicity() == M_i's, :2175)
+        r = cand[0]
+        return int(run_ends[r]) if counts[r] == k else 0
 
     def _homology_columns_batch(
         self,
