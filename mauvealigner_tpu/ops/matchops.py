@@ -289,6 +289,32 @@ def find_multi_mums_device(
     # few runs; only large results need a second (row 0 holds n_runs)
     first = min(1 + (1 << 12), cap + 1)
     head = np.asarray(packed_tab[:first])
+    ml = decode_mum_table(
+        head,
+        n_seqs,
+        cap,
+        seed_length,
+        fetch=lambda rb: np.asarray(packed_tab[:rb]),
+    )
+    if extend and len(ml):
+        ml = extend_matches_maximal(ml, [g.codes for g in genomes])
+    if nway:
+        ml = ml.multiplicity_filter(n_seqs)
+    return ml
+
+
+def decode_mum_table(
+    head: np.ndarray,
+    n_seqs: int,
+    cap: int,
+    seed_length: int,
+    fetch=None,
+) -> MatchList:
+    """Decode a device_mum_candidates packed table (host side).
+
+    `head` holds at least the leading rows ([n_runs row] + runs); when the
+    run count exceeds the rows on hand, `fetch(n_rows)` downloads a taller
+    slice (None = `head` is the full table)."""
     r = int(head[0, 0])
     if r == 0:
         return MatchList.empty(n_seqs)
@@ -300,11 +326,11 @@ def find_multi_mums_device(
             "result truncated (raise cap for highly repetitive inputs)"
         )
         r = cap
-    if r <= first - 1:
+    if r <= head.shape[0] - 1 or fetch is None:
         packed = head[1 : r + 1]
     else:
         rb = min((1 << max(4, (r - 1).bit_length())) + 1, cap + 1)
-        packed = np.asarray(packed_tab[:rb])[1 : r + 1]
+        packed = fetch(rb)[1 : r + 1]
     comp, span = packed[:, :n_seqs], packed[:, n_seqs:]
     ok = (span[:, 0] >= 0) & (span[:, 1] >= span[:, 0])
     comp, span = comp[ok], span[ok]
@@ -314,12 +340,7 @@ def find_multi_mums_device(
     starts = comp.astype(np.int64)
     rev = starts < 0
     starts[rev] = starts[rev] + run_len[np.nonzero(rev)[0]]
-    ml = MatchList(starts, lengths.astype(np.int64))
-    if extend and len(ml):
-        ml = extend_matches_maximal(ml, [g.codes for g in genomes])
-    if nway:
-        ml = ml.multiplicity_filter(n_seqs)
-    return ml
+    return MatchList(starts, lengths.astype(np.int64))
 
 
 @dataclasses.dataclass

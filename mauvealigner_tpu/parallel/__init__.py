@@ -14,17 +14,21 @@ missing MPI variant are all subsumed by SPMD sharding over a device mesh:
 """
 
 from mauvealigner_tpu.parallel.sharded import (
+    find_pair_mums_sharded,
     make_mesh,
-    sharded_pack_sort,
     sharded_gotoh_scores,
     sharded_hmm_posteriors,
+    sharded_pack_sort,
+    sharded_pair_mum_tables,
     multichip_pipeline_step,
 )
 
 __all__ = [
+    "find_pair_mums_sharded",
     "make_mesh",
     "sharded_pack_sort",
     "sharded_gotoh_scores",
     "sharded_hmm_posteriors",
+    "sharded_pair_mum_tables",
     "multichip_pipeline_step",
 ]

@@ -138,6 +138,97 @@ def sharded_hmm_posteriors(
     )(log_emit, lengths)
 
 
+def sharded_pair_mum_tables(
+    keys: jnp.ndarray,     # int64 [D, N] per-pair concatenated SML keys
+    seq_ids: jnp.ndarray,  # int32 [D, N]
+    pos: jnp.ndarray,      # int32 [D, N]
+    n_seqs: int,
+    cap: int,
+    mesh: Mesh,
+    min_multi: int = 2,
+):
+    """K2 unique-MUM candidate search for many independent genome pairs,
+    sharded over the pair axis (D must divide by the mesh size).
+
+    This is the pod-level axis of the draft workflow (BASELINE config 5,
+    reference analog: per-process match partitioning via --match-log /
+    --realign-lcb, src/mauveAligner.cpp:130-131,533-589): each device runs
+    the full candidate kernel on its local reference-vs-draft pairs; the
+    packed tables come back sharded and decode independently on host.
+    """
+    from mauvealigner_tpu.ops import matchops
+
+    mask = jnp.ones(n_seqs, jnp.int32)
+
+    def local(k, s, p):
+        f = lambda kk, ss, pp: matchops.device_mum_candidates(
+            kk, ss, pp, mask, n_seqs, cap, min_multi
+        )
+        return jax.vmap(f)(k, s, p)
+
+    spec = P(AXIS)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )(keys, seq_ids, pos)
+
+
+def find_pair_mums_sharded(
+    ref,
+    drafts,
+    seed,
+    mesh: Mesh,
+    extend: bool = True,
+):
+    """Reference-vs-draft unique MUMs for every draft, pair-sharded over the
+    mesh.  Returns one 2-sequence MatchList per draft (row 0 = ref).
+
+    Host driver for the config-5 pod story: per-pair SMLs build on device,
+    pairs pad to the mesh size (empty pads decode to empty lists), ONE
+    sharded kernel launch covers every pair, and each table decodes with the
+    same host decode as the single-chip path.
+    """
+    from mauvealigner_tpu.core.sml import build_sml_device
+    from mauvealigner_tpu.ops import matchops
+
+    n_dev = mesh.devices.size
+    D = len(drafts)
+    if D == 0:
+        return []
+    ref_sml = build_sml_device(ref, seed)
+    cols = [
+        matchops._concat_device_smls([ref_sml, build_sml_device(d, seed)])
+        for d in drafts
+    ]
+    # pairs may land in different length buckets; group launches by bucket
+    out: list = [None] * D
+    by_n: dict = {}
+    for i, (k, _, _) in enumerate(cols):
+        by_n.setdefault(int(k.shape[0]), []).append(i)
+    for N, idxs in by_n.items():
+        # pad this bucket's pair count to the mesh size (pad rows repeat a
+        # real pair; their rows are simply not decoded)
+        padded = list(idxs)
+        while len(padded) % n_dev:
+            padded.append(idxs[0])
+        K = jnp.stack([cols[i][0] for i in padded])
+        S = jnp.stack([cols[i][1] for i in padded])
+        Ppos = jnp.stack([cols[i][2] for i in padded])
+        cap = max(1 << 14, N >> 3)
+        tabs = np.asarray(sharded_pair_mum_tables(K, S, Ppos, 2, cap, mesh))
+        for row, i in enumerate(idxs):
+            ml = matchops.decode_mum_table(tabs[row], 2, cap, seed.length)
+            if extend and len(ml):
+                ml = matchops.extend_matches_maximal(
+                    ml, [ref.codes, drafts[i].codes]
+                )
+            out[i] = ml
+    return out
+
+
 def multichip_pipeline_step(
     mesh: Mesh,
     codes_a: jnp.ndarray,

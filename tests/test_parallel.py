@@ -90,3 +90,42 @@ def test_multichip_pipeline_step_runs(make_dna):
     # positive scores drive the dry-run HMM toward the homologous state
     hom = np.asarray(hom)
     assert hom.shape == (B,) and (hom > 0.5).all()
+
+
+def test_find_pair_mums_sharded_matches_single_device(rng):
+    """Pair-sharded ref-vs-draft MUM search (the config-5 pod axis) must
+    reproduce the single-chip per-pair search exactly, across drafts that
+    land in different SML length buckets."""
+    from mauvealigner_tpu.core.sml import build_sml_device
+    from mauvealigner_tpu.ops import matchops
+    from mauvealigner_tpu.parallel import find_pair_mums_sharded
+    from mauvealigner_tpu.utils import simulate
+
+    mesh = make_mesh(8)
+    seed = get_seed(9, 0)
+    anc = simulate.random_genome(rng, 3000, name="ref")
+    drafts = []
+    for i in range(5):
+        size_factor = 1 if i < 3 else 4  # force two length buckets
+        der, _ = simulate.evolve(
+            anc, rng, sub_rate=0.02, ins_rate=0.001, del_rate=0.001
+        )
+        seq = der.seq
+        if size_factor > 1:
+            seq = np.concatenate(
+                [seq] + [simulate.random_genome(rng, 9000).seq]
+            )
+        drafts.append(Genome(seq, name=f"d{i}"))
+
+    got = find_pair_mums_sharded(anc, drafts, seed, mesh)
+    assert len(got) == len(drafts)
+    for d, ml in zip(drafts, got):
+        want = matchops.find_multi_mums_device(
+            [anc, d],
+            [build_sml_device(anc, seed), build_sml_device(d, seed)],
+            seed_length=seed.length,
+        )
+        assert len(ml) == len(want)
+        assert np.array_equal(ml.starts, want.starts)
+        assert np.array_equal(ml.lengths, want.lengths)
+        assert len(ml) > 0
