@@ -20,11 +20,13 @@ from mauvealigner_tpu.parallel.sharded import (
     sharded_hmm_posteriors,
     sharded_pack_sort,
     sharded_pair_mum_tables,
+    sort_contigs_sharded,
     multichip_pipeline_step,
 )
 
 __all__ = [
     "find_pair_mums_sharded",
+    "sort_contigs_sharded",
     "make_mesh",
     "sharded_pack_sort",
     "sharded_gotoh_scores",

@@ -229,6 +229,40 @@ def find_pair_mums_sharded(
     return out
 
 
+def sort_contigs_sharded(
+    ref,
+    drafts,
+    mesh: Mesh,
+    seed_weight: Optional[int] = None,
+):
+    """Pod-level draft workflow front half (BASELINE config 5): the per-draft
+    reference-vs-draft MUM searches shard over the mesh; LCB determination,
+    placement walk and contig reordering stay on host per draft.
+
+    Returns [(reordered genome, placement log)] per draft — exactly what the
+    sequential sortContigs flow produces (tools/manipulate.sort_contigs).
+    """
+    from mauvealigner_tpu.models.lcb import greedy_breakpoint_elimination
+    from mauvealigner_tpu.seeds import default_mer_size, get_seed
+    from mauvealigner_tpu.tools.manipulate import (
+        contig_placements_from_lcbs,
+        sort_contigs,
+    )
+
+    if not drafts:
+        return []
+    avg = int(np.mean([len(ref)] + [len(d) for d in drafts]))
+    weight = seed_weight or default_mer_size(avg)
+    seed = get_seed(weight, 0)
+    mls = find_pair_mums_sharded(ref, drafts, seed, mesh)
+    out = []
+    for d, ml in zip(drafts, mls):
+        _, lcbs = greedy_breakpoint_elimination(ml, float(weight * 3 * 2))
+        placements = contig_placements_from_lcbs(d, lcbs, draft_seq_index=1)
+        out.append(sort_contigs(d, placements))
+    return out
+
+
 def multichip_pipeline_step(
     mesh: Mesh,
     codes_a: jnp.ndarray,

@@ -129,3 +129,50 @@ def test_find_pair_mums_sharded_matches_single_device(rng):
         assert np.array_equal(ml.starts, want.starts)
         assert np.array_equal(ml.lengths, want.lengths)
         assert len(ml) > 0
+
+
+def test_sort_contigs_sharded_matches_sequential(rng):
+    """The pod-sharded draft front half must reorder contigs exactly like
+    the sequential MauveAligner + sortContigs flow."""
+    from mauvealigner_tpu.genome.sequence import Contig, revcomp_ascii
+    from mauvealigner_tpu.models.aligner import AlignerOptions, MauveAligner
+    from mauvealigner_tpu.parallel import sort_contigs_sharded
+    from mauvealigner_tpu.tools.manipulate import (
+        contig_placements_from_lcbs,
+        sort_contigs,
+    )
+    from mauvealigner_tpu.utils import simulate
+
+    mesh = make_mesh(8)
+    ref = simulate.random_genome(rng, 6000, name="ref")
+    drafts = []
+    for i in range(3):
+        der, _ = simulate.evolve(ref, rng, sub_rate=0.01, ins_rate=0.0005, del_rate=0.0005)
+        cuts = np.sort(rng.choice(np.arange(500, len(der) - 500), size=3, replace=False))
+        edges = np.concatenate([[0], cuts, [len(der)]])
+        pieces = []
+        for ci, (a, b) in enumerate(zip(edges[:-1], edges[1:])):
+            chunk = der.seq[a:b]
+            if rng.random() < 0.5:
+                chunk = revcomp_ascii(chunk)
+            pieces.append((f"d{i}_c{ci}", chunk))
+        order = rng.permutation(len(pieces))
+        contigs, parts, off = [], [], 0
+        for idx in order:
+            cname, chunk = pieces[idx]
+            contigs.append(Contig(cname, len(chunk), off))
+            parts.append(chunk)
+            off += len(chunk)
+        drafts.append(Genome(np.concatenate(parts), contigs=contigs, name=f"d{i}"))
+
+    got = sort_contigs_sharded(ref, drafts, mesh, seed_weight=9)
+    assert len(got) == 3
+    for d, (fixed, log) in zip(drafts, got):
+        al = MauveAligner(AlignerOptions(seed_size=9, gapped=False, recursive=False, use_sml_cache=False))
+        ml = al.find_mums([ref, d])
+        _, lcbs = al.determine_lcbs([ref, d], ml)
+        placements = contig_placements_from_lcbs(d, lcbs, draft_seq_index=1)
+        want_fixed, want_log = sort_contigs(d, placements)
+        assert log == want_log
+        assert np.array_equal(fixed.seq, want_fixed.seq)
+        assert sum(1 for _, s in log if s != 0) > 0
