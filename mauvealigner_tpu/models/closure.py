@@ -76,6 +76,28 @@ def _profile_of(cc: np.ndarray) -> np.ndarray:
     return counts[:, :5].astype(np.float32)
 
 
+def _profiles_of_many(ccs: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """_profile_of for many matrices through ONE bincount over globally
+    offset (column, symbol) cells (the per-call bincount overhead dominated
+    at tens of thousands of merge jobs per round)."""
+    offs = np.zeros(len(ccs) + 1, np.int64)
+    for i, cc in enumerate(ccs):
+        offs[i + 1] = offs[i] + cc.shape[1]
+    total = int(offs[-1])
+    if total == 0:
+        return [np.zeros((cc.shape[1], 5), np.float32) for cc in ccs]
+    flats = [
+        ((np.arange(cc.shape[1], dtype=np.int64) + offs[i]) * 6 + cc).ravel()
+        for i, cc in enumerate(ccs)
+    ]
+    counts = (
+        np.bincount(np.concatenate(flats), minlength=total * 6)
+        .reshape(total, 6)[:, :5]
+        .astype(np.float32)
+    )
+    return [counts[offs[i] : offs[i + 1]] for i in range(len(ccs))]
+
+
 def _expand(cc: np.ndarray, n_ops: int, consumes: np.ndarray) -> np.ndarray:
     new = np.full((cc.shape[0], n_ops), GAP, np.int8)
     new[:, consumes] = cc
@@ -157,14 +179,17 @@ def hierarchical_align_region_groups(
             for i, ops in zip(code_idx, got):
                 ops_all[i] = ops
         if prof_idx:
+            profs = _profiles_of_many(
+                [m for i in prof_idx for m in (jobs[i][1][1], jobs[i][2][1])]
+            )
             prof_pairs = []
-            for i in prof_idx:
+            for n, i in enumerate(prof_idx):
                 (_, A, B) = jobs[i]
                 prof_pairs.append(
                     (
-                        _profile_of(A[1]),
+                        profs[2 * n],
                         A[1].shape[1],
-                        _profile_of(B[1]),
+                        profs[2 * n + 1],
                         B[1].shape[1],
                     )
                 )
