@@ -98,12 +98,6 @@ def _profiles_of_many(ccs: Sequence[np.ndarray]) -> List[np.ndarray]:
     return [counts[offs[i] : offs[i + 1]] for i in range(len(ccs))]
 
 
-def _expand(cc: np.ndarray, n_ops: int, consumes: np.ndarray) -> np.ndarray:
-    new = np.full((cc.shape[0], n_ops), GAP, np.int8)
-    new[:, consumes] = cc
-    return new
-
-
 def _unaligned_blocks(regs: Sequence[np.ndarray]) -> np.ndarray:
     total = sum(len(r) for r in regs)
     aln = np.zeros((len(regs), total), dtype=bool)
@@ -199,15 +193,11 @@ def hierarchical_align_region_groups(
         for (k, A, B), ops in zip(jobs, ops_all):
             consumes_a = (ops == dp.OP_DIAG) | (ops == dp.OP_UP)
             consumes_b = (ops == dp.OP_DIAG) | (ops == dp.OP_LEFT)
-            state[k][node] = (
-                np.concatenate([A[0], B[0]]),
-                np.concatenate(
-                    [
-                        _expand(A[1], len(ops), consumes_a),
-                        _expand(B[1], len(ops), consumes_b),
-                    ]
-                ),
-            )
+            kA = A[1].shape[0]
+            merged = np.full((kA + B[1].shape[0], len(ops)), GAP, np.int8)
+            merged[:kA, consumes_a] = A[1]
+            merged[kA:, consumes_b] = B[1]
+            state[k][node] = (np.concatenate([A[0], B[0]]), merged)
 
     for k in range(n_groups):
         if results[k] is not None:
