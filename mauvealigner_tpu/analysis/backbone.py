@@ -430,7 +430,9 @@ def merge_coordinate_rows(rows: List[np.ndarray]) -> List[np.ndarray]:
 
 
 def _segment_seq_coordinates(
-    ivs: IntervalList, segments: List[BackboneColumnSegment]
+    ivs: IntervalList,
+    segments: List[BackboneColumnSegment],
+    pos_cache: Optional[Dict[Tuple[int, int], np.ndarray]] = None,
 ) -> np.ndarray:
     """Signed per-seq [left, right] coordinate pairs for every segment, as a
     (n_segments, 2*n_seqs) int64 matrix (row order = segment order).
@@ -463,7 +465,12 @@ def _segment_seq_coordinates(
             sel = member[:, s]
             if not sel.any() or int(iv.starts[s]) == 0:
                 continue
-            pos = _interval_positions(iv, s)
+            if pos_cache is not None:
+                if (k, s) not in pos_cache:
+                    pos_cache[(k, s)] = _interval_positions(iv, s)
+                pos = pos_cache[(k, s)]
+            else:
+                pos = _interval_positions(iv, s)
             nz = pos != 0
             if not nz.any():
                 continue
@@ -592,7 +599,8 @@ def apply_backbone(
     set; bases outside any backbone segment become unaligned single-seq
     intervals."""
     merged = merge_adjacent_segments(segments)
-    coords = _segment_seq_coordinates(ivs, merged)
+    pos_cache: Dict[Tuple[int, int], np.ndarray] = {}
+    coords = _segment_seq_coordinates(ivs, merged, pos_cache)
     segs_by_iv: Dict[int, List[int]] = {}
     for i, seg in enumerate(merged):
         segs_by_iv.setdefault(seg.interval_index, []).append(i)
@@ -605,7 +613,8 @@ def apply_backbone(
         from mauvealigner_tpu.analysis.score_alignment import _interval_positions
 
         pos = {
-            s: _interval_positions(iv, s)
+            s: pos_cache.get((k, s)) if pos_cache.get((k, s)) is not None
+            else _interval_positions(iv, s)
             for s in range(iv.n_seqs)
             if iv.starts[s] != 0
         }

@@ -142,6 +142,13 @@ def match_and_gap_scores_batch(
         k, T = X.shape
         if T == 0 or k < 2:
             continue
+        # oversized matrices (long alignments, or so many pairs that even a
+        # one-matrix slab blows the cache budget) keep the sequential
+        # per-matrix path — batching exists to amortize call overhead, which
+        # a matrix this large does not suffer from
+        if T > 4096 or (k * (k - 1) // 2) * T > max_lane_cells:
+            ms[f], gs[f] = match_and_gap_scores(X, subst, gap_open, gap_extend)
+            continue
         # multiple-of-64 column buckets: all-host arrays, so fine buckets
         # cost nothing and cap padding waste at <64 columns
         Tb = max(16, -(-T // 64) * 64)

@@ -202,6 +202,13 @@ def bucketed_decode(
                     row = log_emits[idx]
                     lengths[bi] = len(row)
                     le[bi, : len(row)] = row
+                # the device gather clamps out-of-range indices silently;
+                # fail loudly here like the host-side table indexing did
+                if int(le.max(initial=0)) >= tab.shape[0]:
+                    raise ValueError(
+                        f"symbol {int(le.max())} out of range for emission "
+                        f"table with {tab.shape[0]} symbols"
+                    )
             led, lend = jnp.asarray(le), jnp.asarray(lengths)
             if mode == "posterior0":
                 if tab is None:

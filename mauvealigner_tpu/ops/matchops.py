@@ -326,8 +326,16 @@ def decode_mum_table(
             "result truncated (raise cap for highly repetitive inputs)"
         )
         r = cap
-    if r <= head.shape[0] - 1 or fetch is None:
+    if r <= head.shape[0] - 1:
         packed = head[1 : r + 1]
+    elif fetch is None:
+        import warnings
+
+        warnings.warn(
+            f"decode_mum_table: {r} runs but only {head.shape[0] - 1} rows "
+            "on hand and no fetch callback; result truncated"
+        )
+        packed = head[1:]
     else:
         rb = min((1 << max(4, (r - 1).bit_length())) + 1, cap + 1)
         packed = fetch(rb)[1 : r + 1]

@@ -251,15 +251,28 @@ def sort_contigs_sharded(
 
     if not drafts:
         return []
-    avg = int(np.mean([len(ref)] + [len(d) for d in drafts]))
-    weight = seed_weight or default_mer_size(avg)
-    seed = get_seed(weight, 0)
-    mls = find_pair_mums_sharded(ref, drafts, seed, mesh)
-    out = []
-    for d, ml in zip(drafts, mls):
-        _, lcbs = greedy_breakpoint_elimination(ml, float(weight * 3 * 2))
-        placements = contig_placements_from_lcbs(d, lcbs, draft_seq_index=1)
-        out.append(sort_contigs(d, placements))
+    # the sequential flow picks the default seed per (ref, draft) pair
+    # (MauveAligner.find_mums averages the PAIR's lengths); group drafts by
+    # that weight so every pair searches with the same seed it would get
+    # sequentially
+    by_weight: dict = {}
+    for i, d in enumerate(drafts):
+        w = seed_weight or default_mer_size(int(np.mean([len(ref), len(d)])))
+        by_weight.setdefault(w, []).append(i)
+    out: list = [None] * len(drafts)
+    for weight, idxs in by_weight.items():
+        seed = get_seed(weight, 0)
+        mls = find_pair_mums_sharded(ref, [drafts[i] for i in idxs], seed, mesh)
+        for i, ml in zip(idxs, mls):
+            d = drafts[i]
+            # mirror MauveAligner.determine_lcbs with default options:
+            # n-way filter, overlap elimination, re-filter, then greedy
+            # breakpoint elimination at seed_weight*3*n_seqs
+            ml = ml.multiplicity_filter(2)
+            ml = ml.eliminate_overlaps().multiplicity_filter(2)
+            _, lcbs = greedy_breakpoint_elimination(ml, float(weight * 3 * 2))
+            placements = contig_placements_from_lcbs(d, lcbs, draft_seq_index=1)
+            out[i] = sort_contigs(d, placements)
     return out
 
 

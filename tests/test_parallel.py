@@ -147,7 +147,9 @@ def test_sort_contigs_sharded_matches_sequential(rng):
     ref = simulate.random_genome(rng, 6000, name="ref")
     drafts = []
     for i in range(3):
-        der, _ = simulate.evolve(ref, rng, sub_rate=0.01, ins_rate=0.0005, del_rate=0.0005)
+        # 3% divergence produces overlapping MUMs, exercising the
+        # eliminate_overlaps + n-way filter steps of the sequential flow
+        der, _ = simulate.evolve(ref, rng, sub_rate=0.03, ins_rate=0.001, del_rate=0.001)
         cuts = np.sort(rng.choice(np.arange(500, len(der) - 500), size=3, replace=False))
         edges = np.concatenate([[0], cuts, [len(der)]])
         pieces = []
@@ -165,14 +167,21 @@ def test_sort_contigs_sharded_matches_sequential(rng):
             off += len(chunk)
         drafts.append(Genome(np.concatenate(parts), contigs=contigs, name=f"d{i}"))
 
-    got = sort_contigs_sharded(ref, drafts, mesh, seed_weight=9)
-    assert len(got) == 3
-    for d, (fixed, log) in zip(drafts, got):
-        al = MauveAligner(AlignerOptions(seed_size=9, gapped=False, recursive=False, use_sml_cache=False))
-        ml = al.find_mums([ref, d])
-        _, lcbs = al.determine_lcbs([ref, d], ml)
-        placements = contig_placements_from_lcbs(d, lcbs, draft_seq_index=1)
-        want_fixed, want_log = sort_contigs(d, placements)
-        assert log == want_log
-        assert np.array_equal(fixed.seq, want_fixed.seq)
-        assert sum(1 for _, s in log if s != 0) > 0
+    for weight in (9, None):  # explicit and per-pair-default seed weights
+        got = sort_contigs_sharded(ref, drafts, mesh, seed_weight=weight)
+        assert len(got) == 3
+        for d, (fixed, log) in zip(drafts, got):
+            al = MauveAligner(
+                AlignerOptions(
+                    seed_size=weight or 0, gapped=False, recursive=False,
+                    use_sml_cache=False,
+                )
+            )
+            ml = al.find_mums([ref, d])
+            assert len(ml.eliminate_overlaps()) != len(ml), "want overlaps"
+            _, lcbs = al.determine_lcbs([ref, d], ml)
+            placements = contig_placements_from_lcbs(d, lcbs, draft_seq_index=1)
+            want_fixed, want_log = sort_contigs(d, placements)
+            assert log == want_log
+            assert np.array_equal(fixed.seq, want_fixed.seq)
+            assert sum(1 for _, s in log if s != 0) > 0
