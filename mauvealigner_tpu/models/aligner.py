@@ -119,18 +119,6 @@ class MauveAligner:
         left[absent], right[absent], strand[absent] = 1, 0, 0
         return left, right, strand
 
-    def _gap_regions(
-        self, genomes: Sequence[Genome], lcb_matches: MatchList, a: int, b: int
-    ) -> List[Tuple[int, int, int]]:
-        """Per-seq (left, right, strand) of the gap between anchors a and b
-        (consecutive rows a, b=a+1 of lcb_matches); left>right means empty."""
-        sub = lcb_matches.select([a, b])
-        left, right, strand = self._gap_region_table(sub)
-        return [
-            (int(left[0, g]), int(right[0, g]), int(strand[0, g]))
-            for g in range(lcb_matches.n_seqs)
-        ]
-
     def _extract_region(self, genome: Genome, left: int, right: int, strand: int) -> np.ndarray:
         if right < left:
             return np.zeros(0, np.int64)
@@ -148,13 +136,21 @@ class MauveAligner:
             new_rows = []
             for lcb in lcbs:
                 sub = ml.select(lcb.match_indices)
+                if len(sub) < 2:
+                    continue
+                # one vectorized gap table per LCB (a per-pair select+table
+                # here was ~1/3 of the pairwise config's host time)
+                left_t, right_t, strand_t = self._gap_region_table(sub)
+                lens_t = np.maximum(0, right_t - left_t + 1)
                 for a in range(len(sub) - 1):
-                    specs = self._gap_regions(genomes, sub, a, a + 1)
-                    lens = [max(0, r - l + 1) for l, r, s in specs]
-                    if max(lens, default=0) < o.min_recursion_gap:
+                    if lens_t[a].max(initial=0) < o.min_recursion_gap:
                         continue
-                    if min(lens) <= 0:
+                    if lens_t[a].min() <= 0:
                         continue
+                    specs = [
+                        (int(left_t[a, g]), int(right_t[a, g]), int(strand_t[a, g]))
+                        for g in range(n)
+                    ]
                     regions = [
                         Genome.from_codes(
                             self._extract_region(genomes[g], *specs[g]), name=f"sub{g}"
