@@ -63,6 +63,29 @@ def _global_sort(keys: jnp.ndarray, seq_ids: jnp.ndarray, positions: jnp.ndarray
     return mer_s, seq_s, pos_s, strand_s
 
 
+@jax.jit
+def _global_sort_packed(keys: jnp.ndarray, seq_ids: jnp.ndarray, positions: jnp.ndarray):
+    """_global_sort with (seq, pos, strand) packed into ONE int32 lane:
+    3 operands / 3 keys instead of 5 operands / 4 keys (the sort's data
+    movement is the K2 bottleneck at genome scale).
+
+    Requires pos < 2^23 and seq < 2^7 (caller checks statically from the
+    padded SML lengths).  Order is identical: (mer, seq, pos) — the strand
+    bit rides in the LSB but two entries can never share (mer, seq, pos).
+    """
+    mer = keys >> 1
+    strand = (keys & 1).astype(jnp.int32)
+    hi = (mer >> 31).astype(jnp.int32)
+    lo = (mer & jnp.int64(0x7FFFFFFF)).astype(jnp.int32)
+    packed = (seq_ids << 24) | (positions << 1) | strand
+    hi_s, lo_s, packed_s = jax.lax.sort((hi, lo, packed), num_keys=3)
+    mer_s = (hi_s.astype(jnp.int64) << 31) | lo_s.astype(jnp.int64)
+    seq_s = packed_s >> 24
+    pos_s = (packed_s >> 1) & jnp.int32(0x7FFFFF)
+    strand_s = packed_s & 1
+    return mer_s, seq_s, pos_s, strand_s
+
+
 def _device_sorted_entries(smls: Sequence[SortedMerList]):
     """Concatenate per-genome SMLs and sort globally on device."""
     keys = np.concatenate([s.keys for s in smls]) if smls else np.zeros(0, np.int64)
@@ -112,7 +135,7 @@ def _mix64(x: jnp.ndarray, c: np.int64) -> jnp.ndarray:
     return x
 
 
-@partial(jax.jit, static_argnames=("n_seqs", "cap", "min_multi"))
+@partial(jax.jit, static_argnames=("n_seqs", "cap", "min_multi", "pack_sort"))
 def device_mum_candidates(
     keys: jnp.ndarray,      # int64[N] canonical keys (strand LSB); INVALID padding
     seq_ids: jnp.ndarray,   # int32[N]
@@ -121,6 +144,7 @@ def device_mum_candidates(
     n_seqs: int,
     cap: int,
     min_multi: int = 2,
+    pack_sort: bool = False,  # positions < 2^23 and n_seqs < 128 (caller-checked)
 ):
     """Unique multi-MUM candidate runs, fully on device.
 
@@ -133,7 +157,8 @@ def device_mum_candidates(
     N = keys.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
 
-    mer_s, seq_s, pos_s, strand_s = _global_sort(keys, seq_ids, positions)
+    sortfn = _global_sort_packed if pack_sort else _global_sort
+    mer_s, seq_s, pos_s, strand_s = sortfn(keys, seq_ids, positions)
     valid = mer_s != (INVALID_KEY >> 1)
 
     prev_mer = jnp.concatenate([mer_s[:1] - 1, mer_s[:-1]])
@@ -282,8 +307,15 @@ def find_multi_mums_device(
     keys, seq_ids, pos = _concat_device_smls(smls_dev)
     N = keys.shape[0]
     cap = max(1 << 14, N >> 3)
+    # positions are iotas over each genome's padded window count, so the
+    # packed one-lane (seq, pos, strand) sort is safe whenever every
+    # per-genome SML fits 23 position bits (static: shapes only)
+    pack_ok = n_seqs < 128 and all(
+        int(k.shape[0]) <= (1 << 23) for k, _ in smls_dev
+    )
     packed_tab = device_mum_candidates(
-        keys, seq_ids, pos, jnp.asarray(mask), n_seqs, cap, min_multi
+        keys, seq_ids, pos, jnp.asarray(mask), n_seqs, cap, min_multi,
+        pack_sort=pack_ok,
     )
     # single fixed-size download covers the run count AND the common case of
     # few runs; only large results need a second (row 0 holds n_runs)

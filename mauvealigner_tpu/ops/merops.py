@@ -100,6 +100,17 @@ def build_sorted_mer_list(codes: jnp.ndarray, offsets: Tuple[int, ...], pattern_
     keys = pack_canonical_mers(codes, offsets, pattern_len)
     n_pos = keys.shape[0]
     positions = jax.lax.broadcasted_iota(jnp.int32, (n_pos, 1), 0).reshape(n_pos)
+    w = len(offsets)
+    if 2 * w + 1 <= 31:
+        # small-seed fast path: the whole key fits one int32 lane (a valid
+        # key is never all-ones: canonical = min(fwd, rc) and the rc of an
+        # all-T mer is all-A, so the int32-max sentinel is collision-free)
+        sent = jnp.int32(0x7FFFFFFF)
+        k32 = jnp.where(keys == INVALID_KEY, sent, keys.astype(jnp.int32))
+        k32_s, pos_s = jax.lax.sort((k32, positions), num_keys=2)
+        keys_s = jnp.where(k32_s == sent, INVALID_KEY, k32_s.astype(jnp.int64))
+        n_valid = jnp.sum((k32_s != sent).astype(jnp.int32))
+        return keys_s, pos_s, n_valid
     keys_s, pos_s = sort_key_pos(keys, positions)
     n_valid = jnp.sum((keys_s != INVALID_KEY).astype(jnp.int32))
     return keys_s, pos_s, n_valid
