@@ -70,6 +70,16 @@ def build_sml_device(genome: Genome, seed: Seed):
     return keys, pos
 
 
+def build_mer_list_device(genome: Genome, seed: Seed):
+    """build_sml_device WITHOUT the per-genome sort, for consumers that
+    globally re-sort anyway (find_multi_mums_device).  Returns (keys int64,
+    positions int32) device arrays, unsorted, INVALID interspersed."""
+    codes_dev = merops.upload_codes(genome.codes, seed.length)
+    return merops.build_mer_list(
+        codes_dev, tuple(int(o) for o in seed.offsets), seed.length
+    )
+
+
 def build_sml(genome: Genome, seed: Seed) -> SortedMerList:
     """Run the K1 device pipeline for one genome."""
     if len(genome) < seed.length:

@@ -78,9 +78,9 @@ class MauveAligner:
         seed = get_seed(weight, o.seed_rank)
         self._seed_weight = weight
         # device-resident path: SMLs never cross the host<->device tunnel
-        from mauvealigner_tpu.core.sml import build_sml_device
+        from mauvealigner_tpu.core.sml import build_mer_list_device
 
-        smls_dev = [build_sml_device(g, seed) for g in genomes]
+        smls_dev = [build_mer_list_device(g, seed) for g in genomes]
         return matchops.find_multi_mums_device(
             genomes, smls_dev, seed_length=seed.length
         )
@@ -165,9 +165,9 @@ class MauveAligner:
                     # device-resident per-gap search: the host SML path
                     # downloads the full sorted key arrays per gap (MBs over
                     # the tunnel); this one returns only the match table
-                    from mauvealigner_tpu.core.sml import build_sml_device
+                    from mauvealigner_tpu.core.sml import build_mer_list_device
 
-                    smls_dev = [build_sml_device(r, seed) for r in regions]
+                    smls_dev = [build_mer_list_device(r, seed) for r in regions]
                     sub_ml = matchops.find_multi_mums_device(
                         regions, smls_dev, seed_length=seed.length
                     )
@@ -213,7 +213,7 @@ class MauveAligner:
         (<= max_extension_iters passes, src/mauveAligner.cpp:879): uncovered
         regions are re-anchored with a lighter seed; new anchors merge into
         (or extend) LCBs through re-elimination."""
-        from mauvealigner_tpu.core.sml import build_sml_device
+        from mauvealigner_tpu.core.sml import build_mer_list_device
         from mauvealigner_tpu.models.subset import _build_subgenome, _map_back
 
         o = self.options
@@ -253,7 +253,7 @@ class MauveAligner:
             live = [g for g in range(n) if len(subs[g])]
             if len(live) < 2:
                 break
-            smls = [build_sml_device(subs[g], seed) for g in live]
+            smls = [build_mer_list_device(subs[g], seed) for g in live]
             found = matchops.find_multi_mums_device(
                 [subs[g] for g in live], smls, seed_length=seed.length
             )

@@ -136,8 +136,10 @@ def hierarchical_align_region_groups(
         st: Dict[NodeId, State] = {}
         for s, r in enumerate(regs):
             if len(r) > 0:
-                cc = np.minimum(np.asarray(r), 4).astype(np.int8)[None, :]
-                st[s] = (np.array([s], np.int32), cc)
+                arr = np.asarray(r)
+                if arr.dtype != np.int8:  # int8 callers pass codes <= 4
+                    arr = np.minimum(arr, 4).astype(np.int8)
+                st[s] = (np.array([s], np.int32), arr[None, :])
         state.append(st)
         if regs and max(map(len, regs)) > max_len:
             results[k] = _unaligned_blocks(regs)

@@ -123,14 +123,14 @@ class ProgressiveMauve:
         avg = int(np.mean([len(g) for g in genomes]))
         weight = o.seed_weight or default_seed_weight(avg)
         self._seed_weight = weight
-        from mauvealigner_tpu.core.sml import build_sml_device
+        from mauvealigner_tpu.core.sml import build_mer_list_device
 
         if o.seed_family:
             # search with all three spaced family members, longest first
             # (src/progressiveMauve.cpp:504-548); results are merged+deduped
             ml: Optional[MatchList] = None
             for seed in seed_family(weight):
-                smls_dev = [build_sml_device(g, seed) for g in genomes]
+                smls_dev = [build_mer_list_device(g, seed) for g in genomes]
                 cur = matchops.find_multi_mums_device(
                     genomes, smls_dev, seed_length=seed.length
                 )
@@ -146,7 +146,7 @@ class ProgressiveMauve:
             ]
             return matchops.find_multi_mums(genomes, smls)
         # device-resident path: SML arrays never cross the tunnel
-        smls_dev = [build_sml_device(g, seed) for g in genomes]
+        smls_dev = [build_mer_list_device(g, seed) for g in genomes]
         return matchops.find_multi_mums_device(
             genomes, smls_dev, seed_length=seed.length
         )

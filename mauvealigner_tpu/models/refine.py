@@ -71,7 +71,7 @@ def refine_intervals(
                 regs = []
                 for s in range(iv.n_seqs):
                     row = win[s]
-                    regs.append(row[row < 5].astype(np.int64))
+                    regs.append(row[row < 5])  # int8 codes <= 4
                 if sum(1 for r in regs if len(r)) < 2:
                     continue
                 jobs.append((k, a, b, win))

@@ -637,9 +637,9 @@ class Repeatoire:
         glen = len(genome)
         genome_right = (direction > 0) == fwd
         if genome_right:
-            codes = genome.codes[right : min(right + w, glen)].astype(np.int64)
+            codes = genome.codes[right : min(right + w, glen)].astype(np.int8)
         else:
-            codes = genome.codes[max(0, left - 1 - w) : left - 1].astype(np.int64)[::-1]
+            codes = genome.codes[max(0, left - 1 - w) : left - 1].astype(np.int8)[::-1]
         if not fwd:
             out = codes.copy()
             acgt = out < 4

@@ -61,13 +61,13 @@ def resumable_find_mums(
     Matches whose seed groups fall in completed partitions are read back from
     the match log on restart; only incomplete partitions are searched.
     """
-    from mauvealigner_tpu.core.sml import build_sml_device
+    from mauvealigner_tpu.core.sml import build_mer_list_device
 
     done = set(read_offset_log(offset_log))
     ml = MatchList.empty(len(genomes))
     if match_log and os.path.exists(match_log) and done:
         ml, _, _ = mln.read_match_list(match_log)
-    smls_dev = [build_sml_device(g, seed) for g in genomes]
+    smls_dev = [build_mer_list_device(g, seed) for g in genomes]
     bounds = mer_partition_bounds(seed, n_partitions)
     names = [g.filename or g.name for g in genomes]
     lens = [len(g) for g in genomes]

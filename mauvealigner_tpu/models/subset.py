@@ -116,7 +116,7 @@ def subset_lcb_pass(
     closure (typically MauveAligner.build_intervals).  Returns (interval
     list with subset intervals added, number added).
     """
-    from mauvealigner_tpu.core.sml import build_sml_device
+    from mauvealigner_tpu.core.sml import build_mer_list_device
     from mauvealigner_tpu.ops import matchops
 
     n = len(genomes)
@@ -144,7 +144,7 @@ def subset_lcb_pass(
         if len(live) < 2:
             continue
         sub_genomes = [subs[s] for s in live]
-        smls = [build_sml_device(g, seed) for g in sub_genomes]
+        smls = [build_mer_list_device(g, seed) for g in sub_genomes]
         ml = matchops.find_multi_mums_device(
             sub_genomes, smls, seed_length=seed.length
         )

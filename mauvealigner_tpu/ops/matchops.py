@@ -300,7 +300,8 @@ def find_multi_mums_device(
     """Device-resident unique multi-MUM search.
 
     smls_dev: list of (keys int64 device array, positions int32 device array)
-    per genome, sorted, INVALID-tailed (see core.sml.build_sml_device).
+    per genome; order does NOT matter (the kernel globally sorts), so the
+    sort-free core.sml.build_mer_list_device is the cheapest producer.
     """
     n_seqs = len(genomes)
     mask = np.ones(n_seqs, np.int32) if seq_mask is None else np.asarray(seq_mask, np.int32)

@@ -90,6 +90,19 @@ def sort_key_pos(keys: jnp.ndarray, positions: jnp.ndarray):
 
 
 @partial(jax.jit, static_argnames=("offsets", "pattern_len"))
+def build_mer_list(codes: jnp.ndarray, offsets: Tuple[int, ...], pattern_len: int):
+    """K1 pack WITHOUT the sort: (keys int64[n_pos], positions int32[n_pos]),
+    unsorted, INVALID entries interspersed.  The multi-MUM search globally
+    re-sorts the concatenated per-genome lists anyway, so pre-sorting each
+    genome is pure waste on that path (it was ~the whole K1 cost at genome
+    scale)."""
+    keys = pack_canonical_mers(codes, offsets, pattern_len)
+    n_pos = keys.shape[0]
+    positions = jax.lax.broadcasted_iota(jnp.int32, (n_pos, 1), 0).reshape(n_pos)
+    return keys, positions
+
+
+@partial(jax.jit, static_argnames=("offsets", "pattern_len"))
 def build_sorted_mer_list(codes: jnp.ndarray, offsets: Tuple[int, ...], pattern_len: int):
     """Full K1 pipeline: pack + canonicalize + sort.
 

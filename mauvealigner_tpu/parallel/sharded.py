@@ -191,16 +191,16 @@ def find_pair_mums_sharded(
     sharded kernel launch covers every pair, and each table decodes with the
     same host decode as the single-chip path.
     """
-    from mauvealigner_tpu.core.sml import build_sml_device
+    from mauvealigner_tpu.core.sml import build_mer_list_device
     from mauvealigner_tpu.ops import matchops
 
     n_dev = mesh.devices.size
     D = len(drafts)
     if D == 0:
         return []
-    ref_sml = build_sml_device(ref, seed)
+    ref_sml = build_mer_list_device(ref, seed)
     cols = [
-        matchops._concat_device_smls([ref_sml, build_sml_device(d, seed)])
+        matchops._concat_device_smls([ref_sml, build_mer_list_device(d, seed)])
         for d in drafts
     ]
     # pairs may land in different length buckets; group launches by bucket
