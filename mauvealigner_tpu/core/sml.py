@@ -63,6 +63,9 @@ def build_sml_device(genome: Genome, seed: Seed):
     with INVALID_KEY entries at the tail.  This is the production path; the
     host SortedMerList is for disk caching, tools and cross-validation.
     """
+    from mauvealigner_tpu.utils import timing
+
+    timing.GLOBAL.add("k1_bases", float(len(genome)))
     codes_dev = merops.upload_codes(genome.codes, seed.length)
     keys, pos, _ = merops.build_sorted_mer_list(
         codes_dev, tuple(int(o) for o in seed.offsets), seed.length
@@ -74,6 +77,9 @@ def build_mer_list_device(genome: Genome, seed: Seed):
     """build_sml_device WITHOUT the per-genome sort, for consumers that
     globally re-sort anyway (find_multi_mums_device).  Returns (keys int64,
     positions int32) device arrays, unsorted, INVALID interspersed."""
+    from mauvealigner_tpu.utils import timing
+
+    timing.GLOBAL.add("k1_bases", float(len(genome)))
     codes_dev = merops.upload_codes(genome.codes, seed.length)
     return merops.build_mer_list(
         codes_dev, tuple(int(o) for o in seed.offsets), seed.length

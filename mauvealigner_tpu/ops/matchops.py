@@ -296,32 +296,49 @@ def find_multi_mums_device(
     seq_mask: Optional[np.ndarray] = None,
     extend: bool = True,
     seed_length: int = 0,
+    initial_cap: Optional[int] = None,
 ) -> MatchList:
     """Device-resident unique multi-MUM search.
 
     smls_dev: list of (keys int64 device array, positions int32 device array)
     per genome; order does NOT matter (the kernel globally sorts), so the
     sort-free core.sml.build_mer_list_device is the cheapest producer.
+
+    On repeat-dense input the run count can exceed the capacity heuristic;
+    the search then auto-retries with the cap raised to the next power of
+    two covering the actual count (never truncates).  initial_cap overrides
+    the heuristic (tests exercise the retry with a tiny cap).
     """
+    from mauvealigner_tpu.utils import timing
+
     n_seqs = len(genomes)
     mask = np.ones(n_seqs, np.int32) if seq_mask is None else np.asarray(seq_mask, np.int32)
     keys, seq_ids, pos = _concat_device_smls(smls_dev)
     N = keys.shape[0]
-    cap = max(1 << 14, N >> 3)
+    timing.GLOBAL.add("k2_sort_entries", float(N))
+    cap = initial_cap if initial_cap is not None else max(1 << 14, N >> 3)
     # positions are iotas over each genome's padded window count, so the
     # packed one-lane (seq, pos, strand) sort is safe whenever every
     # per-genome SML fits 23 position bits (static: shapes only)
     pack_ok = n_seqs < 128 and all(
         int(k.shape[0]) <= (1 << 23) for k, _ in smls_dev
     )
-    packed_tab = device_mum_candidates(
-        keys, seq_ids, pos, jnp.asarray(mask), n_seqs, cap, min_multi,
-        pack_sort=pack_ok,
-    )
-    # single fixed-size download covers the run count AND the common case of
-    # few runs; only large results need a second (row 0 holds n_runs)
-    first = min(1 + (1 << 12), cap + 1)
-    head = np.asarray(packed_tab[:first])
+    while True:
+        packed_tab = device_mum_candidates(
+            keys, seq_ids, pos, jnp.asarray(mask), n_seqs, cap, min_multi,
+            pack_sort=pack_ok,
+        )
+        # single fixed-size download covers the run count AND the common case
+        # of few runs; only large results need a second (row 0 holds n_runs)
+        first = min(1 + (1 << 12), cap + 1)
+        head = np.asarray(packed_tab[:first])
+        n_runs = int(head[0, 0])
+        if n_runs <= cap:
+            break
+        # capacity overflow (repeat-dense input): double to the covering
+        # power of two and re-run — a warn-and-truncate here would silently
+        # drop anchors on IS-element-dense genomes
+        cap = 1 << int(n_runs - 1).bit_length()
     ml = decode_mum_table(
         head,
         n_seqs,

@@ -14,6 +14,20 @@ from collections import OrderedDict
 from typing import Dict, Optional
 
 
+# --- speed-of-light estimates for one TPU v5e chip -------------------------
+# Gotoh wavefront (K3): per cell the kernel reads one bf16 skewed score and
+# writes one decision byte -> ~3 HBM bytes/cell; v5e HBM ~819 GB/s gives a
+# bandwidth roofline of ~270 Gcells/s.  The VPU side (~12 elementwise f32
+# ops/cell at ~4 Tops/s elementwise) lands at a comparable ~330 Gcells/s, so
+# ~270 GCUPS is the governing single-chip speed of light for this layout.
+TPU_DP_ROOFLINE_CELLS_S = 270e9
+# K1/K2 sort: jax.lax.sort is a bitonic network, ~log^2(n) passes over the
+# operand lanes (~12 bytes/entry live through the K2 sort).  At n = 2^23 that
+# is ~276 passes x 12 B = ~3.3 KB moved per entry; 819 GB/s -> ~250 M
+# entries/s as the sort-bound anchor-phase ceiling.
+TPU_SORT_ROOFLINE_ENTRIES_S = 250e6
+
+
 class PhaseTimer:
     def __init__(self) -> None:
         self.phases: "OrderedDict[str, float]" = OrderedDict()
@@ -41,6 +55,14 @@ class PhaseTimer:
             return None
         return c / t / 1e9
 
+    def throughput(self, phase: str, counter: str) -> Optional[float]:
+        """counter units per second of `phase` wall-clock (None if missing)."""
+        t = self.phases.get(phase)
+        c = self.counters.get(counter)
+        if not t or c is None:
+            return None
+        return c / t
+
     def report(self) -> str:
         total = sum(self.phases.values())
         lines = [f"{'phase':<24}{'seconds':>10}{'share':>8}"]
@@ -49,9 +71,32 @@ class PhaseTimer:
         lines.append(f"{'total':<24}{total:>10.3f}")
         for c, v in sorted(self.counters.items()):
             lines.append(f"{c}: {v:,.0f}")
-        g = self.gcups("gapped_closure", "dp_cells")
-        if g is not None:
-            lines.append(f"gapped DP throughput: {g:.3f} GCUPS")
+        # anchor phase (K1 pack + K2 sort/enumeration) throughputs
+        bases = self.throughput("anchoring", "k1_bases")
+        if bases is not None:
+            lines.append(f"anchor-phase bases processed: {bases/1e6:.1f} Mbases/s")
+        entries = self.throughput("anchoring", "k2_sort_entries")
+        if entries is not None:
+            util = entries / TPU_SORT_ROOFLINE_ENTRIES_S
+            lines.append(
+                f"anchor-phase sort entries: {entries/1e6:.1f} M/s "
+                f"({util:.1%} of v5e sort roofline)"
+            )
+        # gapped DP throughput across all DP-driving phases
+        dp_time = sum(
+            self.phases.get(p, 0.0)
+            for p in ("gapped_closure", "boundary_extension", "refinement",
+                      "subset_lcbs", "extension")
+        )
+        c = self.counters.get("dp_cells")
+        if dp_time and c:
+            g = c / dp_time / 1e9
+            util = g * 1e9 / TPU_DP_ROOFLINE_CELLS_S
+            lines.append(
+                f"gapped DP throughput: {g:.3f} GCUPS "
+                f"({util:.1%} of v5e wavefront roofline "
+                f"{TPU_DP_ROOFLINE_CELLS_S/1e9:.0f} GCUPS)"
+            )
         return "\n".join(lines) + "\n"
 
 

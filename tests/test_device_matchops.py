@@ -77,3 +77,29 @@ def test_device_seq_mask(rng):
     # masked-out genome never participates
     assert (dev.starts[:, 2] == 0).all()
     assert _canon(host) == _canon(dev)
+
+
+def test_cap_overflow_auto_retry(rng, recwarn):
+    """A capacity-busting input must auto-retry with a doubled cap and
+    return the same matches as an ample-cap run, with no truncation
+    warnings (VERDICT: repeat-dense genomes would silently lose anchors)."""
+    from mauvealigner_tpu.core.sml import build_sml_device
+
+    anc = simulate.random_genome(rng, 6000)
+    # scatter point substitutions so nearly every anchor run is short:
+    # maximizes the run count relative to the entry count
+    der, _ = simulate.evolve(anc, rng, sub_rate=0.05)
+    seed = get_seed(9, 0)
+    smls_dev = [build_sml_device(g, seed) for g in [anc, der]]
+    big = matchops.find_multi_mums_device(
+        [anc, der], smls_dev, seed_length=seed.length
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any truncation warning -> failure
+        small = matchops.find_multi_mums_device(
+            [anc, der], smls_dev, seed_length=seed.length, initial_cap=16
+        )
+    assert len(big) > 16  # the tiny cap genuinely overflowed
+    assert _canon(big) == _canon(small)
