@@ -129,69 +129,58 @@ class MauveAligner:
         self, genomes: Sequence[Genome], ml: MatchList, lcbs: List[LCB]
     ) -> Tuple[MatchList, List[LCB]]:
         """Search inter-anchor gaps with lighter seeds and fold new anchors in
-        (recursion phase, SetMinRecursionGapLength default 200)."""
+        (recursion phase, SetMinRecursionGapLength default 200).
+
+        All gaps of a round are searched in ONE device program per seed
+        weight (matchops.find_gap_mums_batched): a per-gap launch pays the
+        full tunnel round-trip latency hundreds of times over on real-scale
+        inputs, where thousands of gaps qualify.
+        """
         o = self.options
         n = len(genomes)
         for _ in range(o.max_recursion_rounds):
-            new_rows = []
+            # collect qualifying gap specs across all LCBs, grouped by the
+            # per-gap seed weight (the reference picks a lighter seed from
+            # the gap's average length)
+            specs_by_w: dict = {}
             for lcb in lcbs:
                 sub = ml.select(lcb.match_indices)
                 if len(sub) < 2:
                     continue
-                # one vectorized gap table per LCB (a per-pair select+table
-                # here was ~1/3 of the pairwise config's host time)
                 left_t, right_t, strand_t = self._gap_region_table(sub)
                 lens_t = np.maximum(0, right_t - left_t + 1)
-                for a in range(len(sub) - 1):
-                    if lens_t[a].max(initial=0) < o.min_recursion_gap:
-                        continue
-                    if lens_t[a].min() <= 0:
-                        continue
-                    specs = [
-                        (int(left_t[a, g]), int(right_t[a, g]), int(strand_t[a, g]))
-                        for g in range(n)
-                    ]
-                    regions = [
-                        Genome.from_codes(
-                            self._extract_region(genomes[g], *specs[g]), name=f"sub{g}"
-                        )
-                        for g in range(n)
-                    ]
-                    avg = int(np.mean([len(r) for r in regions]))
-                    w = max(5, min(default_mer_size(max(avg, 4)), getattr(self, "_seed_weight", 15) - 2))
-                    seed = get_seed(w, 0)
-                    if any(len(r) < seed.length for r in regions):
-                        continue
-                    # device-resident per-gap search: the host SML path
-                    # downloads the full sorted key arrays per gap (MBs over
-                    # the tunnel); this one returns only the match table
-                    from mauvealigner_tpu.core.sml import build_mer_list_device
-
-                    smls_dev = [build_mer_list_device(r, seed) for r in regions]
-                    sub_ml = matchops.find_multi_mums_device(
-                        regions, smls_dev, seed_length=seed.length
+                qual = (lens_t.max(axis=1) >= o.min_recursion_gap) & (
+                    lens_t.min(axis=1) > 0
+                )
+                if not qual.any():
+                    continue
+                avg = np.maximum(lens_t[qual].mean(axis=1), 4.0)
+                base_w = getattr(self, "_seed_weight", 15) - 2
+                for a, av in zip(np.nonzero(qual)[0], avg):
+                    w = max(5, min(default_mer_size(float(av)), base_w))
+                    specs_by_w.setdefault(w, []).append(
+                        np.stack([left_t[a], right_t[a], strand_t[a]], axis=1)
                     )
-                    sub_ml = sub_ml.multiplicity_filter(n)
-                    if len(sub_ml) == 0:
-                        continue
-                    # keep the best collinear chain within the gap
+            new_rows = []
+            for w, spec_list in sorted(specs_by_w.items()):
+                seed = get_seed(w, 0)
+                gap_specs = np.stack(spec_list)  # [G, n, 3]
+                # every region must fit at least one seed window
+                lens = gap_specs[:, :, 1] - gap_specs[:, :, 0] + 1
+                gap_specs = gap_specs[(lens >= seed.length).all(axis=1)]
+                if not len(gap_specs):
+                    continue
+                gap_ids, found = matchops.find_gap_mums_batched(
+                    genomes, gap_specs, seed
+                )
+                full = found.multiplicity() >= n
+                gap_ids, found = gap_ids[full], found.select(full)
+                # keep the best collinear chain within each gap
+                for g in np.unique(gap_ids):
+                    sub_ml = found.select(gap_ids == g)
                     sub_ml, _ = greedy_breakpoint_elimination(sub_ml, -1)
-                    # map back to global coordinates
-                    rows = np.zeros((len(sub_ml), n), np.int64)
-                    ok = np.ones(len(sub_ml), bool)
-                    for g in range(n):
-                        l_g, r_g, s_g = specs[g]
-                        q = sub_ml.starts[:, g]
-                        ln = sub_ml.lengths
-                        if s_g > 0:
-                            glob = np.where(q > 0, l_g - 1 + np.abs(q), -(l_g - 1 + np.abs(q)))
-                        else:
-                            left_global = r_g - np.abs(q) - ln + 2
-                            glob = np.where(q > 0, -left_global, left_global)
-                        rows[:, g] = glob
-                        ok &= q != 0
-                    if ok.any():
-                        new_rows.append(MatchList(rows[ok], sub_ml.lengths[ok]))
+                    if len(sub_ml):
+                        new_rows.append(sub_ml)
             if not new_rows:
                 break
             add = new_rows[0]

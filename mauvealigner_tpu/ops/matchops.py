@@ -40,6 +40,7 @@ import numpy as np
 from mauvealigner_tpu.core.match import NO_MATCH, MatchList
 from mauvealigner_tpu.core.sml import SortedMerList
 from mauvealigner_tpu.genome.sequence import Genome
+from mauvealigner_tpu.ops import merops
 from mauvealigner_tpu.ops.merops import INVALID_KEY
 
 _INT64_MAX = np.iinfo(np.int64).max
@@ -323,6 +324,20 @@ def find_multi_mums_device(
     pack_ok = n_seqs < 128 and all(
         int(k.shape[0]) <= (1 << 23) for k, _ in smls_dev
     )
+    ml = _candidates_with_retry(
+        keys, seq_ids, pos, mask, n_seqs, cap, min_multi, pack_ok, seed_length
+    )
+    if extend and len(ml):
+        ml = extend_matches_maximal(ml, [g.codes for g in genomes])
+    if nway:
+        ml = ml.multiplicity_filter(n_seqs)
+    return ml
+
+
+def _candidates_with_retry(
+    keys, seq_ids, pos, mask, n_seqs, cap, min_multi, pack_ok, seed_length
+) -> MatchList:
+    """Run device_mum_candidates, auto-doubling cap on overflow, and decode."""
     while True:
         packed_tab = device_mum_candidates(
             keys, seq_ids, pos, jnp.asarray(mask), n_seqs, cap, min_multi,
@@ -339,18 +354,13 @@ def find_multi_mums_device(
         # power of two and re-run — a warn-and-truncate here would silently
         # drop anchors on IS-element-dense genomes
         cap = 1 << int(n_runs - 1).bit_length()
-    ml = decode_mum_table(
+    return decode_mum_table(
         head,
         n_seqs,
         cap,
         seed_length,
         fetch=lambda rb: np.asarray(packed_tab[:rb]),
     )
-    if extend and len(ml):
-        ml = extend_matches_maximal(ml, [g.codes for g in genomes])
-    if nway:
-        ml = ml.multiplicity_filter(n_seqs)
-    return ml
 
 
 def decode_mum_table(
@@ -737,3 +747,221 @@ def repeat_matches_from_groups(
     lengths = np.full(m, seed_length, np.int64)
     ml = MatchList(starts, lengths)
     return ml.select(ml.multiplicity() >= min_multi)
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-gap recursion search.  The reference re-runs its match finder
+# once per inter-anchor gap (Aligner recursion, SetMinRecursionGapLength,
+# src/mauveAligner.cpp:670-672,899); a per-gap device call serializes
+# hundreds of high-latency launches over the TPU tunnel.  Instead, ALL gaps
+# of a recursion round are searched in ONE device program:
+#
+#   * every gap's per-genome regions are extracted ON DEVICE from the
+#     resident full-genome code arrays (no region uploads), laid out
+#     back-to-back in a flat coordinate space with one CODE_N separator
+#     after each region — separators make boundary-crossing seed windows
+#     invalid AND stop base-level extension at region edges;
+#   * each window's canonical mer key is tagged with its gap id ABOVE the
+#     mer bits, so the global sort groups (gap, mer) — per-gap uniqueness
+#     and grouping semantics fall out of one sort over all gaps;
+#   * the standard candidate kernel runs unchanged on the tagged entries;
+#     runs can never span gaps (the tag differs), and decoded flat
+#     coordinates map back to (gap, genome, strand, position) on host.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("offsets", "pattern_len", "tag_shift", "F", "n_seqs"))
+def _gap_flat_mer_entries(
+    codes_flat: jnp.ndarray,  # int32 [n_seqs * cpad] resident genome codes
+    specs: jnp.ndarray,       # int32 [R, 5] (left0, len, strand, seq, gap)
+    offsets: Tuple[int, ...],
+    pattern_len: int,
+    tag_shift: int,
+    F: int,
+    n_seqs: int,
+):
+    """Flat multi-gap window extraction + mer packing + gap tagging.
+
+    Region r occupies flat slots [fs[r], fs[r] + len_r) followed by one
+    CODE_N separator slot; reverse-strand regions are extracted
+    reverse-complemented so every flat region reads relatively forward.
+    Returns (tagged keys int64[F - L + 1], seq_ids int32, flat positions
+    int32) ready for device_mum_candidates.
+    """
+    from mauvealigner_tpu.genome.sequence import CODE_N
+
+    cpad = codes_flat.shape[0] // n_seqs
+    R = specs.shape[0]
+    left0, ln, strand, seq, gap = (specs[:, c] for c in range(5))
+    fs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(ln + 1, dtype=jnp.int32)]
+    )
+    T = fs[R]
+    f = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0).reshape(F)
+    row = jnp.clip(
+        jnp.searchsorted(fs, f, side="right").astype(jnp.int32) - 1, 0, R - 1
+    )
+    within = f - fs[row]
+    pad_cell = (within >= ln[row]) | (f >= T)
+    idx = left0[row] + jnp.where(strand[row] > 0, within, ln[row] - 1 - within)
+    idx = jnp.clip(idx, 0, cpad - 1)
+    base = codes_flat[seq[row] * cpad + idx]
+    base = jnp.where(
+        strand[row] > 0, base, jnp.where(base < CODE_N, 3 - base, base)
+    )
+    base = jnp.where(pad_cell, CODE_N, base).astype(jnp.int32)
+    keys = merops.pack_canonical_mers(base, offsets, pattern_len)
+    npos = keys.shape[0]
+    # spaced seeds have don't-care slots: a window can straddle the CODE_N
+    # separator without reading it, mixing content from two regions.  Any
+    # window whose first and last cells fall in different rows is invalid.
+    end_row = row[jnp.arange(npos, dtype=jnp.int32) + jnp.int32(pattern_len - 1)]
+    keys = jnp.where(end_row != row[:npos], INVALID_KEY, keys)
+    gid = gap[row[:npos]].astype(jnp.int64)
+    keys = jnp.where(
+        keys == INVALID_KEY, INVALID_KEY, keys | (gid << tag_shift)
+    )
+    return keys, seq[row[:npos]].astype(jnp.int32), f[:npos]
+
+
+def _gap_spec_rows(gap_specs: np.ndarray, n_seqs: int) -> Tuple[np.ndarray, np.ndarray]:
+    """[G, n, 3] (left, right, strand) 1-based inclusive -> flat spec rows
+    [R, 5] int32 (left0, len, strand, seq, gap) and the host fs offsets."""
+    G = gap_specs.shape[0]
+    left = gap_specs[:, :, 0]
+    right = gap_specs[:, :, 1]
+    strand = gap_specs[:, :, 2]
+    ln = np.maximum(0, right - left + 1)
+    R = G * n_seqs
+    rows = np.zeros((R, 5), np.int32)
+    rows[:, 0] = np.maximum(0, left - 1).reshape(-1)
+    rows[:, 1] = ln.reshape(-1)
+    rows[:, 2] = np.where(strand.reshape(-1) == 0, 1, strand.reshape(-1))
+    rows[:, 3] = np.tile(np.arange(n_seqs, dtype=np.int32), G)
+    rows[:, 4] = np.repeat(np.arange(G, dtype=np.int32), n_seqs)
+    fs = np.concatenate([[0], np.cumsum(rows[:, 1].astype(np.int64) + 1)])
+    return rows, fs
+
+
+def _stacked_codes_device(genomes: Sequence[Genome], pattern_len: int):
+    """Per-genome resident code arrays stacked into one flat device array
+    [n * cpad] (cached on the first genome for reuse across rounds)."""
+    arrs = [merops.upload_codes_cached(g, pattern_len) for g in genomes]
+    cpad = max(a.shape[0] for a in arrs)
+    key = (tuple(id(g) for g in genomes), cpad)
+    holder = genomes[0]
+    cached = getattr(holder, "_flat_stack_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1], cpad
+    from mauvealigner_tpu.genome.sequence import CODE_N
+
+    parts = [
+        a
+        if a.shape[0] == cpad
+        else jnp.concatenate([a, jnp.full(cpad - a.shape[0], CODE_N, a.dtype)])
+        for a in arrs
+    ]
+    flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    holder._flat_stack_cache = (key, flat)
+    return flat, cpad
+
+
+def _flat_codes_host(
+    genomes: Sequence[Genome], rows: np.ndarray, fs: np.ndarray
+) -> np.ndarray:
+    """Host mirror of the flat region layout (for base-level extension)."""
+    from mauvealigner_tpu.genome.sequence import CODE_N
+
+    total = int(fs[-1])
+    flat = np.full(total, CODE_N, np.uint8)
+    for r in range(rows.shape[0]):
+        l0, lnr, st, s, _ = (int(v) for v in rows[r])
+        if lnr <= 0:
+            continue
+        seg = genomes[s].codes[l0 : l0 + lnr]
+        if st < 0:
+            seg = seg[::-1]
+            seg = np.where(seg < CODE_N, 3 - seg, seg).astype(np.uint8)
+        flat[fs[r] : fs[r] + lnr] = seg
+    return flat
+
+
+def find_gap_mums_batched(
+    genomes: Sequence[Genome],
+    gap_specs: np.ndarray,  # int64 [G, n, 3] (left, right, strand) 1-based
+    seed,
+    extend: bool = True,
+) -> Tuple[np.ndarray, MatchList]:
+    """Unique multi-MUM search over MANY inter-anchor gaps in one device
+    program.  Returns (gap_ids int64[m], MatchList in GENOME coordinates);
+    rows keep >= 2 components (callers apply their multiplicity policy).
+    """
+    from mauvealigner_tpu.utils import timing
+
+    n = len(genomes)
+    G = gap_specs.shape[0]
+    if G == 0:
+        return np.zeros(0, np.int64), MatchList.empty(n)
+    w = seed.weight
+    tag_shift = 2 * w + 1
+    assert (G << tag_shift) < (1 << 62), "gap tag would overflow the key space"
+    rows, fs = _gap_spec_rows(np.asarray(gap_specs, np.int64), n)
+    # pad spec rows to a bucket (every distinct R is a compile)
+    R = rows.shape[0]
+    Rpad = 1 << max(8, (R - 1).bit_length())
+    if Rpad != R:
+        pad = np.zeros((Rpad - R, 5), np.int32)
+        pad[:, 2] = 1
+        pad[:, 4] = G  # tag padding rows past every real gap
+        rows_dev = np.concatenate([rows, pad])
+    else:
+        rows_dev = rows
+    total = int(fs[-1]) + (Rpad - R) + seed.length  # pad rows add 1 slot each
+    F = 1 << 12
+    while F < total:
+        F *= 4 if F < (1 << 20) else 2
+    codes_flat, _ = _stacked_codes_device(genomes, seed.length)
+    offsets = tuple(int(o) for o in seed.offsets)
+    keys, seq_ids, pos = _gap_flat_mer_entries(
+        codes_flat, jnp.asarray(rows_dev), offsets, seed.length, tag_shift, F, n
+    )
+    N = int(keys.shape[0])
+    timing.GLOBAL.add("k2_sort_entries", float(N))
+    mask = np.ones(n, np.int32)
+    cap = max(1 << 14, N >> 3)
+    pack_ok = n < 128 and F <= (1 << 23)
+    ml = _candidates_with_retry(
+        keys, seq_ids, pos, mask, n, cap, 2, pack_ok, seed.length
+    )
+    if len(ml) == 0:
+        return np.zeros(0, np.int64), MatchList.empty(n)
+    if extend:
+        flat_host = _flat_codes_host(genomes, rows, fs)
+        ml = extend_matches_maximal(ml, [flat_host] * n)
+    # map flat coordinates back to (gap, genome coordinates)
+    starts = ml.starts
+    lengths = ml.lengths
+    pres = starts != NO_MATCH
+    flatpos = np.where(pres, np.abs(starts) - 1, 0)
+    rowr = (
+        np.searchsorted(fs, flatpos.reshape(-1), side="right") - 1
+    ).reshape(starts.shape)
+    specsm = rows[np.clip(rowr, 0, R - 1)]  # [m, n, 5]
+    gapm = specsm[:, :, 4].astype(np.int64)
+    seqm = specsm[:, :, 3]
+    cols = np.broadcast_to(np.arange(n, dtype=np.int32), starts.shape)
+    gap_ref = gapm[np.arange(len(ml)), np.argmax(pres, axis=1)]
+    consistent = np.all(
+        (~pres) | ((seqm == cols) & (gapm == gap_ref[:, None])), axis=1
+    )
+    l0 = specsm[:, :, 0].astype(np.int64)
+    lnr = specsm[:, :, 1].astype(np.int64)
+    st = specsm[:, :, 2].astype(np.int64)
+    within = flatpos - fs[np.clip(rowr, 0, R - 1)]
+    Lm = lengths[:, None]
+    g_left0 = np.where(st > 0, l0 + within, l0 + lnr - within - Lm)
+    g_fwd = np.where(st > 0, starts > 0, starts < 0)
+    new_starts = np.where(g_fwd, g_left0 + 1, -(g_left0 + 1))
+    new_starts[~pres] = NO_MATCH
+    out = MatchList(new_starts[consistent], lengths[consistent])
+    return gap_ref[consistent], out

