@@ -37,9 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = np.float32(-1e9)
 F0 = np.float32(0.0)
 
-PALLAS_MAX_S = 512
+PALLAS_MAX_S = 4096
 GROUP = 8          # batch elements per grid row (one per sublane)
-CHUNK = 64         # diagonals per grid step
+
+
+def _chunk_for(sp: int) -> int:
+    """Diagonals per grid step, sized so the streamed blocks fit VMEM with
+    double buffering: sskew (CH, 8, sp) bf16 + dec (CH, 8, sp) u8 = 24*CH*sp
+    bytes per buffer; keep two buffers of each under ~8 MB."""
+    return 64 if sp <= 2304 else 32
 
 
 def _round_up(x: int, m: int) -> int:
@@ -133,7 +139,10 @@ def _kernel(gaps_ref, ma_ref, mb_ref, sskew_ref, dec_ref, score_ref,
             | jnp.where(e_open, jnp.int32(4), zero)
             | jnp.where(f_open, jnp.int32(8), zero)
         )
-        dec_ref[0, dl] = jnp.where(live, dec, zero)
+        # uint8 store: 4 bits/cell of decision in 1 byte instead of 4 — the
+        # dec matrix dominates both the kernel's HBM writes and the VMEM
+        # block budget at the 1024-4096 buckets
+        dec_ref[0, dl] = jnp.where(live, dec, zero).astype(jnp.uint8)
         h2_ref[:, :] = jnp.where(live, h_prev, h_prev2)
         h_ref[:, :] = jnp.where(live, best, h_prev)
         e_ref[:, :] = jnp.where(live, e_val, e_prev)
@@ -171,8 +180,9 @@ def gotoh_forward_pallas(
     dp.gotoh_forward_scored on square buckets with M == N <= PALLAS_MAX_S."""
     B = pA.shape[0]
     n_diags = M + N + 1
-    nd_p = _round_up(n_diags, CHUNK)
     sp = _round_up(M + 1, 128)
+    CHUNK = _chunk_for(sp)
+    nd_p = _round_up(n_diags, CHUNK)
     Bp = _round_up(max(B, GROUP), GROUP)
     G = Bp // GROUP
 
@@ -243,7 +253,7 @@ def gotoh_forward_pallas(
     dec, scores = pl.pallas_call(
         _kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((G, nd_p, GROUP, sp), jnp.int32),
+            jax.ShapeDtypeStruct((G, nd_p, GROUP, sp), jnp.uint8),
             jax.ShapeDtypeStruct((G, GROUP, 128), jnp.float32),
         ),
         grid_spec=grid_spec,
@@ -253,6 +263,5 @@ def gotoh_forward_pallas(
     dec_u8 = (
         jnp.transpose(dec, (0, 2, 1, 3))
         .reshape(Bp, nd_p, sp)[:B, :n_diags, : M + 1]
-        .astype(jnp.uint8)
     )
     return scores.reshape(Bp, 128)[:B, 0], dec_u8

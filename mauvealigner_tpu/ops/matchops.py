@@ -136,6 +136,61 @@ def _mix64(x: jnp.ndarray, c: np.int64) -> jnp.ndarray:
     return x
 
 
+def _sig_phase(keys, seq_ids, positions, seq_mask, n_seqs, min_multi, pack_sort):
+    """Grouping half of the candidate kernel: sort by (mer, genome, pos),
+    detect seed groups, per-genome uniqueness, reference selection, and the
+    order-independent 64-bit group signature.
+
+    Returns per-entry arrays (sorted order): seg ids, kept mask, rep mask
+    (the group's reference entry), group signature (incl. multiplicity),
+    genome ids, window positions, signed 1-based positions.
+
+    The signature design: 64 bits keep the run-grouping sort at 4 keys
+    instead of 6 (each extra key adds bitonic passes over the whole array);
+    with ~2^21 groups the birthday collision odds are ~2^-23, and a
+    collision only matters if the two groups are ALSO diagonal-adjacent,
+    which the p0 continuity check makes astronomically unlikely.
+    """
+    N = keys.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    sortfn = _global_sort_packed if pack_sort else _global_sort
+    mer_s, seq_s, pos_s, strand_s = sortfn(keys, seq_ids, positions)
+    valid = mer_s != (INVALID_KEY >> 1)
+
+    prev_mer = jnp.concatenate([mer_s[:1] - 1, mer_s[:-1]])
+    new_seg = mer_s != prev_mer
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    prev_seq = jnp.concatenate([seq_s[:1] - 1, seq_s[:-1]])
+    same_ms = (~new_seg) & (seq_s == prev_seq)
+    next_same = jnp.concatenate([same_ms[1:], jnp.zeros(1, bool)])
+    occ_unique = valid & ~same_ms & ~next_same
+    kept = occ_unique & (seq_mask[jnp.clip(seq_s, 0, n_seqs - 1)] > 0)
+
+    counts = jnp.zeros(N, jnp.int32).at[seg_id].add(kept.astype(jnp.int32))
+    count_here = counts[seg_id]
+    kept = kept & (count_here >= min_multi)
+
+    # reference (first kept) entry per segment
+    first_kept = jnp.full(N, N, jnp.int32).at[seg_id].min(jnp.where(kept, idx, N))
+    ref_idx = jnp.clip(first_kept[seg_id], 0, N - 1)
+    ref_pos = pos_s[ref_idx]
+    ref_strand = strand_s[ref_idx]
+    rel = strand_s ^ ref_strand
+    inv = jnp.where(rel == 0, pos_s.astype(jnp.int64) - ref_pos, pos_s.astype(jnp.int64) + ref_pos)
+
+    token = (seq_s.astype(jnp.int64) << 33) | (rel.astype(jnp.int64) << 32) | (
+        inv & jnp.int64(0xFFFFFFFF)
+    )
+    m1 = _mix64(_mix64(token + 1, _MIX_C1) ^ _mix64(token + 7, _MIX_C2), _MIX_C3)
+    zero64 = jnp.zeros(N, jnp.int64)
+    sig1 = zero64.at[seg_id].add(jnp.where(kept, m1, 0))
+
+    is_rep = kept & (idx == ref_idx)
+    rep_sig1 = sig1[seg_id] + count_here.astype(jnp.int64) * _MIX_C3
+    signed_pos = jnp.where(rel == 0, pos_s + 1, -(pos_s + 1))
+    return seg_id, kept, is_rep, rep_sig1, seq_s, pos_s, signed_pos
+
+
 @partial(jax.jit, static_argnames=("n_seqs", "cap", "min_multi", "pack_sort"))
 def device_mum_candidates(
     keys: jnp.ndarray,      # int64[N] canonical keys (strand LSB); INVALID padding
@@ -156,50 +211,9 @@ def device_mum_candidates(
     """
     assert min_multi >= 2, "representative compaction requires min_multi >= 2"
     N = keys.shape[0]
-    idx = jnp.arange(N, dtype=jnp.int32)
-
-    sortfn = _global_sort_packed if pack_sort else _global_sort
-    mer_s, seq_s, pos_s, strand_s = sortfn(keys, seq_ids, positions)
-    valid = mer_s != (INVALID_KEY >> 1)
-
-    prev_mer = jnp.concatenate([mer_s[:1] - 1, mer_s[:-1]])
-    new_seg = mer_s != prev_mer
-    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-    prev_seq = jnp.concatenate([seq_s[:1] - 1, seq_s[:-1]])
-    same_ms = (~new_seg) & (seq_s == prev_seq)
-    next_same = jnp.concatenate([same_ms[1:], jnp.zeros(1, bool)])
-    occ_unique = valid & ~same_ms & ~next_same
-    kept = occ_unique & (seq_mask[jnp.clip(seq_s, 0, n_seqs - 1)] > 0)
-
-    counts = jnp.zeros(N, jnp.int32).at[seg_id].add(kept.astype(jnp.int32))
-    count_of_seg = counts  # indexed by seg slot
-    count_here = count_of_seg[seg_id]
-    seg_ok = count_here >= min_multi
-    kept = kept & seg_ok
-
-    # reference (first kept) entry per segment
-    first_kept = jnp.full(N, N, jnp.int32).at[seg_id].min(jnp.where(kept, idx, N))
-    ref_idx = jnp.clip(first_kept[seg_id], 0, N - 1)
-    ref_pos = pos_s[ref_idx]
-    ref_strand = strand_s[ref_idx]
-    rel = strand_s ^ ref_strand
-    inv = jnp.where(rel == 0, pos_s.astype(jnp.int64) - ref_pos, pos_s.astype(jnp.int64) + ref_pos)
-
-    # order-independent 64-bit group signature over kept entries.  64 bits
-    # keep the run-grouping sort at 4 keys instead of 6 (each extra key adds
-    # bitonic passes over the whole array); with ~2^21 groups the birthday
-    # collision odds are ~2^-23, and a collision only matters if the two
-    # groups are ALSO diagonal-adjacent, which the p0 continuity check makes
-    # astronomically unlikely.
-    token = (seq_s.astype(jnp.int64) << 33) | (rel.astype(jnp.int64) << 32) | (
-        inv & jnp.int64(0xFFFFFFFF)
+    (seg_id, kept, is_rep, rep_sig1, seq_s, pos_s, signed_pos) = _sig_phase(
+        keys, seq_ids, positions, seq_mask, n_seqs, min_multi, pack_sort
     )
-    m1 = _mix64(_mix64(token + 1, _MIX_C1) ^ _mix64(token + 7, _MIX_C2), _MIX_C3)
-    zero64 = jnp.zeros(N, jnp.int64)
-    sig1 = zero64.at[seg_id].add(jnp.where(kept, m1, 0))
-
-    is_rep = kept & (idx == ref_idx)
-    rep_sig1 = sig1[seg_id] + count_here.astype(jnp.int64) * _MIX_C3
 
     # compact representatives into an N/2 buffer, then sort THAT, grouped by
     # signature then p0.  A qualifying segment has >= min_multi >= 2 entries
@@ -242,7 +256,6 @@ def device_mum_candidates(
     ].set(jnp.where(run_start, row, cap), mode="drop")
     comp_row = seg_runfirst_row[jnp.clip(seg_id, 0, N - 1)]
     comp_row = jnp.where(kept, comp_row, cap)
-    signed_pos = jnp.where(rel == 0, pos_s + 1, -(pos_s + 1))
     comp_tab = jnp.zeros((cap + 1, n_seqs), jnp.int32)
     comp_tab = comp_tab.at[comp_row, jnp.clip(seq_s, 0, n_seqs - 1)].set(
         signed_pos, mode="drop"
@@ -250,6 +263,86 @@ def device_mum_candidates(
     # pack comp and span side by side, with n_runs in an extra leading row:
     # the caller downloads ONE row-sliced buffer (each blocking transfer
     # costs a full tunnel round trip, including the n_runs scalar sync)
+    packed = jnp.concatenate([comp_tab[:cap], span_tab[:cap]], axis=1)
+    head = jnp.zeros((1, n_seqs + 2), jnp.int32).at[0, 0].set(n_runs.astype(jnp.int32))
+    return jnp.concatenate([head, packed], axis=0)
+
+
+@partial(jax.jit, static_argnames=("n_seqs", "cap"))
+def mum_runs_from_sig_entries(
+    sig: jnp.ndarray,    # int64[N] group signature (incl. multiplicity)
+    p0: jnp.ndarray,     # int32[N] group reference window position
+    seq: jnp.ndarray,    # int32[N]
+    spos: jnp.ndarray,   # int32[N] signed 1-based window position
+    meta: jnp.ndarray,   # int32[N] (seq<<1)|is_rep for valid entries, -1 pad
+    n_seqs: int,
+    cap: int,
+):
+    """Run-merging half of the candidate kernel for entries in ARBITRARY
+    order (the distributed path: entries arrive via an all-to-all keyed by
+    hash(signature), so all windows of one diagonal run land on one device
+    but interleaved).  Entries of one seed group share (sig, p0) and exactly
+    one carries the rep bit.  Returns the same packed [cap+1, n_seqs+2]
+    table as device_mum_candidates.
+    """
+    N = sig.shape[0]
+    valid = meta >= 0
+    is_rep = valid & ((meta & 1) == 1)
+    hi = (sig >> 32).astype(jnp.int32)
+    lo = sig.astype(jnp.int32)  # bit pattern; equality-grouping only
+    inv_key = (~valid).astype(jnp.int32)  # invalid entries sort to the tail
+    (inv_s, hi_s, lo_s, p0_s, seq_s, spos_s, rep_s) = jax.lax.sort(
+        (inv_key, hi, lo, p0, seq, spos, is_rep.astype(jnp.int32)), num_keys=4
+    )
+    valid_s = inv_s == 0
+    prev_same = (
+        (hi_s == jnp.concatenate([hi_s[:1], hi_s[:-1]]))
+        & (lo_s == jnp.concatenate([lo_s[:1], lo_s[:-1]]))
+        & (p0_s == jnp.concatenate([p0_s[:1], p0_s[:-1]]))
+    )
+    new_seg = valid_s & (~prev_same | (jnp.arange(N, dtype=jnp.int32) == 0))
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+
+    # per-seg signature/p0 via the segment's first entry
+    seg_hi = jnp.zeros(N, jnp.int32).at[jnp.where(new_seg, seg_id, N - 1)].set(
+        jnp.where(new_seg, hi_s, 0), mode="drop"
+    )
+    # (simpler: gather seg-first index per seg)
+    seg_first = jnp.full(N, N - 1, jnp.int32).at[seg_id].min(
+        jnp.where(valid_s, jnp.arange(N, dtype=jnp.int32), N - 1)
+    )
+    n_segs = jnp.sum(new_seg.astype(jnp.int32))
+    seg_iota = jnp.arange(N, dtype=jnp.int32)
+    seg_valid = seg_iota < n_segs
+    sf = jnp.clip(seg_first, 0, N - 1)
+    s_hi, s_lo, s_p0 = hi_s[sf], lo_s[sf], p0_s[sf]
+    prev_seg_same_sig = (
+        (s_hi == jnp.concatenate([s_hi[:1], s_hi[:-1]]))
+        & (s_lo == jnp.concatenate([s_lo[:1], s_lo[:-1]]))
+    )
+    prev_seg_p0 = jnp.concatenate([s_p0[:1] - 2, s_p0[:-1]])
+    cont = seg_valid & prev_seg_same_sig & (s_p0 == prev_seg_p0 + 1)
+    cont = cont.at[0].set(False)
+    run_start = seg_valid & ~cont
+    run_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1
+    n_runs = jnp.sum(run_start.astype(jnp.int32))
+    run_end = seg_valid & jnp.concatenate([~cont[1:], jnp.ones(1, bool)])
+    row_of_seg = jnp.where(seg_valid & (run_id < cap), run_id, cap)
+    span_tab = jnp.full((cap + 1, 2), -1, jnp.int32)
+    span_tab = span_tab.at[jnp.where(run_start, row_of_seg, cap), 0].set(
+        s_p0, mode="drop"
+    )
+    span_tab = span_tab.at[jnp.where(run_end, row_of_seg, cap), 1].set(
+        s_p0, mode="drop"
+    )
+    # components of run-FIRST segments scatter into the comp table
+    comp_row_of_seg = jnp.where(run_start, row_of_seg, cap)
+    comp_row = comp_row_of_seg[jnp.clip(seg_id, 0, N - 1)]
+    comp_row = jnp.where(valid_s, comp_row, cap)
+    comp_tab = jnp.zeros((cap + 1, n_seqs), jnp.int32)
+    comp_tab = comp_tab.at[comp_row, jnp.clip(seq_s, 0, n_seqs - 1)].set(
+        spos_s, mode="drop"
+    )
     packed = jnp.concatenate([comp_tab[:cap], span_tab[:cap]], axis=1)
     head = jnp.zeros((1, n_seqs + 2), jnp.int32).at[0, 0].set(n_runs.astype(jnp.int32))
     return jnp.concatenate([head, packed], axis=0)
