@@ -188,7 +188,7 @@ def _sig_phase(keys, seq_ids, positions, seq_mask, n_seqs, min_multi, pack_sort)
     is_rep = kept & (idx == ref_idx)
     rep_sig1 = sig1[seg_id] + count_here.astype(jnp.int64) * _MIX_C3
     signed_pos = jnp.where(rel == 0, pos_s + 1, -(pos_s + 1))
-    return seg_id, kept, is_rep, rep_sig1, seq_s, pos_s, signed_pos
+    return seg_id, kept, is_rep, rep_sig1, seq_s, pos_s, signed_pos, ref_pos
 
 
 @partial(jax.jit, static_argnames=("n_seqs", "cap", "min_multi", "pack_sort"))
@@ -211,7 +211,7 @@ def device_mum_candidates(
     """
     assert min_multi >= 2, "representative compaction requires min_multi >= 2"
     N = keys.shape[0]
-    (seg_id, kept, is_rep, rep_sig1, seq_s, pos_s, signed_pos) = _sig_phase(
+    (seg_id, kept, is_rep, rep_sig1, seq_s, pos_s, signed_pos, _) = _sig_phase(
         keys, seq_ids, positions, seq_mask, n_seqs, min_multi, pack_sort
     )
 
@@ -272,27 +272,24 @@ def device_mum_candidates(
 def mum_runs_from_sig_entries(
     sig: jnp.ndarray,    # int64[N] group signature (incl. multiplicity)
     p0: jnp.ndarray,     # int32[N] group reference window position
-    seq: jnp.ndarray,    # int32[N]
+    seq: jnp.ndarray,    # int32[N] (-1 = padding)
     spos: jnp.ndarray,   # int32[N] signed 1-based window position
-    meta: jnp.ndarray,   # int32[N] (seq<<1)|is_rep for valid entries, -1 pad
     n_seqs: int,
     cap: int,
 ):
     """Run-merging half of the candidate kernel for entries in ARBITRARY
     order (the distributed path: entries arrive via an all-to-all keyed by
     hash(signature), so all windows of one diagonal run land on one device
-    but interleaved).  Entries of one seed group share (sig, p0) and exactly
-    one carries the rep bit.  Returns the same packed [cap+1, n_seqs+2]
-    table as device_mum_candidates.
+    but interleaved).  Entries of one seed group share (sig, p0).  Returns
+    the same packed [cap+1, n_seqs+2] table as device_mum_candidates.
     """
     N = sig.shape[0]
-    valid = meta >= 0
-    is_rep = valid & ((meta & 1) == 1)
+    valid = seq >= 0
     hi = (sig >> 32).astype(jnp.int32)
     lo = sig.astype(jnp.int32)  # bit pattern; equality-grouping only
     inv_key = (~valid).astype(jnp.int32)  # invalid entries sort to the tail
-    (inv_s, hi_s, lo_s, p0_s, seq_s, spos_s, rep_s) = jax.lax.sort(
-        (inv_key, hi, lo, p0, seq, spos, is_rep.astype(jnp.int32)), num_keys=4
+    (inv_s, hi_s, lo_s, p0_s, seq_s, spos_s) = jax.lax.sort(
+        (inv_key, hi, lo, p0, seq, spos), num_keys=4
     )
     valid_s = inv_s == 0
     prev_same = (
@@ -304,10 +301,6 @@ def mum_runs_from_sig_entries(
     seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
 
     # per-seg signature/p0 via the segment's first entry
-    seg_hi = jnp.zeros(N, jnp.int32).at[jnp.where(new_seg, seg_id, N - 1)].set(
-        jnp.where(new_seg, hi_s, 0), mode="drop"
-    )
-    # (simpler: gather seg-first index per seg)
     seg_first = jnp.full(N, N - 1, jnp.int32).at[seg_id].min(
         jnp.where(valid_s, jnp.arange(N, dtype=jnp.int32), N - 1)
     )
@@ -366,17 +359,13 @@ def _concat_pad_smls_jit(keys_list, pos_list, bucket):
 
 
 def _concat_device_smls(smls_dev):
-    """Concatenate per-genome device SML arrays with padding to a bucket."""
+    """Concatenate per-genome device SML arrays with padding to a bucket.
+
+    Coarse buckets at small sizes (every distinct shape costs a multi-minute
+    remote compile on the TPU tunnel) tightening to x1.5 steps at genome
+    scale where sort cost tracks the PADDED size — see merops.bucket_size."""
     n = sum(int(k.shape[0]) for k, _ in smls_dev)
-    # coarse (x4) buckets: every distinct shape costs a multi-minute remote
-    # compile on the TPU tunnel, but sort cost tracks the PADDED size, so a
-    # low floor matters for the per-gap recursion searches (a 2 kbp gap
-    # padded to 1M entries paid a full megabase-scale sort).  Above 1M
-    # entries the step drops to x2: the multi-key sorts scale ~n log^2 n,
-    # so x4 padding at the top end costs more than an extra cached compile.
-    bucket = 1 << 12
-    while bucket < n:
-        bucket *= 4 if bucket < (1 << 20) else 2
+    bucket = merops.bucket_size(n)
     return _concat_pad_smls_jit(
         tuple(k for k, _ in smls_dev), tuple(p for _, p in smls_dev), bucket
     )
@@ -1010,9 +999,7 @@ def find_gap_mums_batched(
     else:
         rows_dev = rows
     total = int(fs[-1]) + (Rpad - R) + seed.length  # pad rows add 1 slot each
-    F = 1 << 12
-    while F < total:
-        F *= 4 if F < (1 << 20) else 2
+    F = merops.bucket_size(total)
     codes_flat, _ = _stacked_codes_device(genomes, seed.length)
     offsets = tuple(int(o) for o in seed.offsets)
     keys, seq_ids, pos = _gap_flat_mer_entries(

@@ -36,6 +36,25 @@ from mauvealigner_tpu.genome.sequence import CODE_N
 INVALID_KEY = np.int64(2**62)  # sorts after every valid (2w+1 <= 63 bit) key
 
 
+def bucket_size(n: int, floor: int = 1 << 12) -> int:
+    """Static-shape bucket for n elements: x4 steps up to 1M (compiles are
+    expensive, waste is cheap at small sizes), x2 up to 4M, then x1.5 steps
+    (4M, 6M, 8M, 12M, 16M, 24M, ...) — at enterobacteria scale the sort cost
+    tracks the PADDED size, and a 4.6M-entry genome must not pad to 8M nor a
+    9-genome concat of 42M entries to 128M."""
+    b = floor
+    while b < n:
+        if b < (1 << 20):
+            b *= 4
+        elif b < (1 << 22):
+            b *= 2
+        elif b & (b - 1) == 0:  # power of two -> x1.5
+            b = b * 3 // 2
+        else:  # 3*2^k -> x4/3 back to a power of two
+            b = b * 4 // 3
+    return b
+
+
 def pad_codes(codes: np.ndarray, pattern_len: int, pad_to_multiple: int = 1 << 16) -> np.ndarray:
     """Pad a host code array with CODE_N to a bucketed static length.
 
@@ -175,12 +194,7 @@ def upload_codes(codes: np.ndarray, pattern_len: int, pad_to_multiple: int = 1 <
     shipped 2-bit packed over the tunnel."""
     L = len(codes)
     n = L + pattern_len
-    # coarse (x4) length buckets: every distinct shape is a slow remote
-    # compile on the TPU tunnel.  Above 1M the step drops to x2 — sort cost
-    # tracks the padded size, and a 4.6 Mbp genome must not pad to 16.7M.
-    padded = pad_to_multiple
-    while padded < n:
-        padded *= 4 if padded < (1 << 20) else 2
+    padded = bucket_size(n, pad_to_multiple)
     packed, exc = pack_2bit_host(codes)
     pb = padded // 4  # tied to `padded`: no extra shape dimension
     packed_padded = np.zeros(pb, np.uint8)

@@ -14,18 +14,22 @@ missing MPI variant are all subsumed by SPMD sharding over a device mesh:
 """
 
 from mauvealigner_tpu.parallel.sharded import (
+    find_multi_mums_sharded,
     find_pair_mums_sharded,
     make_mesh,
     sharded_gotoh_scores,
     sharded_hmm_posteriors,
     sharded_pack_sort,
+    sharded_mum_candidate_tables,
     sharded_pair_mum_tables,
     sort_contigs_sharded,
     multichip_pipeline_step,
 )
 
 __all__ = [
+    "find_multi_mums_sharded",
     "find_pair_mums_sharded",
+    "sharded_mum_candidate_tables",
     "sort_contigs_sharded",
     "make_mesh",
     "sharded_pack_sort",

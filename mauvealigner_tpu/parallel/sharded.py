@@ -36,19 +36,70 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 
-def sharded_pack_sort(
-    codes: jnp.ndarray, offsets: Tuple[int, ...], pattern_len: int, mesh: Mesh
-):
-    """Distributed SML build: block-shard the window space.
+def _dispatch(part: jnp.ndarray, D: int, C: int, arrays_with_fill):
+    """Scatter entries into [D, C]-slot send buffers by destination `part`
+    (== D drops the entry).  Returns ([D*C] buffers, dropped count) — the
+    per-destination slot assignment is order-stable (sorted by arrival
+    index), so results are deterministic."""
+    n = part.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    part_s, src = jax.lax.sort((part, iota), num_keys=2)
+    newg = jnp.concatenate(
+        [jnp.ones(1, bool), part_s[1:] != part_s[:-1]]
+    )
+    gstart = jax.lax.cummax(jnp.where(newg, iota, 0))
+    slot = iota - gstart
+    keep = (part_s < D) & (slot < C)
+    addr = jnp.where(keep, part_s * C + slot, D * C)
+    outs = []
+    for arr, fill in arrays_with_fill:
+        buf = jnp.full(D * C, fill, arr.dtype).at[addr].set(
+            arr[src], mode="drop"
+        )
+        outs.append(buf)
+    dropped = jnp.sum((part < D).astype(jnp.int32)) - jnp.sum(keep.astype(jnp.int32))
+    return outs, dropped
 
-    codes: int32[Ppad] (replicated; Ppad - pattern_len + 1 window positions,
-    padded so the position count divides the mesh).  Returns globally sorted
-    (keys int64[n_pos], positions int32[n_pos]).
+
+def _canonical_splitters(weight: int, D: int) -> np.ndarray:
+    """Range splitters over canonical-mer KEY space that balance load.
+
+    Canonical mers are min(fwd, rc) of ~uniform 2w-bit values, so their CDF
+    is P(c < q*4^w) = 1-(1-q)^2; equal-mass boundaries are
+    q_i = 1 - sqrt(1 - i/D).  Keys carry the strand bit below the mer, so
+    splitters shift left one bit."""
+    i = np.arange(D, dtype=np.float64)
+    q = 1.0 - np.sqrt(1.0 - i / D)
+    mer_space = float(4 ** weight)
+    return (np.floor(q * mer_space).astype(np.int64) << 1)
+
+
+def sharded_pack_sort(
+    codes: jnp.ndarray,
+    offsets: Tuple[int, ...],
+    pattern_len: int,
+    mesh: Mesh,
+    capacity_factor: float = 1.6,
+):
+    """Distributed SML build: block-shard the window space, pack locally,
+    range-partition by canonical-key value with an all-to-all, and sort each
+    partition locally.  No replicated global re-sort: each device touches
+    ~(capacity_factor/D) of the entries end to end.
+
+    Returns (keys int64[D*C], pos int32[D*C], dropped int32): partition d
+    occupies slots [d*C, (d+1)*C), sorted ascending with INVALID padding at
+    its tail; concatenation is therefore globally ordered after dropping
+    INVALID entries.  dropped > 0 means a partition overflowed its capacity
+    (retry with a larger factor).
     """
     n_dev = mesh.devices.size
     n_pos = codes.shape[0] - pattern_len + 1
     block = -(-n_pos // n_dev)  # ceil
     halo = pattern_len - 1
+    C = int(np.ceil(block * capacity_factor / n_dev)) * n_dev
+    splitters = jnp.asarray(
+        _canonical_splitters(len(offsets), n_dev), jnp.int64
+    )
 
     def local(codes_rep):
         d = jax.lax.axis_index(AXIS)
@@ -57,9 +108,19 @@ def sharded_pack_sort(
         chunk = jax.lax.dynamic_slice(codes_rep, (start,), (block + halo,))
         keys = merops.pack_canonical_mers(chunk, offsets, pattern_len)
         pos = start + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0).reshape(block)
-        # windows past the true end were packed from pad codes -> INVALID
-        keys_s, pos_s = merops.sort_key_pos(keys, pos)
-        return keys_s[None], pos_s[None]
+        valid = keys != merops.INVALID_KEY
+        part = (
+            jnp.searchsorted(splitters, keys, side="right").astype(jnp.int32) - 1
+        )
+        part = jnp.where(valid, jnp.clip(part, 0, n_dev - 1), jnp.int32(n_dev))
+        (sk, sp), dropped = _dispatch(
+            part, n_dev, C // n_dev,
+            [(keys, merops.INVALID_KEY), (pos, np.int32(0))],
+        )
+        rk = jax.lax.all_to_all(sk.reshape(n_dev, C // n_dev), AXIS, 0, 0)
+        rp = jax.lax.all_to_all(sp.reshape(n_dev, C // n_dev), AXIS, 0, 0)
+        keys_s, pos_s = merops.sort_key_pos(rk.reshape(-1), rp.reshape(-1))
+        return keys_s[None], pos_s[None], dropped.reshape(1)
 
     # pad codes so every device's dynamic_slice is in range
     need = block * n_dev + halo
@@ -67,17 +128,169 @@ def sharded_pack_sort(
         codes = jnp.concatenate(
             [codes, jnp.full(need - codes.shape[0], 4, codes.dtype)]
         )
-    keys_sh, pos_sh = jax.shard_map(
+    keys_sh, pos_sh, dropped = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=P(),
-        out_specs=P(AXIS),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
         check_vma=False,
     )(codes)
-    # final merge: global sort of the gathered shards (replicated result)
-    keys_flat = keys_sh.reshape(-1)
-    pos_flat = pos_sh.reshape(-1)
-    return merops.sort_key_pos(keys_flat, pos_flat)
+    return keys_sh.reshape(-1), pos_sh.reshape(-1), jnp.sum(dropped)
+
+
+def sharded_mum_candidate_tables(
+    keys: jnp.ndarray,       # int64[N] canonical keys (strand LSB), N % D == 0
+    seq_ids: jnp.ndarray,    # int32[N]
+    positions: jnp.ndarray,  # int32[N]
+    n_seqs: int,
+    cap_local: int,          # candidate-run capacity PER DEVICE
+    C1: int,                 # phase-1 per-(src,dst) slot capacity
+    C2: int,                 # phase-2 per-(src,dst) slot capacity
+    mesh: Mesh,
+    min_multi: int = 2,
+):
+    """The flagship N-way anchor search under a mesh: unique multi-MUM
+    candidate runs with NO replicated re-sort — each device sorts only its
+    partition (~N/D entries per phase).
+
+    Two all-to-all phases (the reference analog is the offset-partitioned
+    match search + merge of src/mauveAligner.cpp:533-589, re-imagined as
+    collectives):
+
+      1. entries route to hash(mer): seed grouping, per-genome uniqueness,
+         reference selection and the 64-bit group signature are local-exact
+         because every occurrence of a mer lands on one device;
+      2. kept entries route to hash(signature): all windows of one diagonal
+         run share the signature by construction, so run merging is
+         local-exact on the receiving device.
+
+    Returns (tables int32[D, cap_local+1, n_seqs+2] — device d's packed
+    candidate table over its signature partition — and dropped int32[D],
+    the per-device count of entries lost to slot-capacity overflow; any
+    nonzero count means the caller must retry with larger capacities).
+    """
+    from mauvealigner_tpu.ops import matchops
+
+    D = mesh.devices.size
+    N = keys.shape[0]
+    assert N % D == 0
+    mask = jnp.ones(n_seqs, jnp.int32)
+
+    def local(k, s, p):
+        # --- phase 1: route whole mers to hash(mer) ---
+        mer = k >> 1
+        valid = k != merops.INVALID_KEY
+        h1 = matchops._mix64(mer + 3, matchops._MIX_C2)
+        part1 = jnp.where(
+            valid, (h1 & jnp.int64(D - 1)).astype(jnp.int32), jnp.int32(D)
+        )
+        sp64 = (s.astype(jnp.int64) << 32) | p.astype(jnp.int64)
+        (sk, ssp), drop1 = _dispatch(
+            part1, D, C1, [(k, merops.INVALID_KEY), (sp64, np.int64(0))]
+        )
+        rk = jax.lax.all_to_all(sk.reshape(D, C1), AXIS, 0, 0).reshape(-1)
+        rsp = jax.lax.all_to_all(ssp.reshape(D, C1), AXIS, 0, 0).reshape(-1)
+        rs = (rsp >> 32).astype(jnp.int32)
+        rp = (rsp & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+        # --- local grouping/signature over this device's mer partition ---
+        (_, kept, _, rep_sig, seq2, _, spos2, ref_pos) = matchops._sig_phase(
+            rk, rs, rp, mask, n_seqs, min_multi, False
+        )
+        # --- phase 2: route kept entries to hash(signature) ---
+        h2 = matchops._mix64(rep_sig + 5, matchops._MIX_C1)
+        part2 = jnp.where(
+            kept, (h2 & jnp.int64(D - 1)).astype(jnp.int32), jnp.int32(D)
+        )
+        (sig_b, p0_b, spos_b, seq_b), drop2 = _dispatch(
+            part2, D, C2,
+            [(rep_sig, np.int64(0)), (ref_pos, np.int32(0)),
+             (spos2, np.int32(0)), (seq2, np.int32(-1))],
+        )
+        sig_r = jax.lax.all_to_all(sig_b.reshape(D, C2), AXIS, 0, 0).reshape(-1)
+        p0_r = jax.lax.all_to_all(p0_b.reshape(D, C2), AXIS, 0, 0).reshape(-1)
+        spos_r = jax.lax.all_to_all(spos_b.reshape(D, C2), AXIS, 0, 0).reshape(-1)
+        seq_r = jax.lax.all_to_all(seq_b.reshape(D, C2), AXIS, 0, 0).reshape(-1)
+        # --- local run merging over this device's signature partition ---
+        packed = matchops.mum_runs_from_sig_entries(
+            sig_r, p0_r, seq_r, spos_r, n_seqs, cap_local
+        )
+        return packed[None], (drop1 + drop2).astype(jnp.int32).reshape(1)
+
+    spec = P(AXIS)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )(keys, seq_ids, positions)
+
+
+def find_multi_mums_sharded(
+    genomes,
+    smls_dev,
+    mesh: Mesh,
+    min_multi: int = 2,
+    nway: bool = False,
+    extend: bool = True,
+    seed_length: int = 0,
+) -> "MatchList":
+    """Mesh-sharded drop-in for matchops.find_multi_mums_device.
+
+    Equivalence note: hash partitioning by signature keeps diagonal runs
+    whole, but a run whose windows span a group-signature CHANGE (the same
+    base match seen through different uniqueness context) can fragment
+    exactly as on one device; base-level extension + dedup normalizes both
+    paths to the same maximal matches.  Output rows are sorted canonically
+    so the result is independent of the mesh size.
+    """
+    from mauvealigner_tpu.core.match import MatchList
+    from mauvealigner_tpu.ops import matchops
+    from mauvealigner_tpu.utils import timing
+
+    n_seqs = len(genomes)
+    keys, seq_ids, pos = matchops._concat_device_smls(smls_dev)
+    N = int(keys.shape[0])
+    D = mesh.devices.size
+    assert N % D == 0, "bucketed entry counts are powers of two"
+    cf = 1.7
+    cap_local = max(1 << 12, (N >> 3) // D)
+    while True:
+        C1 = -(-int(N * cf) // (D * D))
+        C1 = (C1 + 7) & ~7
+        C2 = (int(C1 * cf) + 7) & ~7
+        timing.GLOBAL.add("k2_sharded_entries_per_device", float(N // D + D * C1 + D * C2))
+        tabs, dropped = sharded_mum_candidate_tables(
+            keys, seq_ids, pos, n_seqs, cap_local, C1, C2, mesh, min_multi
+        )
+        if int(np.asarray(jnp.sum(dropped))) > 0:
+            cf *= 2.0
+            continue
+        tabs_np = np.asarray(tabs)
+        n_runs = tabs_np[:, 0, 0]
+        if (n_runs > cap_local).any():
+            cap_local = 1 << int(int(n_runs.max()) - 1).bit_length()
+            continue
+        break
+    parts = [
+        matchops.decode_mum_table(tabs_np[d], n_seqs, cap_local, seed_length)
+        for d in range(D)
+    ]
+    ml = parts[0]
+    for x in parts[1:]:
+        ml = ml.concat(x)
+    if extend and len(ml):
+        ml = matchops.extend_matches_maximal(ml, [g.codes for g in genomes])
+    elif len(ml):
+        ml = ml.dedup()
+    if nway:
+        ml = ml.multiplicity_filter(n_seqs)
+    if len(ml):
+        order = np.lexsort(
+            tuple(ml.starts[:, j] for j in range(n_seqs - 1, -1, -1))
+        )
+        ml = ml.select(order)
+    return ml
 
 
 def sharded_gotoh_scores(
@@ -278,30 +491,29 @@ def sort_contigs_sharded(
 
 def multichip_pipeline_step(
     mesh: Mesh,
-    codes_a: jnp.ndarray,
-    codes_b: jnp.ndarray,
-    offsets: Tuple[int, ...],
-    pattern_len: int,
+    keys: jnp.ndarray,      # int64[N] concatenated per-genome mer entries
+    seq_ids: jnp.ndarray,   # int32[N]
+    positions: jnp.ndarray, # int32[N]
+    n_seqs: int,
+    cap_local: int,
+    C1: int,
+    C2: int,
     dp_pa: jnp.ndarray,
     dp_pb: jnp.ndarray,
     dp_la: jnp.ndarray,
     dp_lb: jnp.ndarray,
 ):
-    """One full sharded anchoring + DP + HMM step (jit target for the dry
-    run).
+    """One full sharded pipeline step (jit target for the dry run): the REAL
+    two-phase N-way anchor candidate search (all-to-all by mer hash, then by
+    signature hash), batch-sharded Gotoh forward, and batch-sharded HMM
+    posterior decode.
 
-    Returns (sml_a keys, sml_b keys, shared-mer count, dp scores,
-    per-element homology posterior means).
+    Returns (candidate tables [D, cap_local+1, n_seqs+2], dropped [D],
+    dp scores, per-element homology posterior means).
     """
-    ka, _ = sharded_pack_sort(codes_a, offsets, pattern_len, mesh)
-    kb, _ = sharded_pack_sort(codes_b, offsets, pattern_len, mesh)
-    # device-side shared-mer statistic (anchoring proxy): count of mers of A
-    # present in B via searchsorted on the sorted lists
-    mer_a = ka >> 1
-    mer_b = kb >> 1
-    idx = jnp.searchsorted(mer_b, mer_a)
-    idx = jnp.clip(idx, 0, mer_b.shape[0] - 1)
-    shared = jnp.sum((mer_b[idx] == mer_a) & (ka != merops.INVALID_KEY))
+    tabs, dropped = sharded_mum_candidate_tables(
+        keys, seq_ids, positions, n_seqs, cap_local, C1, C2, mesh
+    )
     scores = sharded_gotoh_scores(dp_pa, dp_pb, dp_la, dp_lb, mesh)
     # K4 slice: batch-sharded homology posterior decode on tiny shapes;
     # positive DP scores emit in favor of state 0 ("homologous")
@@ -318,4 +530,4 @@ def multichip_pipeline_step(
         jnp.full((B,), 8, jnp.int32),
         mesh,
     )
-    return ka, kb, shared, scores, post[:, :, 0].mean(axis=1)
+    return tabs, dropped, scores, post[:, :, 0].mean(axis=1)

