@@ -78,3 +78,48 @@ def apply_inversion(genome: Genome, left: int, right: int) -> Genome:
     seq = genome.seq.copy()
     seq[left - 1 : right] = revcomp_ascii(seq[left - 1 : right])
     return Genome(seq, name=genome.name + "_inv")
+
+
+def apply_inversion_with_truth(
+    derived: Genome, truth: IntervalList, left: int, right: int
+) -> Tuple[Genome, IntervalList]:
+    """Reverse-complement derived[left..right] (1-based inclusive) AND update
+    the truth alignment, so the simulation oracle survives rearrangements.
+
+    The collinear truth interval splits at the columns holding derived
+    positions `left` and `right`; the middle block's derived row flips to
+    the negative strand with start -left.  The boolean pattern is unchanged:
+    a negative-strand row consumes positions right-to-left as columns
+    advance, which is exactly the new homology map
+    new_derived[(left+right)-d] = revcomp(old_derived[d]).
+
+    `truth` must be a 2-genome collinear truth from evolve() whose interval
+    may already contain earlier inversion splits; the inverted range must
+    fall entirely inside one forward-strand piece.
+    """
+    g2 = apply_inversion(derived, left, right)
+    new_intervals: List[Interval] = []
+    handled = False
+    for iv in truth.intervals:
+        s = int(iv.starts[1])
+        row = iv.aln[1]
+        length = int(row.sum())
+        if s <= 0 or not (s <= left and right <= s + length - 1):
+            new_intervals.append(iv)
+            continue
+        assert not handled, "inversion range spans multiple truth pieces"
+        handled = True
+        cols_with = np.nonzero(row)[0]
+        c0 = int(cols_with[left - s])
+        c1 = int(cols_with[right - s])
+        if c0 > 0:
+            new_intervals.append(iv.column_slice(0, c0))
+        mid = iv.column_slice(c0, c1 + 1)
+        mid.starts[1] = -left
+        new_intervals.append(mid)
+        if c1 + 1 < iv.n_cols:
+            new_intervals.append(iv.column_slice(c1 + 1, iv.n_cols))
+    if not handled:
+        raise ValueError("inversion range not covered by a forward truth piece")
+    out = IntervalList(genomes=[truth.genomes[0], g2], intervals=new_intervals)
+    return g2, out

@@ -1,0 +1,96 @@
+"""BASELINE config 3 at REAL enterobacteria scale: 9 x ~4.6 Mbp genomes,
+10-20% pairwise divergence with inversions, full progressiveMauve on the
+TPU.  Emits one JSON line: warm wall-clock, per-phase split, and the
+simulation-oracle accuracy of every ancestor-derived pairwise projection
+(the truth survives the inversions via apply_inversion_with_truth).
+
+Usage: python scripts/bench_enterobacteria.py [genome_size] [n_genomes] [repeats]
+Defaults: 4_600_000 9 2 (first run pays cold remote compiles: minutes/shape).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def build_genomes(size: int, k: int):
+    from mauvealigner_tpu.utils import simulate
+
+    rng = np.random.default_rng(37)
+    anc = simulate.random_genome(rng, size, name="anc")
+    genomes, truths = [anc], []
+    # per-branch substitution rates 3-8%: pairwise divergence between two
+    # derived genomes ~ sum of branch rates = 6-16% plus indels
+    rates = np.linspace(0.03, 0.08, k - 1)
+    for i, s in enumerate(rates):
+        d, t = simulate.evolve(
+            anc, rng, sub_rate=float(s), ins_rate=float(s) / 10,
+            del_rate=float(s) / 10, name=f"d{i}",
+        )
+        if i % 2 == 1:  # half the genomes carry 1-2 large inversions
+            for _ in range(1 + (i % 3 == 1)):
+                span = int(rng.integers(size // 80, size // 10))
+                lo = int(rng.integers(1000, len(d) - span - 1000))
+                d, t = simulate.apply_inversion_with_truth(d, t, lo, lo + span)
+        genomes.append(d)
+        truths.append(t)
+    return genomes, truths
+
+
+def main(size: int, k: int, repeats: int):
+    from mauvealigner_tpu.analysis.score_alignment import score_alignment
+    from mauvealigner_tpu.models.progressive import ProgressiveMauve, ProgressiveOptions
+    from mauvealigner_tpu.utils import timing
+
+    t0 = time.time()
+    genomes, truths = build_genomes(size, k)
+    gen_s = time.time() - t0
+
+    times = []
+    res = None
+    for r in range(repeats):
+        timing.GLOBAL.reset()
+        t0 = time.time()
+        res = ProgressiveMauve(ProgressiveOptions(use_sml_cache=False)).align(genomes)
+        times.append(time.time() - t0)
+        print(json.dumps({"run": r, "wallclock_s": round(times[-1], 2)}),
+              file=sys.stderr, flush=True)
+        print(timing.GLOBAL.report(), file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    acc = []
+    for i, truth in enumerate(truths, start=1):
+        proj = res.interval_list.projection([0, i])
+        proj.genomes = [genomes[0], genomes[i]]
+        s = score_alignment(truth, proj, [len(genomes[0]), len(genomes[i])])
+        acc.append({"pair": f"0-{i}", "sn": round(s.sensitivity, 4),
+                    "ppv": round(s.ppv, 4)})
+    score_s = time.time() - t0
+
+    out = {
+        "config": f"progressive_{k}way_{size//1000}kbp",
+        "wallclock_warm_s": round(min(times), 2),
+        "wallclock_cold_s": round(times[0], 2),
+        "phases": {p: round(t, 2) for p, t in timing.GLOBAL.phases.items()},
+        "n_lcbs": len(res.lcbs),
+        "n_anchors": len(res.mums),
+        "n_backbone_rows": len(res.backbone_rows),
+        "accuracy": acc,
+        "mean_sn": round(float(np.mean([a["sn"] for a in acc])), 4),
+        "mean_ppv": round(float(np.mean([a["ppv"] for a in acc])), 4),
+        "genome_gen_s": round(gen_s, 1),
+        "scoring_s": round(score_s, 1),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 4_600_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 9
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    main(size, k, reps)
