@@ -71,6 +71,9 @@ class RepeatoireOptions:
     large_repeats: bool = False   # --large-repeats: crop order by length (:2559)
     small_repeats: bool = False   # --small-repeats (:2561; same key as sp here)
     only_extended: bool = False   # --onlyextended (:1722)
+    # register subset-homologous segments found during gapped extension as
+    # candidate records (--novel-matches default true, :1726,2201-2221)
+    use_novel_matches: bool = True
     min_sp_score: float = 0.0     # --sp: keep only score > this (:2653)
     allow_tandem: bool = True     # --tandem (default true, :1735)
     two_hits: bool = False        # --two-hits: >=2 chained seeds to extend (:2154)
@@ -303,18 +306,24 @@ class Repeatoire:
     # -- batched gapped extension -------------------------------------------
     def _gapped_extend_batch(
         self, genome: Genome, fams: List[RepeatFamily]
-    ) -> List[RepeatFamily]:
+    ) -> Tuple[List[RepeatFamily], List[RepeatFamily]]:
         """Extend every family in lockstep waves (ExtendMatch equivalent,
         src/repeatoire.cpp:1142-1408).  Per wave, every family still
         extending contributes its current flank-alignment job; all jobs run
         in ONE batched closure call and ONE bucketed HMM pass (~16 device
         dispatches per wave instead of 2 per family).  Extension is safe to
-        batch because it reads only the genome, never other families."""
+        batch because it reads only the genome, never other families.
+
+        Returns (extended families, novel records): a chain blocked by a
+        subset-homologous segment registers that segment as a NOVEL record
+        (use_novel_matches, src/repeatoire.cpp:2201-2221) so it can become
+        a family of its own downstream."""
         o = self.options
         n = len(fams)
         cur = list(fams)
+        novel_records: List[RepeatFamily] = []
         if o.max_extension_rounds <= 0:
-            return cur
+            return cur, novel_records
         DIRS = (1, -1)  # right, then left (match space)
         dir_idx = np.zeros(n, np.int8)   # 0/1 -> DIRS index, 2 -> done
         rounds = np.zeros(n, np.int32)
@@ -360,7 +369,11 @@ class Repeatoire:
             )
             for (i, d, w, flanks), aln, hom in zip(jobs, alns, homs):
                 advance = True
-                hom_cols = self._chainable_cols(aln, hom)
+                hom_cols, novel = self._extension_segments(aln, hom)
+                if novel is not None and o.use_novel_matches:
+                    nf = self._novel_record(cur[i], aln, d, novel)
+                    if nf is not None:
+                        novel_records.append(nf)
                 if aln.shape[1] and hom_cols:
                     fam = cur[i]
                     ext = aln[:, :hom_cols]
@@ -388,11 +401,54 @@ class Repeatoire:
                 if advance:
                     dir_idx[i] += 1
                     rounds[i] = 0
-        return cur
+        return cur, novel_records
 
     @staticmethod
-    def _chainable_cols(aln: np.ndarray, hom: np.ndarray) -> int:
-        """Columns of the extension alignment that chain onto the record.
+    def _novel_record(
+        fam: RepeatFamily, aln: np.ndarray, d: int, novel
+    ) -> Optional[RepeatFamily]:
+        """Materialize a blocking subset-homologous extension segment as a
+        standalone record: the reference registers these in its
+        match-position lookup table so later queued records can chain onto
+        them (use_novel_matches, src/repeatoire.cpp:2201-2221); here they
+        become candidate families subject to the same procrastination order
+        and subsumption."""
+        members, a, b = novel
+        rows = np.nonzero(members)[0]
+        lens = fam.component_lengths()
+        pref = np.cumsum(aln, axis=1, dtype=np.int64)
+        starts_new = []
+        for k in rows:
+            s = int(fam.starts[k])
+            L = int(lens[k])
+            lo = int(pref[k, a - 1]) if a > 0 else 0
+            hi = int(pref[k, b - 1])
+            if hi <= lo:
+                return None
+            left = abs(s)
+            right = left + L - 1
+            fwd = s > 0
+            if (d > 0) == fwd:  # flank sits on the genome's right side
+                g_left = right + 1 + lo
+            else:
+                g_left = left - hi
+            if g_left < 1:
+                return None
+            starts_new.append((1 if fwd else -1) * g_left)
+        seg = aln[rows][:, a:b]
+        seg = seg[:, seg.any(axis=0)]
+        if d < 0:  # flank columns run away from the match: flip to genome order
+            seg = seg[:, ::-1]
+        if seg.shape[1] == 0:
+            return None
+        nf = RepeatFamily(np.asarray(starts_new, np.int64), np.ascontiguousarray(seg))
+        nf.seed_count = 1
+        return nf
+
+    @staticmethod
+    def _extension_segments(aln: np.ndarray, hom: np.ndarray):
+        """(chainable column count, blocking subset segment) of one
+        extension alignment.
 
         Reference semantics (src/repeatoire.cpp:2166-2189): ExtendMatch's
         backbone segments arrive in column order; only the segment NEAREST
@@ -401,10 +457,12 @@ class Repeatoire:
         segments at all, so they never block — a full-multiplicity segment
         behind leading junk still chains (the junk columns ride along as
         the inter-chain fill that finalize() would add).  A nearer subset
-        segment blocks chaining entirely."""
+        segment blocks chaining and is returned as (members bool[k],
+        col_a, col_b) — the NOVEL MATCH the reference registers in its
+        match-position lookup table (use_novel_matches, :2201-2221)."""
         T = aln.shape[1]
         if T == 0 or not hom.size:
-            return 0
+            return 0, None
         k = aln.shape[0]
         sig = hom.T  # [T, k]
         change = np.ones(T, bool)
@@ -420,11 +478,17 @@ class Repeatoire:
         counts = members.sum(axis=0)
         cand = np.nonzero(counts >= 2)[0]
         if not len(cand):
-            return 0
+            return 0, None
         # nearest >=2-member segment decides: chain to its end iff it has
         # full multiplicity (M_e->Multiplicity() == M_i's, :2175)
         r = cand[0]
-        return int(run_ends[r]) if counts[r] == k else 0
+        if counts[r] == k:
+            return int(run_ends[r]), None
+        return 0, (members[:, r], int(run_starts[r]), int(run_ends[r]))
+
+    @classmethod
+    def _chainable_cols(cls, aln: np.ndarray, hom: np.ndarray) -> int:
+        return cls._extension_segments(aln, hom)[0]
 
     def _homology_columns_batch(
         self,
@@ -527,7 +591,7 @@ class Repeatoire:
         extended = {}
         if o.extend and fams:
             todo = [f for _, _, f in fams if _extendable(f)]
-            ext_list = self._gapped_extend_batch(genome, todo)
+            ext_list, novel_records = self._gapped_extend_batch(genome, todo)
             extended = {id(f): e for f, e in zip(todo, ext_list)}
             for _, _, f in fams:
                 ext = extended.get(id(f))
@@ -537,6 +601,23 @@ class Repeatoire:
                     ext.tandem = f.tandem or _is_tandem(ext, nw)
                 else:
                     extended[id(f)] = f
+            if novel_records:
+                # novel records enter the procrastination order like any
+                # other candidate (M_e->extended = false in the reference:
+                # they extend when popped, here via one extra batched pass;
+                # second-generation novels are not chased)
+                for nf in novel_records:
+                    nf.tandem = _is_tandem(nf, nw)
+                todo2 = [nf for nf in novel_records if not nf.tandem]
+                if todo2:
+                    ext2, _ = self._gapped_extend_batch(genome, todo2)
+                    for nf, e in zip(todo2, ext2):
+                        e.tandem = _is_tandem(e, nw)
+                        extended[id(nf)] = e
+                for nf in novel_records:
+                    extended.setdefault(id(nf), nf)
+                    fams.append((nf.multiplicity, nf.n_cols, nf))
+                fams.sort(key=lambda t: (-t[0], -t[1]))
         covered = np.zeros(len(genome) + 2, dtype=bool)
         out: List[RepeatFamily] = []
         processed: List[RepeatFamily] = []

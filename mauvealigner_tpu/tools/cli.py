@@ -613,6 +613,9 @@ def repeatoire_cli(argv: List[str]) -> int:
                    help="allow tandem repeats (default 1)")
     p.add_argument("--two-hits", type=_bool, default=False,
                    help="require two chained hits to trigger gapped extension")
+    p.add_argument("--novel-matches", type=_bool, default=True,
+                   help="use novel matches found during gapped extension "
+                        "(src/repeatoire.cpp:1726)")
     p.add_argument("--solid", type=_bool, default=False,
                    help="use solid/exact seeds")
     p.add_argument("--load-sml", type=_bool, default=False,
@@ -665,6 +668,7 @@ def repeatoire_cli(argv: List[str]) -> int:
         min_sp_score=a.sp,
         allow_tandem=a.tandem,
         two_hits=a.two_hits,
+        use_novel_matches=a.novel_matches,
         solid=a.solid,
         load_sml=a.load_sml,
         percent_id=a.percentid,

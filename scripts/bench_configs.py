@@ -172,13 +172,17 @@ def config5(repeat=2, n=150_000, k=8, n_contigs=6):
         ev, _ = simulate.evolve(ref, rng, sub_rate=0.01, ins_rate=0.0005, del_rate=0.0005)
         drafts.append(make_draft(ev, f"d{i}"))
 
-    times = []
-    res = None
-    placed_total = 0
-    for _ in range(repeat):
-        t0 = time.time()
-        reordered = []
-        placed_total = 0
+    import jax
+
+    # pod axis: when the platform exposes >1 device, the per-draft MUM
+    # searches shard over the mesh (sort_contigs_sharded); single-chip runs
+    # the sequential flow.  Both paths are equivalence-tested
+    # (tests/test_parallel.py, tests/test_draft_workflow.py).
+    n_devices = len(jax.devices())
+    use_sharded = n_devices > 1
+
+    def front_half_sequential():
+        reordered, placed = [], 0
         for d in drafts:
             al = MauveAligner(
                 AlignerOptions(gapped=False, recursive=False, use_sml_cache=False)
@@ -187,16 +191,49 @@ def config5(repeat=2, n=150_000, k=8, n_contigs=6):
             _, lcbs = al.determine_lcbs([ref, d], ml)
             placements = contig_placements_from_lcbs(d, lcbs, draft_seq_index=1)
             fixed, log = sort_contigs(d, placements)
-            placed_total += sum(1 for _, s in log if s != 0)
+            placed += sum(1 for _, s in log if s != 0)
             reordered.append(fixed)
+        return reordered, placed
+
+    def front_half_sharded():
+        from mauvealigner_tpu.parallel import make_mesh, sort_contigs_sharded
+
+        mesh = make_mesh()
+        out = sort_contigs_sharded(ref, drafts, mesh)
+        placed = sum(
+            sum(1 for _, s in log if s != 0) for _, log in out
+        )
+        return [g for g, _ in out], placed
+
+    times = []
+    front_times = {"sequential": [], "sharded": []}
+    res = None
+    placed_total = 0
+    for _ in range(repeat):
+        t0 = time.time()
+        if use_sharded:
+            reordered, placed_total = front_half_sharded()
+            front_times["sharded"].append(round(time.time() - t0, 3))
+        else:
+            reordered, placed_total = front_half_sequential()
+            front_times["sequential"].append(round(time.time() - t0, 3))
         res = ProgressiveMauve(ProgressiveOptions(use_sml_cache=False)).align(
             [ref] + reordered
         )
         times.append(time.time() - t0)
+    # when a mesh exists, also record the sequential front half once so the
+    # config JSON carries the sharded-vs-sequential delta
+    if use_sharded:
+        t0 = time.time()
+        front_half_sequential()
+        front_times["sequential"].append(round(time.time() - t0, 3))
     return {
         "config": f"draft_workflow_{k}x{n//1000}kbp",
         "wallclock_s": round(min(times), 3),
         "cold_s": round(times[0], 3),
+        "front_half": "sharded" if use_sharded else "sequential",
+        "n_devices": n_devices,
+        "front_half_s": {k2: v for k2, v in front_times.items() if v},
         "contigs_placed": placed_total,
         "n_lcbs": len(res.lcbs),
     }

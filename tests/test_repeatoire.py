@@ -472,3 +472,65 @@ def test_component_symbols_batch_matches_single(rng):
     for flanks, aln, g in zip(flanks_list, alns, got):
         want = rt._component_symbols(flanks, aln)
         assert np.array_equal(g, want), (aln.shape, g, want)
+
+
+def test_novel_match_registration(rng):
+    """A chain blocked by a subset-homologous segment must register that
+    segment as a record of its own (use_novel_matches,
+    src/repeatoire.cpp:2201-2221): two DIVERGED suffix copies (no shared
+    exact seed), separated from the repeat unit by DISTINCT short junk
+    spacers, are only discoverable through the blocking segment of the
+    3-way extension — pairwise unit records are coverage-subsumed and the
+    suffix pair itself is unseeded."""
+    from mauvealigner_tpu.genome.sequence import Genome
+    from mauvealigner_tpu.models.repeatoire import Repeatoire, RepeatoireOptions
+    from mauvealigner_tpu.utils import simulate
+
+    from mauvealigner_tpu.genome.sequence import encode_ascii
+
+    unit = simulate.random_genome(rng, 300).seq
+    y1 = simulate.random_genome(rng, 200).seq
+    # substitute every 6th base: every weight-11 seed window provably hits a
+    # substitution at a care position (no residue class mod 6 fits inside
+    # the pattern's don't-care set), so y1/y2 share ZERO seeds, while the
+    # 83% identity keeps them homologous to the extension HMM
+    codes = encode_ascii(y1)
+    sub = np.arange(3, len(codes), 6)
+    codes2 = codes.copy()
+    codes2[sub] = (codes2[sub] + 1) % 4
+    y2 = np.frombuffer("ACGT".encode(), np.uint8)[codes2]
+    junk1 = simulate.random_genome(rng, 20).seq
+    junk2 = simulate.random_genome(rng, 20).seq
+    parts = [
+        simulate.random_genome(rng, 3000).seq,
+        unit.copy(), junk1, y1,
+        simulate.random_genome(rng, 3000).seq,
+        unit.copy(), junk2, y2,
+        simulate.random_genome(rng, 3000).seq,
+        unit.copy(),
+        simulate.random_genome(rng, 3000).seq,
+    ]
+    g = Genome(np.concatenate(parts), name="planted")
+    y1_start = 3000 + 300 + 20 + 1
+    y2_start = y1_start + 200 + 3000 + 300 + 20
+
+    y1_mid, y2_mid = y1_start + 100, y2_start + 100
+
+    def covers_y(fams):
+        # the registered record may chain back over the unit, so test that
+        # BOTH diverged suffixes are covered by one family's components
+        for f in fams:
+            spans = f.spans()
+            hit1 = any(l <= y1_mid <= r for l, r in spans)
+            hit2 = any(l <= y2_mid <= r for l, r in spans)
+            if hit1 and hit2:
+                return True
+        return False
+
+    base = dict(z=11, min_length=30)
+    with_novel = Repeatoire(RepeatoireOptions(**base)).find_repeats(g)
+    without = Repeatoire(
+        RepeatoireOptions(use_novel_matches=False, **base)
+    ).find_repeats(g)
+    assert not covers_y(without), "suffix visible without novels: test construction broke"
+    assert covers_y(with_novel), "novel-match registration failed to surface the suffix pair"
