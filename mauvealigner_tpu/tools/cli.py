@@ -623,10 +623,6 @@ def repeatoire_cli(argv: List[str]) -> int:
     p.add_argument("--unalign", type=_bool, default=True,
                    help="accepted for reference compatibility (the flag is "
                    "declared but never consumed in src/repeatoire.cpp)")
-    p.add_argument("--novel-matches", type=_bool, default=True,
-                   help="accepted for reference compatibility; this "
-                   "implementation does not spawn novel records during "
-                   "extension")
     p.add_argument("--novel-subsets", nargs="?", type=_bool, const=True,
                    default=False,
                    help="find novel subset matches (reference default false, "
