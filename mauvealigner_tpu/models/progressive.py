@@ -94,6 +94,12 @@ class ProgressiveOptions:
     # src/progressiveMauve.cpp:648-651)
     min_scaled_penalty: Optional[float] = None
     use_sml_cache: bool = True
+    # true progressive anchoring up the guide tree: per-node pairwise
+    # alignment of clade consensus representatives (the ancestral-profile
+    # anchoring of src/progressiveMauve.cpp:575-710, consensus-ladder
+    # redesign — models/tree_progressive.py).  Recovers sensitivity at high
+    # divergence where full-multiplicity extant seeds vanish.
+    tree_progressive: bool = False
 
 
 @dataclasses.dataclass
@@ -243,6 +249,8 @@ class ProgressiveMauve:
             tree = self.guide_tree(genomes, ml, dist)
         weight_fn, unit_factor = self._anchor_scoring(genomes, dist)
 
+        if o.tree_progressive:
+            return self._align_tree_progressive(genomes, ml, tree, timer)
         # LCB structure over full-multiplicity anchors (subset-LCB support is
         # recovered by the backbone application step)
         inner = MauveAligner(
@@ -319,6 +327,59 @@ class ProgressiveMauve:
                 )
         ivl.add_unaligned_intervals()
 
+        backbone_rows: List[np.ndarray] = []
+        segments: List = []
+        if not o.skip_backbone and len(genomes) >= 2:
+            with timer.phase("homology_backbone"):
+                gc = bb.compute_gc(genomes)
+                params = bb.adapted_params(
+                    gc,
+                    identity=o.hmm_identity,
+                    go_homologous=o.hmm_p_go_homologous,
+                    go_unrelated=o.hmm_p_go_unrelated,
+                )
+                segments = bb.detect_backbone(ivl, params, o.island_gap_size)
+                rows = bb.backbone_seq_coordinates(ivl, segments)
+                rows = bb.merge_coordinate_rows(rows)
+                rows = bb.add_unique_segments(rows, ivl, [len(g) for g in genomes])
+                backbone_rows = rows
+                ivl = bb.apply_backbone(ivl, segments)
+        return ProgressiveResult(ivl, lcbs, ml, tree, backbone_rows, segments)
+
+    def _align_tree_progressive(self, genomes, ml, tree, timer) -> "ProgressiveResult":
+        """Consensus-ladder pipeline: per-node pairwise alignment up the
+        guide tree, then refinement and the homology backbone."""
+        from mauvealigner_tpu.models import closure as closure_mod
+        from mauvealigner_tpu.models.tree_progressive import tree_progressive_align
+
+        o = self.options
+
+        def factory():
+            inner = MauveAligner(
+                AlignerOptions(
+                    collinear=o.collinear,
+                    recursive=o.recursive,
+                    gapped=o.gapped,
+                    max_gapped_len=o.max_gapped_len,
+                    gap_open=o.gap_open,
+                    gap_extend=o.gap_extend,
+                    subst=o.subst,
+                    use_sml_cache=False,
+                )
+            )
+            return inner
+
+        with timer.phase("tree_progressive"):
+            ivl, lcbs = tree_progressive_align(genomes, tree, factory)
+        plan = closure_mod.tree_plan(tree)
+        if o.refine and o.gapped:
+            from mauvealigner_tpu.models.refine import refine_intervals
+
+            with timer.phase("refinement"):
+                ivl, _ = refine_intervals(
+                    ivl, plan, gap_open=o.gap_open, gap_extend=o.gap_extend
+                )
+        ivl.add_unaligned_intervals()
         backbone_rows: List[np.ndarray] = []
         segments: List = []
         if not o.skip_backbone and len(genomes) >= 2:

@@ -1,0 +1,82 @@
+"""Consensus-ladder progressive anchoring (models/tree_progressive.py)."""
+
+import numpy as np
+
+from mauvealigner_tpu.analysis.score_alignment import score_alignment
+from mauvealigner_tpu.core.validate import validate_interval_list
+from mauvealigner_tpu.models.progressive import ProgressiveMauve, ProgressiveOptions
+from mauvealigner_tpu.models.tree_progressive import (
+    NodeProfile,
+    _compose,
+    consensus_codes,
+    emit_intervals,
+    leaf_profile,
+)
+from mauvealigner_tpu.genome.sequence import Genome
+from mauvealigner_tpu.utils import simulate
+
+
+def test_compose_signs():
+    colmap = np.array([5, 0, -7, 8], np.int64)
+    node_pos = np.array([1, -3, 0, 4, -1], np.int64)
+    out = _compose(colmap, node_pos)
+    # -3 -> -colmap[2] = +7 (double inversion); -1 -> -colmap[0] = -5
+    assert out.tolist() == [5, 7, 0, 8, -5]
+
+
+def test_consensus_majority_and_revcomp():
+    g0 = Genome.from_codes(np.array([0, 1, 2, 3], np.int64), name="g0")
+    g1 = Genome.from_codes(np.array([0, 1, 2, 3], np.int64), name="g1")
+    # member 1 maps reverse-strand onto the same columns: base at |pos|,
+    # complemented
+    prof = NodeProfile(
+        [0, 1],
+        None,
+        {
+            0: np.array([1, 2, 3, 4], np.int64),
+            1: np.array([-4, -3, -2, -1], np.int64),
+        },
+    )
+    cons = consensus_codes([g0, g1], prof)
+    # g1 reversed: base at pos 4 = T -> complement A matches g0 col 0, etc.
+    assert cons.tolist() == [0, 1, 2, 3]
+
+
+def test_emit_splits_on_discontinuity():
+    g0 = Genome.from_codes(np.arange(10, dtype=np.int64) % 4, name="g0")
+    g1 = Genome.from_codes(np.arange(10, dtype=np.int64) % 4, name="g1")
+    prof = NodeProfile(
+        [0, 1],
+        None,
+        {
+            0: np.array([1, 2, 3, 7, 8], np.int64),   # jump 3 -> 7
+            1: np.array([1, 2, 3, 4, 5], np.int64),
+        },
+    )
+    ivl = emit_intervals([g0, g1], prof)
+    assert len(ivl.intervals) == 2
+    assert ivl.intervals[0].n_cols == 3 and ivl.intervals[1].n_cols == 2
+    assert ivl.intervals[1].starts.tolist() == [7, 4]
+
+
+def test_tree_progressive_end_to_end_with_inversion(rng):
+    anc = simulate.random_genome(rng, 15_000)
+    genomes, truths = [anc], []
+    for i in range(3):
+        d, t = simulate.evolve(
+            anc, rng, sub_rate=0.10, ins_rate=0.006, del_rate=0.006, name=f"d{i}"
+        )
+        if i == 1:
+            d, t = simulate.apply_inversion_with_truth(d, t, 5000, 9000)
+        genomes.append(d)
+        truths.append(t)
+    res = ProgressiveMauve(
+        ProgressiveOptions(use_sml_cache=False, tree_progressive=True)
+    ).align(genomes)
+    validate_interval_list(res.interval_list, genomes)
+    for i, t in enumerate(truths, start=1):
+        proj = res.interval_list.projection([0, i])
+        proj.genomes = [anc, genomes[i]]
+        s = score_alignment(t, proj, [len(anc), len(genomes[i])])
+        assert s.sensitivity > 0.9, f"pair 0-{i}: {s.summary()}"
+        assert s.ppv > 0.9, f"pair 0-{i}: {s.summary()}"
