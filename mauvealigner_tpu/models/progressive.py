@@ -98,8 +98,13 @@ class ProgressiveOptions:
     # alignment of clade consensus representatives (the ancestral-profile
     # anchoring of src/progressiveMauve.cpp:575-710, consensus-ladder
     # redesign — models/tree_progressive.py).  Recovers sensitivity at high
-    # divergence where full-multiplicity extant seeds vanish.
-    tree_progressive: bool = False
+    # divergence where full-multiplicity extant seeds vanish.  None = auto:
+    # enable when the n-way anchors cover < tree_progressive_threshold of
+    # the mean genome length (measured: coverage 0.28 at ~16% pairwise
+    # divergence where the extant path still scores sn 0.98; 0.05 at ~24%
+    # where it collapses to 0.75).
+    tree_progressive: Optional[bool] = None
+    tree_progressive_threshold: float = 0.15
 
 
 @dataclasses.dataclass
@@ -249,7 +254,13 @@ class ProgressiveMauve:
             tree = self.guide_tree(genomes, ml, dist)
         weight_fn, unit_factor = self._anchor_scoring(genomes, dist)
 
-        if o.tree_progressive:
+        use_tree = o.tree_progressive
+        if use_tree is None:
+            nway_cov = float(
+                ml.multiplicity_filter(len(genomes)).lengths.sum()
+            ) / max(float(np.mean([len(g) for g in genomes])), 1.0)
+            use_tree = nway_cov < o.tree_progressive_threshold
+        if use_tree:
             return self._align_tree_progressive(genomes, ml, tree, timer)
         # LCB structure over full-multiplicity anchors (subset-LCB support is
         # recovered by the backbone application step)

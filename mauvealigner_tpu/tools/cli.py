@@ -458,6 +458,11 @@ def progressive_mauve_cli(argv: List[str]) -> int:
                    help="accepted for reference compatibility (anchors here "
                    "are unique MUMs, src/progressiveMauve.cpp:295)")
     p.add_argument("--no-recursion", action="store_true")
+    p.add_argument("--tree-progressive", choices=["auto", "0", "1"],
+                   default="auto",
+                   help="per-node consensus-profile anchoring up the guide "
+                   "tree (the reference's progressive anchoring semantics); "
+                   "auto enables it when n-way anchor coverage is poor")
     p.add_argument("--no-boundary-extension", action="store_true",
                    help="disable gapped extension of LCB boundaries into "
                    "unanchored flanks")
@@ -495,6 +500,7 @@ def progressive_mauve_cli(argv: List[str]) -> int:
         return 0
     genomes = load_genomes(a.seqs)
     opts = ProgressiveOptions(
+        tree_progressive={"auto": None, "0": False, "1": True}[a.tree_progressive],
         seed_weight=a.seed_weight,
         solid_seeds=a.solid_seeds,
         coding_seeds=a.coding_seeds or not a.solid_seeds,
