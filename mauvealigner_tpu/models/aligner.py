@@ -176,11 +176,19 @@ class MauveAligner:
                 full = found.multiplicity() >= n
                 gap_ids, found = gap_ids[full], found.select(full)
                 # keep the best collinear chain within each gap
+                import time as _time
+
+                from mauvealigner_tpu.utils import timing as _timing
+
+                _t0 = _time.perf_counter()
                 for g in np.unique(gap_ids):
                     sub_ml = found.select(gap_ids == g)
                     sub_ml, _ = greedy_breakpoint_elimination(sub_ml, -1)
                     if len(sub_ml):
                         new_rows.append(sub_ml)
+                _timing.GLOBAL.add(
+                    "recursion_chain_s", _time.perf_counter() - _t0
+                )
             if not new_rows:
                 break
             add = new_rows[0]

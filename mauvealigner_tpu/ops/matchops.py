@@ -1010,14 +1010,20 @@ def find_gap_mums_batched(
     mask = np.ones(n, np.int32)
     cap = max(1 << 14, N >> 3)
     pack_ok = n < 128 and F <= (1 << 23)
+    import time as _time
+
+    _t0 = _time.perf_counter()
     ml = _candidates_with_retry(
         keys, seq_ids, pos, mask, n, cap, 2, pack_ok, seed.length
     )
+    timing.GLOBAL.add("recursion_kernel_s", _time.perf_counter() - _t0)
     if len(ml) == 0:
         return np.zeros(0, np.int64), MatchList.empty(n)
     if extend:
+        _t0 = _time.perf_counter()
         flat_host = _flat_codes_host(genomes, rows, fs)
         ml = extend_matches_maximal(ml, [flat_host] * n)
+        timing.GLOBAL.add("recursion_extend_s", _time.perf_counter() - _t0)
     # map flat coordinates back to (gap, genome coordinates)
     starts = ml.starts
     lengths = ml.lengths
