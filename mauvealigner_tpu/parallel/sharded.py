@@ -246,6 +246,7 @@ def find_multi_mums_sharded(
     """
     from mauvealigner_tpu.core.match import MatchList
     from mauvealigner_tpu.ops import matchops
+    from mauvealigner_tpu.parallel import multihost
     from mauvealigner_tpu.utils import timing
 
     n_seqs = len(genomes)
@@ -253,6 +254,12 @@ def find_multi_mums_sharded(
     N = int(keys.shape[0])
     D = mesh.devices.size
     assert N % D == 0, "bucketed entry counts are powers of two"
+    if jax.process_count() > 1:
+        # multi-process (DCN) path: genomes are replicated per host, so the
+        # locally-built entry arrays re-scatter into the global mesh
+        keys = multihost.scatter_global(np.asarray(keys), mesh)
+        seq_ids = multihost.scatter_global(np.asarray(seq_ids), mesh)
+        pos = multihost.scatter_global(np.asarray(pos), mesh)
     cf = 1.7
     cap_local = max(1 << 12, (N >> 3) // D)
     while True:
@@ -263,10 +270,10 @@ def find_multi_mums_sharded(
         tabs, dropped = sharded_mum_candidate_tables(
             keys, seq_ids, pos, n_seqs, cap_local, C1, C2, mesh, min_multi
         )
-        if int(np.asarray(jnp.sum(dropped))) > 0:
+        if int(multihost.fetch_replicated(dropped).sum()) > 0:
             cf *= 2.0
             continue
-        tabs_np = np.asarray(tabs)
+        tabs_np = multihost.fetch_replicated(tabs)
         n_runs = tabs_np[:, 0, 0]
         if (n_runs > cap_local).any():
             cap_local = 1 << int(int(n_runs.max()) - 1).bit_length()
