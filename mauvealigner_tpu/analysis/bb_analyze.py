@@ -414,21 +414,30 @@ def tree_node_analysis(
         ct_out = present[:, ~mask].sum(axis=1)
         conserved = ct == len(leaf_idx)
         unique = conserved & (ct_out == 0)
-        if node.children:
-            c1 = np.zeros(n_seqs, bool)
-            c1[[int(l.name) for l in node.children[0].leaves()]] = True
-            c2 = np.zeros(n_seqs, bool)
-            c2[[int(l.name) for l in node.children[1].leaves()]] = True
-            c1_ct = present[:, c1].sum(axis=1)
-            c2_ct = present[:, c2].sum(axis=1)
-            c1p, c2p = c1_ct > 0, c2_ct > 0
-            c1c = c1_ct == int(c1.sum())
-            c2c = c2_ct == int(c2.sum())
-            hop_two = c1p & c2p & ~c1c & ~c2c
+        if len(node.children) >= 2:
+            # generalized beyond the reference's strictly-binary trees
+            # (unrooted Newick routinely has a trifurcating root): a segment
+            # is hop_two when >= 2 children hold it partially and NO child
+            # holding it is complete (multiple independent deletions / LGT);
+            # hop_one when some child is incomplete but the pattern is
+            # explained by a single deletion not already counted below
+            partials, completes = [], []
+            for c in node.children:
+                cm = np.zeros(n_seqs, bool)
+                cm[[int(l.name) for l in c.leaves()]] = True
+                c_ct = present[:, cm].sum(axis=1)
+                partials.append(c_ct > 0)
+                completes.append(c_ct == int(cm.sum()))
+            partials = np.stack(partials)   # [n_children, S]
+            completes = np.stack(completes)
+            n_partial = partials.sum(axis=0)
+            any_incomplete = (partials & ~completes).any(axis=0)
+            no_partial_complete = ~(partials & completes).any(axis=0)
+            hop_two = (n_partial >= 2) & no_partial_complete
             child_hop = np.zeros(S, bool)
             for c in node.children:
                 child_hop |= hop_one_bits.get(node_ids[id(c)], np.zeros(S, bool))
-            hop_one = (~hop_two) & (~c1c | ~c2c) & c1p & c2p & ~child_hop
+            hop_one = (~hop_two) & any_incomplete & (n_partial >= 2) & ~child_hop
         else:
             hop_one = np.zeros(S, bool)
             hop_two = np.zeros(S, bool)

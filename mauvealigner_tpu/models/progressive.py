@@ -252,8 +252,6 @@ class ProgressiveMauve:
         dist = coverage_distance_matrix(ml, [len(g) for g in genomes])
         with timer.phase("guide_tree"):
             tree = self.guide_tree(genomes, ml, dist)
-        weight_fn, unit_factor = self._anchor_scoring(genomes, dist)
-
         use_tree = o.tree_progressive
         if use_tree is None:
             nway_cov = float(
@@ -262,6 +260,7 @@ class ProgressiveMauve:
             use_tree = nway_cov < o.tree_progressive_threshold
         if use_tree:
             return self._align_tree_progressive(genomes, ml, tree, timer)
+        weight_fn, unit_factor = self._anchor_scoring(genomes, dist)
         # LCB structure over full-multiplicity anchors (subset-LCB support is
         # recovered by the backbone application step)
         inner = MauveAligner(
@@ -366,8 +365,14 @@ class ProgressiveMauve:
         o = self.options
 
         def factory():
+            # honor the user's anchoring/scoring knobs at every node merge;
+            # an explicit --weight is in pairwise-length units here (each
+            # node merge is a single consensus pair), and sp weight_fn does
+            # not apply (sum-of-pairs over 2 rows IS match length)
             inner = MauveAligner(
                 AlignerOptions(
+                    seed_size=o.seed_weight,
+                    lcb_weight=o.breakpoint_penalty,
                     collinear=o.collinear,
                     recursive=o.recursive,
                     gapped=o.gapped,
@@ -375,7 +380,7 @@ class ProgressiveMauve:
                     gap_open=o.gap_open,
                     gap_extend=o.gap_extend,
                     subst=o.subst,
-                    use_sml_cache=False,
+                    use_sml_cache=False,  # consensus reps are synthetic
                 )
             )
             return inner

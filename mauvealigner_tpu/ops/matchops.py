@@ -933,6 +933,8 @@ def _stacked_codes_device(genomes: Sequence[Genome], pattern_len: int):
     key = (tuple(id(g) for g in genomes), cpad)
     holder = genomes[0]
     cached = getattr(holder, "_flat_stack_cache", None)
+    # the cache value holds strong references to the genomes so an id() in
+    # the key can never belong to a freed-and-reallocated object
     if cached is not None and cached[0] == key:
         return cached[1], cpad
     from mauvealigner_tpu.genome.sequence import CODE_N
@@ -944,7 +946,7 @@ def _stacked_codes_device(genomes: Sequence[Genome], pattern_len: int):
         for a in arrs
     ]
     flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-    holder._flat_stack_cache = (key, flat)
+    holder._flat_stack_cache = (key, flat, tuple(genomes))
     return flat, cpad
 
 

@@ -180,9 +180,12 @@ def sharded_mum_candidate_tables(
         # --- phase 1: route whole mers to hash(mer) ---
         mer = k >> 1
         valid = k != merops.INVALID_KEY
+        # jnp.mod (numpy semantics: non-negative for a positive divisor)
+        # keeps the partition uniform for ANY mesh size; & (D-1) would leave
+        # devices empty on non-power-of-two meshes
         h1 = matchops._mix64(mer + 3, matchops._MIX_C2)
         part1 = jnp.where(
-            valid, (h1 & jnp.int64(D - 1)).astype(jnp.int32), jnp.int32(D)
+            valid, (h1 % jnp.int64(D)).astype(jnp.int32), jnp.int32(D)
         )
         sp64 = (s.astype(jnp.int64) << 32) | p.astype(jnp.int64)
         (sk, ssp), drop1 = _dispatch(
@@ -199,7 +202,7 @@ def sharded_mum_candidate_tables(
         # --- phase 2: route kept entries to hash(signature) ---
         h2 = matchops._mix64(rep_sig + 5, matchops._MIX_C1)
         part2 = jnp.where(
-            kept, (h2 & jnp.int64(D - 1)).astype(jnp.int32), jnp.int32(D)
+            kept, (h2 % jnp.int64(D)).astype(jnp.int32), jnp.int32(D)
         )
         (sig_b, p0_b, spos_b, seq_b), drop2 = _dispatch(
             part2, D, C2,
@@ -266,7 +269,6 @@ def find_multi_mums_sharded(
         C1 = -(-int(N * cf) // (D * D))
         C1 = (C1 + 7) & ~7
         C2 = (int(C1 * cf) + 7) & ~7
-        timing.GLOBAL.add("k2_sharded_entries_per_device", float(N // D + D * C1 + D * C2))
         tabs, dropped = sharded_mum_candidate_tables(
             keys, seq_ids, pos, n_seqs, cap_local, C1, C2, mesh, min_multi
         )
@@ -278,6 +280,10 @@ def find_multi_mums_sharded(
         if (n_runs > cap_local).any():
             cap_local = 1 << int(int(n_runs.max()) - 1).bit_length()
             continue
+        # record per-device work once, for the capacities that succeeded
+        timing.GLOBAL.add(
+            "k2_sharded_entries_per_device", float(N // D + D * C1 + D * C2)
+        )
         break
     parts = [
         matchops.decode_mum_table(tabs_np[d], n_seqs, cap_local, seed_length)

@@ -921,12 +921,25 @@ def bb_analyze_cli(argv: List[str]) -> int:
 
             with open(a.guide_tree) as tf:
                 tree = parse_newick(tf.read())
-            for i, leaf in enumerate(tree.leaves()):
+            for leaf in tree.leaves():
                 nm = leaf.name
-                leaf.name = str(
-                    int(nm) if nm.isdigit()
-                    else (int(nm[3:]) - 1 if nm.startswith("seq") and nm[3:].isdigit() else i)
-                )
+                if nm.isdigit():
+                    idx = int(nm)
+                elif nm.startswith("seq") and nm[3:].isdigit():
+                    idx = int(nm[3:]) - 1  # reference seqN naming (1-based)
+                else:
+                    p.error(
+                        f"guide-tree leaf {nm!r} is not a sequence index or "
+                        "seqN name; rename leaves to 0..n-1 or seq1..seqN "
+                        "(order-based guessing would silently misattribute "
+                        "per-node statistics)"
+                    )
+                if not (0 <= idx < n_seqs):
+                    p.error(
+                        f"guide-tree leaf {nm!r} maps to sequence {idx}, "
+                        f"outside 0..{n_seqs - 1}"
+                    )
+                leaf.name = str(idx)
             seq_lengths = None
             if a.xmfa:
                 from mauvealigner_tpu.core.interval import IntervalList

@@ -71,15 +71,25 @@ class PhaseTimer:
         lines.append(f"{'total':<24}{total:>10.3f}")
         for c, v in sorted(self.counters.items()):
             lines.append(f"{c}: {v:,.0f}")
-        # anchor phase (K1 pack + K2 sort/enumeration) throughputs
-        bases = self.throughput("anchoring", "k1_bases")
-        if bases is not None:
-            lines.append(f"anchor-phase bases processed: {bases/1e6:.1f} Mbases/s")
-        entries = self.throughput("anchoring", "k2_sort_entries")
-        if entries is not None:
-            util = entries / TPU_SORT_ROOFLINE_ENTRIES_S
+        # K1/K2 throughputs: the counters accumulate from EVERY phase that
+        # builds mer lists or runs the candidate kernel (initial anchoring,
+        # recursion, LCB extension, subset recovery, tree-progressive node
+        # merges), so divide by the sum of those phases' wall-clock
+        anchor_time = sum(
+            self.phases.get(p, 0.0)
+            for p in ("anchoring", "recursive_anchoring", "lcb_extension",
+                      "subset_lcbs", "tree_progressive")
+        )
+        bases = self.counters.get("k1_bases")
+        if anchor_time and bases:
             lines.append(
-                f"anchor-phase sort entries: {entries/1e6:.1f} M/s "
+                f"anchor-phase bases processed: {bases/anchor_time/1e6:.1f} Mbases/s"
+            )
+        entries = self.counters.get("k2_sort_entries")
+        if anchor_time and entries:
+            util = entries / anchor_time / TPU_SORT_ROOFLINE_ENTRIES_S
+            lines.append(
+                f"anchor-phase sort entries: {entries/anchor_time/1e6:.1f} M/s "
                 f"({util:.1%} of v5e sort roofline)"
             )
         # gapped DP throughput across all DP-driving phases

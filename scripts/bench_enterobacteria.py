@@ -34,9 +34,18 @@ def build_genomes(size: int, k: int):
         )
         if i % 2 == 1:  # half the genomes carry 1-2 large inversions
             for _ in range(1 + (i % 3 == 1)):
-                span = int(rng.integers(size // 80, size // 10))
-                lo = int(rng.integers(1000, len(d) - span - 1000))
-                d, t = simulate.apply_inversion_with_truth(d, t, lo, lo + span)
+                # redraw until the range sits inside one forward truth piece
+                # (a second inversion must not overlap the first)
+                for _attempt in range(20):
+                    span = int(rng.integers(size // 80, size // 10))
+                    lo = int(rng.integers(1000, len(d) - span - 1000))
+                    try:
+                        d, t = simulate.apply_inversion_with_truth(
+                            d, t, lo, lo + span
+                        )
+                        break
+                    except ValueError:
+                        continue
         genomes.append(d)
         truths.append(t)
     return genomes, truths

@@ -59,3 +59,27 @@ def test_faux_unique_segments_cover_gaps():
     spans0 = sorted((int(r[0]), int(r[1])) for r in faux if r[0] != 0)
     assert spans0 == [(1, 10), (41, 50)]
     assert all(r[2] == 0 for r in faux if r[0] != 0)
+
+
+def test_trifurcating_and_unary_nodes():
+    """Non-binary trees (routine in unrooted Newick) must classify instead
+    of crashing or silently zeroing hops."""
+    tree = parse_newick("(0:1,1:1,(2:1,3:1):1);")  # trifurcating root
+    n = 4
+    rows = [
+        _row(n, {0: (1, 100), 2: (1, 100)}),  # partial in two children,
+                                              # complete in neither subtree
+                                              # with >1 leaf -> hop at root
+        _row(n, {0: (200, 300), 1: (200, 300), 2: (200, 300), 3: (200, 300)}),
+    ]
+    summaries = tree_node_analysis(rows, n, tree)
+    root = [s for s in summaries if s.leaf_seqs == [0, 1, 2, 3]][0]
+    # leaf children are trivially complete when present, so the {0,2}
+    # segment is hop_one (single deletion inside the (2,3) clade)
+    assert root.n_hop_one == 1
+    assert root.n_unique == 1  # the core row
+
+    unary = parse_newick("((0:1):1,1:1);")  # unary internal node
+    rows2 = [_row(2, {0: (1, 100), 1: (1, 100)})]
+    summaries2 = tree_node_analysis(rows2, 2, unary)  # must not raise
+    assert any(s.leaf_seqs == [0, 1] for s in summaries2)
