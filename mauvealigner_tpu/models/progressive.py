@@ -105,6 +105,11 @@ class ProgressiveOptions:
     # where it collapses to 0.75).
     tree_progressive: Optional[bool] = None
     tree_progressive_threshold: float = 0.15
+    # mer-space subsample (1/mod of windows) for the initial N-way search
+    # when it only feeds distances + the coverage gate (tree-progressive
+    # candidates); extension recovers full match lengths, so coverage and
+    # distances stay accurate while the big sort shrinks ~mod-fold
+    distance_sketch: int = 16
 
 
 @dataclasses.dataclass
@@ -129,7 +134,9 @@ class ProgressiveMauve:
             return SOLID_SEED
         return CODING_SEED if o.coding_seeds else 0
 
-    def find_matches(self, genomes: Sequence[Genome]) -> MatchList:
+    def find_matches(
+        self, genomes: Sequence[Genome], sketch_mod: int = 1
+    ) -> MatchList:
         o = self.options
         avg = int(np.mean([len(g) for g in genomes]))
         weight = o.seed_weight or default_seed_weight(avg)
@@ -159,7 +166,7 @@ class ProgressiveMauve:
         # device-resident path: SML arrays never cross the tunnel
         smls_dev = [build_mer_list_device(g, seed) for g in genomes]
         return matchops.find_multi_mums_device(
-            genomes, smls_dev, seed_length=seed.length
+            genomes, smls_dev, seed_length=seed.length, sketch_mod=sketch_mod
         )
 
     def guide_tree(
@@ -246,9 +253,15 @@ class ProgressiveMauve:
             avg = int(np.mean([len(g) for g in genomes]))
             self._seed_weight = o.seed_weight or default_seed_weight(avg)
             ml = matches
+            sketched = False
         else:
+            # when the search can only feed distances + the coverage gate
+            # (tree-progressive candidates), a mer-space sketch suffices
+            sketched = o.tree_progressive is not False and o.distance_sketch > 1
             with timer.phase("anchoring"):
-                ml = self.find_matches(genomes)
+                ml = self.find_matches(
+                    genomes, sketch_mod=o.distance_sketch if sketched else 1
+                )
         dist = coverage_distance_matrix(ml, [len(g) for g in genomes])
         with timer.phase("guide_tree"):
             tree = self.guide_tree(genomes, ml, dist)
@@ -260,6 +273,11 @@ class ProgressiveMauve:
             use_tree = nway_cov < o.tree_progressive_threshold
         if use_tree:
             return self._align_tree_progressive(genomes, ml, tree, timer)
+        if sketched:
+            # the extant pipeline consumes the matches themselves: redo the
+            # search at full density
+            with timer.phase("anchoring"):
+                ml = self.find_matches(genomes)
         weight_fn, unit_factor = self._anchor_scoring(genomes, dist)
         # LCB structure over full-multiplicity anchors (subset-LCB support is
         # recovered by the backbone application step)

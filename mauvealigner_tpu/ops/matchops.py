@@ -371,6 +371,23 @@ def _concat_device_smls(smls_dev):
     )
 
 
+@partial(jax.jit, static_argnames=("out_n", "mod"))
+def _sketch_compact(keys, seq_ids, positions, out_n, mod):
+    """Keep entries whose strand-free mer hashes to 0 mod `mod` and compact
+    them into a buffer of static size out_n (overflow drops, caller sizes
+    generously).  One elementwise pass + prefix sum — no sort — so a
+    sketched search pays ~1/mod of the full sort cost."""
+    mer = keys >> 1
+    h = _mix64(mer + 11, _MIX_C2)
+    keep = (keys != INVALID_KEY) & (h % jnp.int64(mod) == 0)
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    addr = jnp.where(keep & (rank < out_n), rank, out_n)
+    k2 = jnp.full(out_n, INVALID_KEY, jnp.int64).at[addr].set(keys, mode="drop")
+    s2 = jnp.zeros(out_n, jnp.int32).at[addr].set(seq_ids, mode="drop")
+    p2 = jnp.zeros(out_n, jnp.int32).at[addr].set(positions, mode="drop")
+    return k2, s2, p2
+
+
 def find_multi_mums_device(
     genomes: Sequence[Genome],
     smls_dev,
@@ -380,6 +397,7 @@ def find_multi_mums_device(
     extend: bool = True,
     seed_length: int = 0,
     initial_cap: Optional[int] = None,
+    sketch_mod: int = 1,
 ) -> MatchList:
     """Device-resident unique multi-MUM search.
 
@@ -391,12 +409,23 @@ def find_multi_mums_device(
     the search then auto-retries with the cap raised to the next power of
     two covering the actual count (never truncates).  initial_cap overrides
     the heuristic (tests exercise the retry with a tiny cap).
+
+    sketch_mod > 1 subsamples the mer space by hash (1/mod of the windows
+    enter the sort) — a MinHash-style sketch for distance estimation and
+    coverage gating.  Base-level extension still grows each sampled seed to
+    its full maximal match, so long matches keep their true lengths; only
+    matches spanning fewer than ~mod seed windows can be missed entirely.
     """
     from mauvealigner_tpu.utils import timing
 
     n_seqs = len(genomes)
     mask = np.ones(n_seqs, np.int32) if seq_mask is None else np.asarray(seq_mask, np.int32)
     keys, seq_ids, pos = _concat_device_smls(smls_dev)
+    if sketch_mod > 1:
+        out_n = merops.bucket_size(
+            max(int(keys.shape[0]) // sketch_mod * 5 // 4, 1 << 12)
+        )
+        keys, seq_ids, pos = _sketch_compact(keys, seq_ids, pos, out_n, sketch_mod)
     N = keys.shape[0]
     timing.GLOBAL.add("k2_sort_entries", float(N))
     cap = initial_cap if initial_cap is not None else max(1 << 14, N >> 3)

@@ -103,3 +103,38 @@ def test_cap_overflow_auto_retry(rng, recwarn):
         )
     assert len(big) > 16  # the tiny cap genuinely overflowed
     assert _canon(big) == _canon(small)
+
+
+def test_sketch_preserves_coverage(rng):
+    """A 1/8 mer sketch must preserve the COVERAGE signal the distance
+    matrix and the tree-progressive gate consume: extension grows every
+    sampled seed to its maximal extent, so covered positions survive even
+    though WHICH overlapping inexact-match variants appear can differ
+    (spaced-seed matches tolerate don't-care mismatches, and distinct
+    window runs extend to overlapping variants on both paths)."""
+    from mauvealigner_tpu.core.sml import build_mer_list_device
+
+    anc = simulate.random_genome(rng, 20_000)
+    der, _ = simulate.evolve(anc, rng, sub_rate=0.005)
+    seed = get_seed(11, 0)
+    smls = [build_mer_list_device(g, seed) for g in [anc, der]]
+    full = matchops.find_multi_mums_device([anc, der], smls, seed_length=seed.length)
+    sk = matchops.find_multi_mums_device(
+        [anc, der], smls, seed_length=seed.length, sketch_mod=8
+    )
+
+    def covered(ml, col, n):
+        mask = np.zeros(n + 2, bool)
+        for s, ln in zip(ml.starts[:, col], ml.lengths):
+            if s == 0:
+                continue
+            l = abs(int(s))
+            mask[l : l + int(ln)] = True
+        return mask
+
+    for col, g in ((0, anc), (1, der)):
+        cf = covered(full, col, len(g))
+        cs = covered(sk, col, len(g))
+        assert cs.sum() >= 0.95 * cf.sum()
+        # the sketch must not claim coverage the full search lacks
+        assert (cs & ~cf).sum() <= 0.01 * max(cf.sum(), 1)
