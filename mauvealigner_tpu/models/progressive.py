@@ -256,8 +256,15 @@ class ProgressiveMauve:
             sketched = False
         else:
             # when the search can only feed distances + the coverage gate
-            # (tree-progressive candidates), a mer-space sketch suffices
-            sketched = o.tree_progressive is not False and o.distance_sketch > 1
+            # (tree-progressive candidates), a mer-space sketch suffices —
+            # but only at scale: below ~4 Mbases total the full search is
+            # cheap and the subsample would add distance noise
+            total_bases = int(sum(len(g) for g in genomes))
+            sketched = (
+                o.tree_progressive is not False
+                and o.distance_sketch > 1
+                and total_bases > 4_000_000
+            )
             with timer.phase("anchoring"):
                 ml = self.find_matches(
                     genomes, sketch_mod=o.distance_sketch if sketched else 1
