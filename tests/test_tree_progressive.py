@@ -80,3 +80,26 @@ def test_tree_progressive_end_to_end_with_inversion(rng):
         s = score_alignment(t, proj, [len(anc), len(genomes[i])])
         assert s.sensitivity > 0.9, f"pair 0-{i}: {s.summary()}"
         assert s.ppv > 0.9, f"pair 0-{i}: {s.summary()}"
+
+
+def test_auto_gate_selects_path_by_coverage(rng):
+    """tree_progressive=None: extant path at low divergence (n-way anchors
+    cover plenty), consensus-ladder when coverage collapses."""
+    from mauvealigner_tpu.models.progressive import ProgressiveMauve, ProgressiveOptions
+    from mauvealigner_tpu.utils import timing
+
+    anc = simulate.random_genome(rng, 12_000)
+
+    def run(rate):
+        genomes = [anc]
+        for i in range(4):
+            d, _ = simulate.evolve(anc, rng, sub_rate=rate, name=f"d{i}")
+            genomes.append(d)
+        timing.GLOBAL.reset()
+        ProgressiveMauve(
+            ProgressiveOptions(use_sml_cache=False, skip_backbone=True, refine=False)
+        ).align(genomes)
+        return "tree_progressive" in timing.GLOBAL.phases
+
+    assert run(0.01) is False   # low divergence: extant pipeline
+    assert run(0.14) is True    # high divergence: consensus ladder
