@@ -18,15 +18,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def build_genomes(size: int, k: int):
+def build_genomes(size: int, k: int, max_rate: float = 0.08):
     from mauvealigner_tpu.utils import simulate
 
     rng = np.random.default_rng(37)
     anc = simulate.random_genome(rng, size, name="anc")
     genomes, truths = [anc], []
-    # per-branch substitution rates 3-8%: pairwise divergence between two
-    # derived genomes ~ sum of branch rates = 6-16% plus indels
-    rates = np.linspace(0.03, 0.08, k - 1)
+    # per-branch substitution rates 3%..max_rate: pairwise divergence between
+    # two derived genomes ~ sum of branch rates, plus indels
+    rates = np.linspace(0.03, max_rate, k - 1)
     for i, s in enumerate(rates):
         d, t = simulate.evolve(
             anc, rng, sub_rate=float(s), ins_rate=float(s) / 10,
@@ -51,13 +51,13 @@ def build_genomes(size: int, k: int):
     return genomes, truths
 
 
-def main(size: int, k: int, repeats: int):
+def main(size: int, k: int, repeats: int, max_rate: float = 0.08):
     from mauvealigner_tpu.analysis.score_alignment import score_alignment
     from mauvealigner_tpu.models.progressive import ProgressiveMauve, ProgressiveOptions
     from mauvealigner_tpu.utils import timing
 
     t0 = time.time()
-    genomes, truths = build_genomes(size, k)
+    genomes, truths = build_genomes(size, k, max_rate)
     gen_s = time.time() - t0
 
     times = []
@@ -82,7 +82,8 @@ def main(size: int, k: int, repeats: int):
     score_s = time.time() - t0
 
     out = {
-        "config": f"progressive_{k}way_{size//1000}kbp",
+        "config": f"progressive_{k}way_{size//1000}kbp"
+        + (f"_rate{max_rate}" if max_rate != 0.08 else ""),
         "wallclock_warm_s": round(min(times), 2),
         "wallclock_cold_s": round(times[0], 2),
         "phases": {p: round(t, 2) for p, t in timing.GLOBAL.phases.items()},
@@ -102,4 +103,5 @@ if __name__ == "__main__":
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 4_600_000
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 9
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    main(size, k, reps)
+    max_rate = float(sys.argv[4]) if len(sys.argv) > 4 else 0.08
+    main(size, k, reps, max_rate)
