@@ -103,3 +103,21 @@ def test_auto_gate_selects_path_by_coverage(rng):
 
     assert run(0.01) is False   # low divergence: extant pipeline
     assert run(0.14) is True    # high divergence: consensus ladder
+
+
+def test_tree_progressive_handles_ambiguity_runs(rng):
+    """N runs in an input genome must flow through consensus building and
+    per-node alignment without corrupting coordinates."""
+    from mauvealigner_tpu.genome.sequence import Genome
+
+    anc = simulate.random_genome(rng, 8000)
+    seq = anc.seq.copy()
+    seq[3000:3050] = ord("N")
+    g0 = Genome(seq, name="g0")
+    d1, _ = simulate.evolve(anc, rng, sub_rate=0.10, name="d1")
+    d2, _ = simulate.evolve(anc, rng, sub_rate=0.10, name="d2")
+    res = ProgressiveMauve(
+        ProgressiveOptions(use_sml_cache=False, tree_progressive=True,
+                           skip_backbone=True, refine=False)
+    ).align([g0, d1, d2])
+    validate_interval_list(res.interval_list, [g0, d1, d2])
