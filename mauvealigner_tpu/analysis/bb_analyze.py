@@ -175,6 +175,12 @@ def bb_analyze_report(
         out.write(f"segments: {len(reports)}\n")
         out.write(f"core segments: {n_core}\n")
         out.write(f"variable segments: {n_var}\n")
+        sites = find_variable_segments_with_flanking_bb(rows, n_seqs)
+        alts = find_variable_segments_with_flanking_bb(
+            rows, n_seqs, alternalogs=True
+        )
+        out.write(f"There are {len(sites)} variable segment sites\n")
+        out.write(f"There are {len(alts)} alternalog sites\n")
         out.write(
             f"intergenic variable segments: "
             f"{sum(1 for r in var if r.intergenic)}\n"
@@ -489,3 +495,81 @@ def write_tree_analysis(
         out.write(f"total avg. hop one length at this node: {s.hop_one_len:.6g}\n")
         out.write(f"total avg. hop two length at this node: {s.hop_two_len:.6g}\n")
         out.write(f'total "pan-genome" size at this node: {s.pan_genome_len:.6g}\n')
+
+
+# ---------------------------------------------------------------------------
+# Variable-segment / alternalog site detection between flanking n-way
+# backbone (findVariableSegmentsWithFlankingBB + analyzeVariableSegments,
+# src/bbAnalyze.cpp:426-560).
+# ---------------------------------------------------------------------------
+
+ALTERNALOG_MIN_SIZE = 15  # src/bbAnalyze.cpp:22
+
+
+def find_variable_segments_with_flanking_bb(
+    rows: Sequence[np.ndarray],
+    n_seqs: int,
+    min_bb_size: int = ALTERNALOG_MIN_SIZE,
+    min_variable_size: int = ALTERNALOG_MIN_SIZE,
+    alternalogs: bool = False,
+) -> List[Tuple[int, int, np.ndarray]]:
+    """Sites where substantial variable content sits between two consecutive
+    full-multiplicity backbone segments.
+
+    The reference walks its backbone list in file order within each
+    interval; here adjacency is defined coordinate-wise (equivalent for a
+    well-formed backbone): flank pairs are consecutive n-way segments along
+    every genome, and a subset segment lies between them when all its
+    members fall inside the per-genome gaps.  With ``alternalogs`` a site
+    needs >= 2 distinct alleles (subset segments or substantial unaligned
+    gaps); otherwise one suffices.
+
+    Returns (flank_a_index, flank_b_index, variable_region int64[2*n_seqs])
+    triples; the region row holds the per-genome [gap_left, gap_right]
+    coordinates between the flanks (0,0 where empty).
+    """
+    if not len(rows):
+        return []
+    mat = np.stack(rows).astype(np.int64)
+    lefts = np.abs(mat[:, ::2])
+    rights = np.abs(mat[:, 1::2])
+    lo = np.minimum(lefts, rights)
+    hi = np.maximum(lefts, rights)
+    present = mat[:, ::2] != 0
+    spans = np.where(present, hi - lo + 1, 0)
+    nway = present.all(axis=1) & (spans.mean(axis=1) >= min_bb_size)
+    nidx = np.nonzero(nway)[0]
+    if len(nidx) < 2:
+        return []
+    order = nidx[np.argsort(lo[nidx, 0], kind="stable")]
+    out = []
+    for a, b in zip(order[:-1], order[1:]):
+        # per-genome gap between the flanks (flanks are n-way: all present)
+        gl = hi[a] + 1
+        gr = lo[b] - 1
+        if (gr < gl - 1).any():  # overlapping/unordered flanks: not a site
+            continue
+        alleles = 0
+        seen = np.zeros(n_seqs, bool)
+        for r in range(mat.shape[0]):
+            if nway[r] or not present[r].any():
+                continue
+            m = present[r]
+            if spans[r][m].mean() < min_variable_size:
+                continue
+            inside = (lo[r][m] >= gl[m]) & (hi[r][m] <= gr[m])
+            if not inside.all():
+                continue
+            if (~seen[m]).any():
+                alleles += 1
+            seen |= m
+        # members with a substantial unaligned gap count as alleles too
+        gap_allele = (~seen) & (gr - gl + 1 >= min_variable_size)
+        alleles += int(gap_allele.sum())
+        if (alternalogs and alleles > 1) or (not alternalogs and alleles > 0):
+            region = np.zeros(2 * n_seqs, np.int64)
+            nonempty = gr >= gl
+            region[::2] = np.where(nonempty, gl, 0)
+            region[1::2] = np.where(nonempty, gr, 0)
+            out.append((int(a), int(b), region))
+    return out

@@ -83,3 +83,34 @@ def test_trifurcating_and_unary_nodes():
     rows2 = [_row(2, {0: (1, 100), 1: (1, 100)})]
     summaries2 = tree_node_analysis(rows2, 2, unary)  # must not raise
     assert any(s.leaf_seqs == [0, 1] for s in summaries2)
+
+
+def test_variable_segment_and_alternalog_sites():
+    """findVariableSegmentsWithFlankingBB semantics
+    (src/bbAnalyze.cpp:426-500): variable sites need one substantial allele
+    between consecutive n-way flanks; alternalogs need two."""
+    from mauvealigner_tpu.analysis.bb_analyze import (
+        find_variable_segments_with_flanking_bb,
+    )
+
+    n = 3
+    rows = [
+        _row(n, {0: (1, 100), 1: (1, 100), 2: (1, 100)}),        # flank A
+        _row(n, {0: (200, 300), 1: (200, 300), 2: (200, 300)}),  # flank B
+        _row(n, {0: (120, 180)}),                                # allele 1
+        _row(n, {1: (120, 180)}),                                # allele 2
+        # second site: flank B..C with NO variable content
+        _row(n, {0: (320, 400), 1: (320, 400), 2: (320, 400)}),  # flank C
+        # third site: flank C..D with one allele (genome 2's gap >= 15 also
+        # counts for genomes not covered by any subset row)
+        _row(n, {0: (500, 600), 1: (500, 600), 2: (500, 600)}),  # flank D
+        _row(n, {0: (430, 470), 1: (430, 470)}),                 # shared allele
+    ]
+    var = find_variable_segments_with_flanking_bb(rows, n)
+    alt = find_variable_segments_with_flanking_bb(rows, n, alternalogs=True)
+    # sites: A-B (2 alleles), B-C (gap alleles only: gaps are 19bp >= 15 ->
+    # 3 gap alleles), C-D (subset allele + genome-2 gap allele)
+    assert len(var) == 3
+    assert len(alt) == 3  # A-B: 2 subset; B-C: 3 gap; C-D: 1 subset + 1 gap
+    a, b, region = var[0]
+    assert region[0] == 101 and region[1] == 199  # genome 0 gap coordinates
