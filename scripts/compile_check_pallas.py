@@ -56,6 +56,30 @@ def check_bucket(M: int) -> dict:
     identical = all(
         np.array_equal(a, b) for a, b in zip(ops_scan, ops_pal)
     ) and np.allclose(s_scan, s_pal, atol=1e-2)
+
+    # kernel-only forward GCUPS: inputs device-resident, no traceback, no
+    # transfers — the number to hold against the wavefront roofline
+    # (end-to-end timings above include host round trips over the tunnel)
+    import jax
+    import jax.numpy as jnp
+
+    from mauvealigner_tpu.ops.dp import HOXD70, _gotoh_codes_pallas
+
+    dca, dcb = jnp.asarray(ca), jnp.asarray(cb)
+    dla, dlb = jnp.asarray(la), jnp.asarray(lb)
+    subst = jnp.asarray(HOXD70, jnp.float32)
+    go, ge = jnp.float32(-400.0), jnp.float32(-30.0)
+
+    def fwd():
+        return _gotoh_codes_pallas(dca, dcb, dla, dlb, subst, go, ge, M, M)
+
+    jax.block_until_ready(fwd())
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = fwd()
+    jax.block_until_ready(out)
+    kernel_s = (time.time() - t0) / reps
     return {
         "bucket": M,
         "batch": B,
@@ -64,7 +88,9 @@ def check_bucket(M: int) -> dict:
         "pallas_warm_s": round(warm_pal, 3),
         "scan_cold_s": round(cold_scan, 3),
         "pallas_cold_s": round(cold_pal, 3),
-        "gcups_pallas": round(B * M * M / max(warm_pal, 1e-9) / 1e9, 2),
+        "gcups_e2e": round(B * M * M / max(warm_pal, 1e-9) / 1e9, 2),
+        "kernel_forward_s": round(kernel_s, 4),
+        "gcups_kernel": round(B * M * M / max(kernel_s, 1e-9) / 1e9, 2),
     }
 
 
