@@ -53,6 +53,10 @@ class AlignerOptions:
     subst: Optional[np.ndarray] = None  # 5x5 substitution scores; None = HOXD70
     use_sml_cache: bool = True
     debug: bool = False  # internal consistency checks (--debug, very slow)
+    # run the N-way anchor search over a device mesh (two-phase all-to-all
+    # partitioned search, parallel.find_multi_mums_sharded); None = single
+    # device.  Output matches the single-device search (canonical order).
+    mesh: Optional[object] = None
     # optional anchor scoring callback MatchList -> [n] float weights
     # (progressive sum-of-pairs schemes, models/anchor_score.py); lcb_weight
     # must then be in the same units
@@ -81,6 +85,12 @@ class MauveAligner:
         from mauvealigner_tpu.core.sml import build_mer_list_device
 
         smls_dev = [build_mer_list_device(g, seed) for g in genomes]
+        if o.mesh is not None:
+            from mauvealigner_tpu.parallel import find_multi_mums_sharded
+
+            return find_multi_mums_sharded(
+                genomes, smls_dev, o.mesh, seed_length=seed.length
+            )
         return matchops.find_multi_mums_device(
             genomes, smls_dev, seed_length=seed.length
         )

@@ -246,3 +246,28 @@ def test_sort_contigs_sharded_matches_sequential(rng):
             assert log == want_log
             assert np.array_equal(fixed.seq, want_fixed.seq)
             assert sum(1 for _, s in log if s != 0) > 0
+
+
+def test_flagship_aligner_under_mesh_matches_single(rng):
+    """The full MauveAligner pipeline with its anchor search running over
+    the mesh must emit the identical alignment as the single-device run
+    (determinism across shardings — SURVEY §7 hard part 5)."""
+    import io
+
+    from mauvealigner_tpu.models.aligner import AlignerOptions, MauveAligner
+    from mauvealigner_tpu.utils import simulate
+
+    anc = simulate.random_genome(rng, 6000)
+    der, _ = simulate.evolve(anc, rng, sub_rate=0.02, ins_rate=0.001, del_rate=0.001)
+    der = simulate.apply_inversion(der, 2000, 3500)
+    genomes = [anc, der]
+
+    def run(mesh):
+        res = MauveAligner(
+            AlignerOptions(seed_size=11, use_sml_cache=False, mesh=mesh)
+        ).align(genomes)
+        buf = io.StringIO()
+        res.interval_list.write_xmfa(buf)
+        return buf.getvalue()
+
+    assert run(None) == run(make_mesh(8))
