@@ -256,7 +256,14 @@ def find_multi_mums_sharded(
     keys, seq_ids, pos = matchops._concat_device_smls(smls_dev)
     N = int(keys.shape[0])
     D = mesh.devices.size
-    assert N % D == 0, "bucketed entry counts are powers of two"
+    if N % D:  # non-power-of-two meshes: pad the entry rows to divide
+        padn = (-N) % D
+        keys = jnp.concatenate(
+            [keys, jnp.full(padn, merops.INVALID_KEY, jnp.int64)]
+        )
+        seq_ids = jnp.concatenate([seq_ids, jnp.zeros(padn, jnp.int32)])
+        pos = jnp.concatenate([pos, jnp.zeros(padn, jnp.int32)])
+        N += padn
     if jax.process_count() > 1:
         # multi-process (DCN) path: genomes are replicated per host, so the
         # locally-built entry arrays re-scatter into the global mesh

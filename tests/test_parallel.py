@@ -271,3 +271,23 @@ def test_flagship_aligner_under_mesh_matches_single(rng):
         return buf.getvalue()
 
     assert run(None) == run(make_mesh(8))
+
+
+def test_find_multi_mums_sharded_non_pow2_mesh(rng):
+    """Six-device mesh: the hash partition must stay uniform (h % D, not a
+    bitmask) and entry rows pad to divide the mesh."""
+    from mauvealigner_tpu.core.sml import build_mer_list_device
+    from mauvealigner_tpu.ops import matchops
+    from mauvealigner_tpu.parallel import find_multi_mums_sharded
+    from mauvealigner_tpu.utils import simulate
+
+    anc = simulate.random_genome(rng, 3000)
+    der, _ = simulate.evolve(anc, rng, sub_rate=0.02)
+    genomes = [anc, der]
+    seed = get_seed(9, 0)
+    smls = [build_mer_list_device(g, seed) for g in genomes]
+    single = matchops.find_multi_mums_device(genomes, smls, seed_length=seed.length)
+    sharded = find_multi_mums_sharded(
+        genomes, smls, make_mesh(6), seed_length=seed.length
+    )
+    assert _canon_ml(single) == _canon_ml(sharded)
