@@ -113,6 +113,9 @@ def mauve_aligner_cli(argv: List[str]) -> int:
     )
     p.add_argument("--weight", type=float, default=None, help="minimum LCB weight")
     p.add_argument("--no-recursion", action="store_true")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="run the anchor search sharded over this many "
+                   "devices (0 = single device; output is identical)")
     p.add_argument("--no-lcb-extension", action="store_true",
                    help="skip the LCB extension phase")
     p.add_argument("--max-extension-iterations", type=int, default=4,
@@ -189,7 +192,13 @@ def mauve_aligner_cli(argv: List[str]) -> int:
     genomes = load_genomes(a.seqs)
     if (a.island_size != 0) != (a.island_output != ""):
         p.error("Both --island-output and --island-size must be specified")
+    mesh = None
+    if a.mesh_devices > 1:
+        from mauvealigner_tpu.parallel import make_mesh
+
+        mesh = make_mesh(a.mesh_devices)
     opts = AlignerOptions(
+        mesh=mesh,
         seed_size=a.seed_size,
         seed_rank=rank,
         lcb_weight=a.weight,
