@@ -3,8 +3,11 @@
 Usage: python scripts/bench_configs.py [config_ids...]
   1 pairwise 1Mbp           (same as bench.py)
   2 three-genome 500kbp with inversion, recursive + islands/backbone
-  3 nine-way 250kbp progressive with HMM backbone
+  3 nine-way 250kbp progressive with HMM backbone (REAL-scale config 3 at
+    9 x 4.6 Mbp lives in scripts/bench_enterobacteria.py)
   4 repeatoire on a 300kbp genome with planted repeat families
+  5 draft workflow (sortContigs + 8-way progressive; sharded front half
+    when >1 device is present)
 Emits one JSON line per config.
 """
 
