@@ -410,7 +410,7 @@ class ProgressiveMauve:
             )
             return inner
 
-        with timer.phase("tree_progressive"):
+        with timer.phase("tree_progressive"), timer.suspend():
             ivl, lcbs = tree_progressive_align(genomes, tree, factory)
         plan = closure_mod.tree_plan(tree)
         if o.refine and o.gapped:

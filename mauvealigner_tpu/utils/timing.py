@@ -32,14 +32,28 @@ class PhaseTimer:
     def __init__(self) -> None:
         self.phases: "OrderedDict[str, float]" = OrderedDict()
         self.counters: Dict[str, float] = {}
+        self._suspended = 0
 
     @contextlib.contextmanager
     def phase(self, name: str):
+        if self._suspended:  # nested pipeline (e.g. per-node merges): the
+            yield            # enclosing phase already owns this wall-clock
+            return
         t0 = time.perf_counter()
         try:
             yield
         finally:
             self.phases[name] = self.phases.get(name, 0.0) + time.perf_counter() - t0
+
+    @contextlib.contextmanager
+    def suspend(self):
+        """Stop recording phases (counters still accumulate) — used by
+        composite phases whose inner pipelines would double-count."""
+        self._suspended += 1
+        try:
+            yield
+        finally:
+            self._suspended -= 1
 
     def add(self, counter: str, value: float) -> None:
         self.counters[counter] = self.counters.get(counter, 0.0) + value
