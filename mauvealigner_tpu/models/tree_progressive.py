@@ -221,15 +221,18 @@ def tree_progressive_align(
 
     aligner_factory() -> a configured MauveAligner for one pairwise node
     merge (a fresh instance per node: the aligner caches per-run state)."""
+    counter = [0]
+
     def build(node) -> NodeProfile:
         if node.is_leaf:
             i = int(node.name)
             return leaf_profile(i, genomes[i])
         prof = build(node.children[0])
-        for k, child in enumerate(node.children[1:], start=1):
+        for child in node.children[1:]:
             right = build(child)
+            counter[0] += 1
             prof = merge_profiles(
-                genomes, prof, right, aligner_factory, f"node{id(node)}_{k}"
+                genomes, prof, right, aligner_factory, f"node{counter[0]}"
             )
         return prof
 
