@@ -80,6 +80,28 @@ def check_bucket(M: int) -> dict:
         out = fwd()
     jax.block_until_ready(out)
     kernel_s = (time.time() - t0) / reps
+
+    # per-dispatch tunnel latency dominates single launches (~30-45 ms vs
+    # sub-ms of chip time at these batch sizes), so the TRUE chip throughput
+    # comes from an on-device loop: LOOPS forwards inside ONE dispatch,
+    # dependence threaded through the scores so XLA cannot elide iterations
+    LOOPS = 32
+
+    @jax.jit
+    def fwd_loop():
+        def body(i, acc):
+            s, dec = _gotoh_codes_pallas(
+                dca, dcb, dla + (acc * 0).astype(jnp.int32), dlb,
+                subst, go, ge, M, M,
+            )
+            return acc + jnp.sum(s) * jnp.float32(1e-9)
+        return jax.lax.fori_loop(0, LOOPS, body, jnp.float32(0.0))
+
+    jax.block_until_ready(fwd_loop())
+    t0 = time.time()
+    jax.block_until_ready(fwd_loop())
+    loop_s = time.time() - t0
+    chip_s = max(loop_s / LOOPS, 1e-9)
     return {
         "bucket": M,
         "batch": B,
@@ -91,6 +113,11 @@ def check_bucket(M: int) -> dict:
         "gcups_e2e": round(B * M * M / max(warm_pal, 1e-9) / 1e9, 2),
         "kernel_forward_s": round(kernel_s, 4),
         "gcups_kernel": round(B * M * M / max(kernel_s, 1e-9) / 1e9, 2),
+        "chip_forward_s": round(chip_s, 5),
+        "gcups_chip": round(B * M * M / chip_s / 1e9, 2),
+        "chip_utilization_vs_270_roofline": round(
+            B * M * M / chip_s / 270e9, 4
+        ),
     }
 
 
