@@ -42,10 +42,16 @@ GROUP = 8          # batch elements per grid row (one per sublane)
 
 
 def _chunk_for(sp: int) -> int:
-    """Diagonals per grid step, sized so the streamed blocks fit VMEM with
-    double buffering: sskew (CH, 8, sp) bf16 + dec (CH, 8, sp) u8 = 24*CH*sp
-    bytes per buffer; keep two buffers of each under ~8 MB."""
-    return 64 if sp <= 2304 else 32
+    """Diagonals per grid step: as LARGE as VMEM allows — measured per-grid-
+    step overhead (~30 us/chunk) bounds the kernel well before the
+    recurrence math, so fewer/bigger chunks win.  The streamed blocks are
+    sskew (CH, 8, sp) bf16 + dec (CH, 8, sp) u8 = 24*CH*sp bytes per buffer;
+    keep two double-buffered copies under ~8 MB."""
+    budget = 1 << 23  # bytes for 2 x (sskew + dec) buffers
+    ch = 32
+    while ch < 256 and 2 * 24 * (ch * 2) * sp <= budget:
+        ch *= 2
+    return ch
 
 
 def _round_up(x: int, m: int) -> int:
