@@ -603,26 +603,37 @@ class Repeatoire:
                     extended[id(f)] = f
             if novel_records:
                 # novel records enter the procrastination order like any
-                # other candidate (M_e->extended = false in the reference:
-                # they extend when popped, here via one extra batched pass;
-                # second-generation novels are not chased)
+                # other candidate; they extend LAZILY (M_e->extended = false
+                # in the reference: extension happens at pop time), i.e.
+                # only the few that survive coverage subsumption get a
+                # batched extension pass after the loop — eagerly extending
+                # all of them cost 4x on repeat-dense genomes for zero
+                # output difference.  Overlapping parents spawn duplicate
+                # segments; dedup by geometry first.
+                seen_nov: set = set()
+                uniq = []
                 for nf in novel_records:
+                    key = (tuple(nf.starts.tolist()), nf.n_cols)
+                    if key not in seen_nov:
+                        seen_nov.add(key)
+                        uniq.append(nf)
+                for nf in uniq:
                     nf.tandem = _is_tandem(nf, nw)
-                todo2 = [nf for nf in novel_records if not nf.tandem]
-                if todo2:
-                    ext2, _ = self._gapped_extend_batch(genome, todo2)
-                    for nf, e in zip(todo2, ext2):
-                        e.tandem = _is_tandem(e, nw)
-                        extended[id(nf)] = e
-                for nf in novel_records:
-                    extended.setdefault(id(nf), nf)
+                    extended[id(nf)] = nf
                     fams.append((nf.multiplicity, nf.n_cols, nf))
                 fams.sort(key=lambda t: (-t[0], -t[1]))
+                novel_ids = {id(nf) for nf in uniq}
+            else:
+                novel_ids = set()
+        else:
+            novel_ids = set()
         covered = np.zeros(len(genome) + 2, dtype=bool)
         out: List[RepeatFamily] = []
         processed: List[RepeatFamily] = []
         spawned_sigs: set = set()
+        lazy_novel: List[Tuple[int, RepeatFamily]] = []  # (out index, record)
         for _, _, fam in fams:
+            pre = fam
             spans = fam.spans()
             total = int((spans[:, 1] - spans[:, 0] + 1).sum())
             already = sum(
@@ -631,8 +642,11 @@ class Repeatoire:
             if total and already / total >= o.subsume_overlap:
                 continue  # subsumed by previously processed families
             if o.extend:
-                fam = extended[id(fam)]
-            if fam.n_cols < max(o.min_length, 1):
+                fam = extended[id(pre)]
+            is_novel = id(pre) in novel_ids
+            # novels are still unextended here (pop-time extension); their
+            # length check waits until after it
+            if not is_novel and fam.n_cols < max(o.min_length, 1):
                 continue
             for l, r in fam.spans():
                 covered[l : r + 1] = True
@@ -640,7 +654,17 @@ class Repeatoire:
                 out.extend(self._novel_subsets(fam, processed, spawned_sigs))
             processed.append(fam)
             out.append(fam)
-        return out
+            if is_novel and o.extend and not fam.tandem:
+                lazy_novel.append((len(out) - 1, fam))
+        if lazy_novel:
+            ext3, _ = self._gapped_extend_batch(
+                genome, [f for _, f in lazy_novel]
+            )
+            for (oi, pre_f), e in zip(lazy_novel, ext3):
+                e.tandem = pre_f.tandem or _is_tandem(e, nw)
+                out[oi] = e
+        min_len = max(o.min_length, 1)
+        return [f for f in out if f.n_cols >= min_len]
 
     # -- novel subset generation (processNovelSubsetMatches,
     #    src/repeatoire.cpp:1474-1608; gated by --novel-subsets, :1725) ------
