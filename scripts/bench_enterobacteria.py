@@ -18,9 +18,55 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def _cache_path(size, k, max_rate):
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".bench_logs")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"entero_{size}_{k}_{max_rate}.npz")
+
+
+def _save_cache(path, genomes, truths):
+    from mauvealigner_tpu.core.interval import IntervalList
+
+    blobs = {"n_genomes": np.int64(len(genomes))}
+    for i, g in enumerate(genomes):
+        blobs[f"g{i}"] = g.seq
+    for t_i, t in enumerate(truths):
+        blobs[f"t{t_i}_n"] = np.int64(len(t.intervals))
+        for j, iv in enumerate(t.intervals):
+            blobs[f"t{t_i}_{j}_starts"] = iv.starts
+            blobs[f"t{t_i}_{j}_aln"] = np.packbits(iv.aln, axis=1)
+            blobs[f"t{t_i}_{j}_cols"] = np.int64(iv.aln.shape[1])
+    np.savez_compressed(path, **blobs)
+
+
+def _load_cache(path):
+    from mauvealigner_tpu.core.interval import Interval, IntervalList
+    from mauvealigner_tpu.genome.sequence import Genome
+
+    z = np.load(path)
+    n = int(z["n_genomes"])
+    names = ["anc"] + [f"d{i}" for i in range(n - 1)]
+    genomes = [Genome(z[f"g{i}"], name=names[i]) for i in range(n)]
+    truths = []
+    for t_i in range(n - 1):
+        ivs = []
+        for j in range(int(z[f"t{t_i}_n"])):
+            cols = int(z[f"t{t_i}_{j}_cols"])
+            aln = np.unpackbits(z[f"t{t_i}_{j}_aln"], axis=1)[:, :cols].astype(bool)
+            ivs.append(Interval(z[f"t{t_i}_{j}_starts"], aln))
+        truths.append(IntervalList(
+            genomes=[genomes[0], genomes[t_i + 1]], intervals=ivs
+        ))
+    return genomes, truths
+
+
 def build_genomes(size: int, k: int, max_rate: float = 0.08):
     from mauvealigner_tpu.utils import simulate
 
+    cache = _cache_path(size, k, max_rate)
+    if os.path.exists(cache):
+        return _load_cache(cache)
     rng = np.random.default_rng(37)
     anc = simulate.random_genome(rng, size, name="anc")
     genomes, truths = [anc], []
@@ -48,6 +94,10 @@ def build_genomes(size: int, k: int, max_rate: float = 0.08):
                         continue
         genomes.append(d)
         truths.append(t)
+    try:
+        _save_cache(cache, genomes, truths)
+    except Exception:
+        pass  # cache is an optimization only
     return genomes, truths
 
 
