@@ -34,9 +34,24 @@ def _load_measured_baseline():
     try:
         with open(path) as fh:
             rec = json.load(fh)
-        return float(rec["architecture_s"]), float(rec["lower_bound_s"])
+        import platform
+
+        bl_host = rec.get("hostname")
+        cur_host = platform.node()
+        if bl_host and bl_host != cur_host:
+            print(
+                f"WARNING: BASELINE_MEASURED.json was measured on host "
+                f"{bl_host!r} but this is {cur_host!r}; re-run "
+                f"scripts/measure_baseline.py for a same-host baseline",
+                file=sys.stderr,
+            )
+        return (
+            float(rec["architecture_s"]),
+            float(rec["lower_bound_s"]),
+            bl_host,
+        )
     except Exception:
-        return None, None
+        return None, None, None
 
 
 def main():
@@ -68,7 +83,7 @@ def main():
     elapsed = min(warm_times)
 
     aligned_cols = sum(iv.n_cols for iv in res.interval_list.intervals)
-    arch_s, lower_s = _load_measured_baseline()
+    arch_s, lower_s, baseline_host = _load_measured_baseline()
     baseline_s = arch_s if arch_s is not None else ESTIMATED_BASELINE_S
     result = {
         "metric": "pairwise_1mbp_wallclock",
@@ -87,6 +102,7 @@ def main():
                 "architecture)" if arch_s is not None else "estimate"
             ),
             "baseline_s": round(baseline_s, 3),
+            "baseline_host": baseline_host,
             "cpu_lower_bound_s": lower_s,
             "vs_cpu_lower_bound": (
                 round(lower_s / elapsed, 3) if lower_s else None

@@ -175,10 +175,7 @@ def bb_analyze_report(
         out.write(f"segments: {len(reports)}\n")
         out.write(f"core segments: {n_core}\n")
         out.write(f"variable segments: {n_var}\n")
-        sites = find_variable_segments_with_flanking_bb(rows, n_seqs)
-        alts = find_variable_segments_with_flanking_bb(
-            rows, n_seqs, alternalogs=True
-        )
+        sites, alts = variable_and_alternalog_sites(rows, n_seqs)
         out.write(f"There are {len(sites)} variable segment sites\n")
         out.write(f"There are {len(alts)} alternalog sites\n")
         out.write(
@@ -506,30 +503,38 @@ def write_tree_analysis(
 ALTERNALOG_MIN_SIZE = 15  # src/bbAnalyze.cpp:22
 
 
-def find_variable_segments_with_flanking_bb(
+def variable_and_alternalog_sites(
     rows: Sequence[np.ndarray],
     n_seqs: int,
     min_bb_size: int = ALTERNALOG_MIN_SIZE,
     min_variable_size: int = ALTERNALOG_MIN_SIZE,
-    alternalogs: bool = False,
-) -> List[Tuple[int, int, np.ndarray]]:
-    """Sites where substantial variable content sits between two consecutive
-    full-multiplicity backbone segments.
+) -> Tuple[
+    List[Tuple[int, int, np.ndarray]], List[Tuple[int, int, np.ndarray]]
+]:
+    """One-pass detection of variable-segment sites AND alternalog sites.
 
-    The reference walks its backbone list in file order within each
-    interval; here adjacency is defined coordinate-wise (equivalent for a
-    well-formed backbone): flank pairs are consecutive n-way segments along
-    every genome, and a subset segment lies between them when all its
-    members fall inside the per-genome gaps.  With ``alternalogs`` a site
-    needs >= 2 distinct alleles (subset segments or substantial unaligned
-    gaps); otherwise one suffices.
+    Sites are places where substantial variable content sits between two
+    consecutive full-multiplicity backbone segments.  The reference walks
+    its backbone list in file order within each interval; here adjacency is
+    defined coordinate-wise (equivalent for a well-formed backbone): flank
+    pairs are consecutive n-way segments along every genome, and a subset
+    segment lies between them when all its members fall inside the
+    per-genome gaps.  A variable site needs >= 1 distinct allele (subset
+    segments or substantial unaligned gaps); an alternalog site needs >= 2.
 
-    Returns (flank_a_index, flank_b_index, variable_region int64[2*n_seqs])
-    triples; the region row holds the per-genome [gap_left, gap_right]
-    coordinates between the flanks (0,0 where empty).
+    Instead of rescanning every backbone row per flank pair (quadratic),
+    subset rows are bucketed onto flank gaps with one searchsorted pass per
+    genome (per-genome gaps of distinct flank pairs are disjoint in a
+    well-formed backbone), then alleles are counted per pair in row order.
+
+    Returns ``(sites, alternalog_sites)``; each element is a
+    (flank_a_index, flank_b_index, variable_region int64[2*n_seqs]) triple
+    whose region row holds the per-genome [gap_left, gap_right] coordinates
+    between the flanks (0,0 where empty).  ``alternalog_sites`` is a subset
+    of ``sites``.
     """
     if not len(rows):
-        return []
+        return [], []
     mat = np.stack(rows).astype(np.int64)
     lefts = np.abs(mat[:, ::2])
     rights = np.abs(mat[:, 1::2])
@@ -540,36 +545,90 @@ def find_variable_segments_with_flanking_bb(
     nway = present.all(axis=1) & (spans.mean(axis=1) >= min_bb_size)
     nidx = np.nonzero(nway)[0]
     if len(nidx) < 2:
-        return []
+        return [], []
     order = nidx[np.argsort(lo[nidx, 0], kind="stable")]
-    out = []
-    for a, b in zip(order[:-1], order[1:]):
-        # per-genome gap between the flanks (flanks are n-way: all present)
-        gl = hi[a] + 1
-        gr = lo[b] - 1
-        if (gr < gl - 1).any():  # overlapping/unordered flanks: not a site
+    pair_a, pair_b = order[:-1], order[1:]
+    n_pairs = len(pair_a)
+    # per-genome gap between the flanks (flanks are n-way: all present);
+    # pairs with overlapping/unordered flanks in any genome are not sites
+    gap_l = hi[pair_a] + 1  # (n_pairs, n_seqs)
+    gap_r = lo[pair_b] - 1
+    valid = ~(gap_r < gap_l - 1).any(axis=1)
+
+    # candidate subset rows: non-n-way, some member, substantial mean span
+    counts = present.sum(axis=1)
+    mean_span = spans.sum(axis=1) / np.maximum(counts, 1)
+    cand = np.nonzero(
+        ~nway & (counts > 0) & (mean_span >= min_variable_size)
+    )[0]
+
+    # bucket each candidate onto a flank pair: in every member genome its
+    # interval must sit inside that pair's gap.  Per genome, sort the gaps
+    # (ties broken toward the widest so empty gaps never shadow a real one)
+    # and searchsorted each candidate's start against the gap starts.
+    assign = np.full((len(cand), n_seqs), -1, np.int64)
+    for g in range(n_seqs):
+        ordp = np.lexsort((gap_r[:, g], gap_l[:, g]))
+        pos = (
+            np.searchsorted(gap_l[ordp, g], lo[cand, g], side="right") - 1
+        )
+        p = ordp[np.clip(pos, 0, n_pairs - 1)]
+        ok = (
+            (pos >= 0)
+            & present[cand, g]
+            & (lo[cand, g] >= gap_l[p, g])
+            & (hi[cand, g] <= gap_r[p, g])
+        )
+        assign[:, g] = np.where(ok, p, -1)
+    first_member = np.argmax(present[cand], axis=1)
+    prow = assign[np.arange(len(cand)), first_member]
+    member_ok = (assign == prow[:, None]) | ~present[cand]
+    belongs = (prow >= 0) & member_ok.all(axis=1)
+    belongs &= valid[np.clip(prow, 0, max(n_pairs - 1, 0))]
+
+    rows_of: Dict[int, List[int]] = {}
+    for ci in np.nonzero(belongs)[0]:  # cand ascending => row order kept
+        rows_of.setdefault(int(prow[ci]), []).append(int(cand[ci]))
+
+    sites: List[Tuple[int, int, np.ndarray]] = []
+    alts: List[Tuple[int, int, np.ndarray]] = []
+    for p in range(n_pairs):
+        if not valid[p]:
             continue
+        gl, gr = gap_l[p], gap_r[p]
         alleles = 0
         seen = np.zeros(n_seqs, bool)
-        for r in range(mat.shape[0]):
-            if nway[r] or not present[r].any():
-                continue
+        for r in rows_of.get(p, ()):
             m = present[r]
-            if spans[r][m].mean() < min_variable_size:
-                continue
-            inside = (lo[r][m] >= gl[m]) & (hi[r][m] <= gr[m])
-            if not inside.all():
-                continue
             if (~seen[m]).any():
                 alleles += 1
             seen |= m
         # members with a substantial unaligned gap count as alleles too
         gap_allele = (~seen) & (gr - gl + 1 >= min_variable_size)
         alleles += int(gap_allele.sum())
-        if (alternalogs and alleles > 1) or (not alternalogs and alleles > 0):
+        if alleles > 0:
             region = np.zeros(2 * n_seqs, np.int64)
             nonempty = gr >= gl
             region[::2] = np.where(nonempty, gl, 0)
             region[1::2] = np.where(nonempty, gr, 0)
-            out.append((int(a), int(b), region))
-    return out
+            trip = (int(pair_a[p]), int(pair_b[p]), region)
+            sites.append(trip)
+            if alleles > 1:
+                alts.append(trip)
+    return sites, alts
+
+
+def find_variable_segments_with_flanking_bb(
+    rows: Sequence[np.ndarray],
+    n_seqs: int,
+    min_bb_size: int = ALTERNALOG_MIN_SIZE,
+    min_variable_size: int = ALTERNALOG_MIN_SIZE,
+    alternalogs: bool = False,
+) -> List[Tuple[int, int, np.ndarray]]:
+    """Single-threshold view of :func:`variable_and_alternalog_sites`
+    (findVariableSegmentsWithFlankingBB, src/bbAnalyze.cpp:426-521): with
+    ``alternalogs`` a site needs >= 2 distinct alleles, otherwise one."""
+    sites, alts = variable_and_alternalog_sites(
+        rows, n_seqs, min_bb_size, min_variable_size
+    )
+    return alts if alternalogs else sites

@@ -603,13 +603,12 @@ class Repeatoire:
                     extended[id(f)] = f
             if novel_records:
                 # novel records enter the procrastination order like any
-                # other candidate; they extend LAZILY (M_e->extended = false
-                # in the reference: extension happens at pop time), i.e.
-                # only the few that survive coverage subsumption get a
-                # batched extension pass after the loop — eagerly extending
-                # all of them cost 4x on repeat-dense genomes for zero
-                # output difference.  Overlapping parents spawn duplicate
-                # segments; dedup by geometry first.
+                # other candidate; they extend at POP time (M_e->extended =
+                # false in the reference) via the speculative wave in the
+                # pop loop below — eagerly extending all of them here cost
+                # 4x on repeat-dense genomes for zero output difference.
+                # Overlapping parents spawn duplicate segments; dedup by
+                # geometry first.
                 seen_nov: set = set()
                 uniq = []
                 for nf in novel_records:
@@ -628,25 +627,53 @@ class Repeatoire:
         else:
             novel_ids = set()
         covered = np.zeros(len(genome) + 2, dtype=bool)
+
+        def _subsumed(f: RepeatFamily) -> bool:
+            spans = f.spans()
+            total = int((spans[:, 1] - spans[:, 0] + 1).sum())
+            already = sum(int(covered[l : r + 1].sum()) for l, r in spans)
+            return bool(total and already / total >= o.subsume_overlap)
+
         out: List[RepeatFamily] = []
         processed: List[RepeatFamily] = []
         spawned_sigs: set = set()
-        lazy_novel: List[Tuple[int, RepeatFamily]] = []  # (out index, record)
-        for _, _, fam in fams:
+        # Pop-time extension for novel records (M_e->extended = false in the
+        # reference: a novel extends when POPPED, so families popped later
+        # are subsumption-tested against its EXTENDED footprint).  Extension
+        # reads only the genome, never `covered`, so when the first surviving
+        # novel pops we speculatively batch it with every remaining unpopped
+        # novel that is not yet subsumed under CURRENT coverage (coverage
+        # only grows, so that set is a superset of the eventual survivors):
+        # exact sequential pop-time semantics, usually one batched call.
+        novel_ext: dict = {}
+        min_len = max(o.min_length, 1)
+        for qi, (_, _, fam) in enumerate(fams):
             pre = fam
-            spans = fam.spans()
-            total = int((spans[:, 1] - spans[:, 0] + 1).sum())
-            already = sum(
-                int(covered[l : r + 1].sum()) for l, r in spans
-            )
-            if total and already / total >= o.subsume_overlap:
+            if _subsumed(fam):
                 continue  # subsumed by previously processed families
             if o.extend:
                 fam = extended[id(pre)]
             is_novel = id(pre) in novel_ids
-            # novels are still unextended here (pop-time extension); their
-            # length check waits until after it
-            if not is_novel and fam.n_cols < max(o.min_length, 1):
+            if is_novel and o.extend and not fam.tandem:
+                if id(pre) not in novel_ext:
+                    wave_pre = [pre]
+                    wave = [fam]
+                    for _, _, g in fams[qi + 1 :]:
+                        gf = extended.get(id(g), g)
+                        if (
+                            id(g) in novel_ids
+                            and id(g) not in novel_ext
+                            and not gf.tandem
+                            and not _subsumed(g)
+                        ):
+                            wave_pre.append(g)
+                            wave.append(gf)
+                    ext_w, _ = self._gapped_extend_batch(genome, wave)
+                    for gp, e in zip(wave_pre, ext_w):
+                        e.tandem = e.tandem or _is_tandem(e, nw)
+                        novel_ext[id(gp)] = e
+                fam = novel_ext[id(pre)]
+            if fam.n_cols < min_len:
                 continue
             for l, r in fam.spans():
                 covered[l : r + 1] = True
@@ -654,16 +681,6 @@ class Repeatoire:
                 out.extend(self._novel_subsets(fam, processed, spawned_sigs))
             processed.append(fam)
             out.append(fam)
-            if is_novel and o.extend and not fam.tandem:
-                lazy_novel.append((len(out) - 1, fam))
-        if lazy_novel:
-            ext3, _ = self._gapped_extend_batch(
-                genome, [f for _, f in lazy_novel]
-            )
-            for (oi, pre_f), e in zip(lazy_novel, ext3):
-                e.tandem = pre_f.tandem or _is_tandem(e, nw)
-                out[oi] = e
-        min_len = max(o.min_length, 1)
         return [f for f in out if f.n_cols >= min_len]
 
     # -- novel subset generation (processNovelSubsetMatches,

@@ -166,7 +166,9 @@ def emit_intervals(
             continue
         bad = p[idx[1:]] != p[idx[:-1]] + 1
         breaks[idx[1:][bad]] = True
-    # also break around all-gap column runs (they carry nothing)
+    # all-gap columns are simply dropped within each segment (via `keep`
+    # below); they never violate the contiguity invariant, so no extra
+    # breaks are needed around them
     seg_bounds = np.nonzero(breaks)[0]
     edges = np.concatenate([[0], seg_bounds, [L]])
     intervals: List[Interval] = []

@@ -79,7 +79,7 @@ def measure(genome_size: int = 1_000_000, repeats: int = 3) -> dict:
         # the reference ARCHITECTURE: one fork/exec'd DP child per
         # inter-anchor gap, regions shipped through temp files, exactly as
         # MuscleInterface drives muscle_aed (SURVEY.md §3.1 process boundary)
-        arch, _ = run_mode(["--fork-closure"], 1)
+        arch, arch_runs = run_mode(["--fork-closure"], repeats)
     return {
         "metric": "pairwise_1mbp_cpu_reference_class",
         "value": round(arch["total_s"], 3),
@@ -91,7 +91,9 @@ def measure(genome_size: int = 1_000_000, repeats: int = 3) -> dict:
         "detail_lower_bound": lower,
         "detail_architecture": arch,
         "all_lower_bound_totals_s": [round(r["total_s"], 3) for r in lower_runs],
+        "all_architecture_totals_s": [round(r["total_s"], 3) for r in arch_runs],
         "host": platform.processor() or platform.machine(),
+        "hostname": platform.node(),
         "note": (
             "single-threaded C++ -O3 reference-class pipeline "
             "(native/reference_pipeline.cpp), both measured on this host: "

@@ -114,3 +114,86 @@ def test_variable_segment_and_alternalog_sites():
     assert len(alt) == 3  # A-B: 2 subset; B-C: 3 gap; C-D: 1 subset + 1 gap
     a, b, region = var[0]
     assert region[0] == 101 and region[1] == 199  # genome 0 gap coordinates
+
+
+def test_bucketed_site_detection_matches_quadratic_reference():
+    """The searchsorted-bucketed one-pass site detection must reproduce the
+    straightforward per-pair rescan (the pre-round-3 algorithm) on random
+    well-formed backbones."""
+    from mauvealigner_tpu.analysis.bb_analyze import (
+        ALTERNALOG_MIN_SIZE,
+        variable_and_alternalog_sites,
+    )
+
+    def quadratic(rows, n_seqs, min_bb=ALTERNALOG_MIN_SIZE,
+                  min_var=ALTERNALOG_MIN_SIZE):
+        mat = np.stack(rows).astype(np.int64)
+        lefts, rights = np.abs(mat[:, ::2]), np.abs(mat[:, 1::2])
+        lo, hi = np.minimum(lefts, rights), np.maximum(lefts, rights)
+        present = mat[:, ::2] != 0
+        spans = np.where(present, hi - lo + 1, 0)
+        nway = present.all(axis=1) & (spans.mean(axis=1) >= min_bb)
+        nidx = np.nonzero(nway)[0]
+        if len(nidx) < 2:
+            return [], []
+        order = nidx[np.argsort(lo[nidx, 0], kind="stable")]
+        sites, alts = [], []
+        for a, b in zip(order[:-1], order[1:]):
+            gl, gr = hi[a] + 1, lo[b] - 1
+            if (gr < gl - 1).any():
+                continue
+            alleles = 0
+            seen = np.zeros(n_seqs, bool)
+            for r in range(mat.shape[0]):
+                if nway[r] or not present[r].any():
+                    continue
+                m = present[r]
+                if spans[r][m].mean() < min_var:
+                    continue
+                if not ((lo[r][m] >= gl[m]) & (hi[r][m] <= gr[m])).all():
+                    continue
+                if (~seen[m]).any():
+                    alleles += 1
+                seen |= m
+            alleles += int(((~seen) & (gr - gl + 1 >= min_var)).sum())
+            if alleles > 0:
+                region = np.zeros(2 * n_seqs, np.int64)
+                ne = gr >= gl
+                region[::2] = np.where(ne, gl, 0)
+                region[1::2] = np.where(ne, gr, 0)
+                sites.append((int(a), int(b), region))
+                if alleles > 1:
+                    alts.append((int(a), int(b), region))
+        return sites, alts
+
+    rng = np.random.default_rng(37)
+    for trial in range(25):
+        n = int(rng.integers(2, 6))
+        rows = []
+        # well-formed backbone: n-way flanks laid out collinearly with
+        # random gaps; subset rows scattered inside/straddling the gaps
+        cursor = np.full(n, 1, np.int64)
+        for _ in range(int(rng.integers(2, 8))):
+            length = int(rng.integers(5, 120))
+            start = cursor + rng.integers(0, 80, n)
+            row = np.zeros(2 * n, np.int64)
+            row[::2], row[1::2] = start, start + length - 1
+            rows.append(row)
+            cursor = start + length
+        span_hi = int(cursor.max() + 100)
+        for _ in range(int(rng.integers(0, 14))):
+            members = rng.random(n) < 0.6
+            if not members.any():
+                members[int(rng.integers(0, n))] = True
+            a = rng.integers(1, span_hi, n)
+            b = a + int(rng.integers(1, 60))
+            row = np.zeros(2 * n, np.int64)
+            row[::2] = np.where(members, a, 0)
+            row[1::2] = np.where(members, b, 0)
+            rows.append(row)
+        got = variable_and_alternalog_sites(rows, n)
+        want = quadratic(rows, n)
+        for g_list, w_list in zip(got, want):
+            assert len(g_list) == len(w_list), trial
+            for (ga, gb, gr_), (wa, wb, wr) in zip(g_list, w_list):
+                assert (ga, gb) == (wa, wb) and (gr_ == wr).all(), trial
