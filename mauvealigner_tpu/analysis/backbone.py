@@ -110,29 +110,36 @@ def adapted_params(
 _TRANSITION_PAIRS = {(0, 2), (2, 0), (1, 3), (3, 1)}  # A<->G, C<->T
 
 
+def _build_symbol_lut() -> np.ndarray:
+    """6x6 code-pair -> symbol class table (codes 0-3 bases, 4 N, 5 gap)."""
+    lut = np.full((6, 6), SYM_GAP, np.int8)
+    lut[5, 5] = SYM_NONE
+    for a in range(4):
+        for b in range(4):
+            if a == b:
+                lut[a, b] = SYM_MATCH
+            elif (a, b) in ((0, 2), (2, 0), (1, 3), (3, 1)):  # A<->G, C<->T
+                lut[a, b] = SYM_TRANSITION
+            else:
+                lut[a, b] = SYM_TRANSVERSION
+    return lut
+
+
+SYMBOL_LUT = _build_symbol_lut()
+
+
 def column_symbols(
     iv: Interval, genomes: Sequence[Genome], i: int, j: int
 ) -> np.ndarray:
     """Symbol class per column for the (i, j) pairwise projection.
 
     Columns where both are gapped get SYM_NONE (emission-neutral: the
-    pairwise projection the reference decodes does not contain them, and a
+    reference scores the PROJECTED pair, which does not contain them, so a
     long third-sequence insertion must not drive the pair into Unrelated).
     """
     ci = _signed_codes_row(iv, genomes, i)
     cj = _signed_codes_row(iv, genomes, j)
-    sym = np.full(iv.n_cols, SYM_GAP, np.int8)
-    sym[(ci == 5) & (cj == 5)] = SYM_NONE
-    both = (ci < 4) & (cj < 4)
-    eq = both & (ci == cj)
-    sym[eq] = SYM_MATCH
-    mism = both & ~eq
-    if mism.any():
-        pairs = ci[mism] * 4 + cj[mism]
-        is_transition = np.isin(pairs, [0 * 4 + 2, 2 * 4 + 0, 1 * 4 + 3, 3 * 4 + 1])
-        vals = np.where(is_transition, SYM_TRANSITION, SYM_TRANSVERSION)
-        sym[mism] = vals
-    return sym
+    return SYMBOL_LUT[ci, cj]
 
 
 def _signed_codes_row(iv: Interval, genomes: Sequence[Genome], seq: int) -> np.ndarray:
@@ -174,10 +181,12 @@ def pairwise_homology_posteriors(
     full_len: Dict[Tuple[int, int, int], int] = {}
     for k, iv in enumerate(ivs.intervals):
         present = [s for s in range(iv.n_seqs) if iv.starts[s] != 0]
+        # signed code rows once per (interval, seq) — every pair reuses them
+        rows = {s: _signed_codes_row(iv, genomes, s) for s in present}
         for ai in range(len(present)):
             for bi in range(ai + 1, len(present)):
                 i, j = present[ai], present[bi]
-                sym_full = column_symbols(iv, genomes, i, j)
+                sym_full = SYMBOL_LUT[rows[i], rows[j]]
                 key = (k, i, j)
                 nz = np.nonzero(sym_full != SYM_NONE)[0]
                 full_len[key] = len(sym_full)

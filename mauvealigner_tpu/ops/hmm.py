@@ -17,9 +17,18 @@ import numpy as np
 NEG = -1e30
 
 
-def _log_matmul(A: jnp.ndarray, Bm: jnp.ndarray) -> jnp.ndarray:
-    """(..., S, S) log-space matrix product: C_ij = logsumexp_k A_ik + B_kj."""
-    return jax.nn.logsumexp(A[..., :, :, None] + Bm[..., None, :, :], axis=-2)
+def _norm_matmul(A: jnp.ndarray, Bm: jnp.ndarray) -> jnp.ndarray:
+    """(..., S, S) matrix product renormalized to max 1.
+
+    Posterior decoding is scale-invariant, so the product chain can run in
+    plain probability space as long as every combine rescales: entries stay
+    in (0, 1] regardless of sequence length.  This keeps the associative
+    scan free of transcendentals — the log-space formulation spent its
+    device time in exp/log inside every logsumexp, ~10 of them per [2, 2]
+    combine."""
+    C = jnp.einsum("...ik,...kj->...ij", A, Bm)
+    m = jnp.max(C, axis=(-2, -1), keepdims=True)
+    return C / jnp.maximum(m, jnp.float32(1e-30))
 
 
 @partial(jax.jit, static_argnames=())
@@ -34,39 +43,45 @@ def forward_backward(
     Log-depth associative scans over per-step transition matrices (instead
     of a T-step sequential scan: alignment columns run to hundreds of
     thousands, and a log-depth tree is both faster and cheaper to compile).
+    The scan runs in probability space with per-combine renormalization
+    (see _norm_matmul); posteriors are invariant to the rescaling.
 
-    Steps beyond `lengths` are padding: they contribute zero emission
-    log-prob (identity), so they do not influence the backward pass.
+    Steps beyond `lengths` are padding: they contribute emission
+    probability one, so the row-stochastic transition factors leave the
+    backward pass invariant (beta stays constant over padding).
     """
     B, T, S = log_emit.shape
     step_ids = jnp.arange(T)
     pad_mask = step_ids[None, :] < lengths[:, None]  # [B, T]
     le = jnp.where(pad_mask[:, :, None], log_emit, 0.0)
+    emit = jnp.exp(le)                                  # [B, T, S], <= 1
 
     # forward: alpha_t = alpha_0 (x) A_1 (x) ... (x) A_t with
-    # A_t[i, j] = trans[i, j] + emit_t[j]
-    A = log_trans[None, None] + le[:, :, None, :]      # [B, T, S, S]
+    # A_t[i, j] = trans[i, j] * emit_t[j]
+    A = jnp.exp(log_trans)[None, None] * emit[:, :, None, :]  # [B, T, S, S]
     A_fwd = A[:, 1:]                                    # steps 1..T-1
-    prefix = jax.lax.associative_scan(_log_matmul, A_fwd, axis=1)
-    alpha0 = (log_init + le[:, 0])[:, None, :]          # [B, 1, S]
-    alphas_rest = jax.nn.logsumexp(
-        alpha0[:, :, :, None] + prefix, axis=2
-    )                                                   # [B, T-1, S]
-    alphas = jnp.concatenate([alpha0, alphas_rest], axis=1)  # [B, T, S]
+    prefix = jax.lax.associative_scan(_norm_matmul, A_fwd, axis=1)
+    alpha0_raw = jnp.exp(log_init) * emit[:, 0]
+    alpha0 = alpha0_raw / jnp.maximum(
+        jnp.max(alpha0_raw, axis=-1, keepdims=True), jnp.float32(1e-30)
+    )
+    alpha0 = alpha0[:, None, :]                         # [B, 1, S]
+    alphas_rest = jnp.einsum("bok,btkj->btj", alpha0, prefix)  # [B, T-1, S]
+    alphas = jnp.concatenate([alpha0, alphas_rest], axis=1)    # [B, T, S]
 
     # backward: beta_t = A_{t+1} (x) ... (x) A_{T-1} (x) ones.  A reverse
     # associative_scan composes right-to-left, so scan the TRANSPOSED
     # matrices: suffix_T[k] = (A_{k+1} ... A_{T-1})^T.
     suffix_T = jax.lax.associative_scan(
-        _log_matmul, jnp.swapaxes(A_fwd, -1, -2), axis=1, reverse=True
+        _norm_matmul, jnp.swapaxes(A_fwd, -1, -2), axis=1, reverse=True
     )
-    betas_rest = jax.nn.logsumexp(suffix_T, axis=-2)    # [B, T-1, S] (beta_0..beta_{T-2})
-    beta_T = jnp.zeros((B, 1, S))
+    betas_rest = jnp.sum(suffix_T, axis=-2)             # [B, T-1, S] (beta_0..beta_{T-2})
+    beta_T = jnp.ones((B, 1, S))
     betas = jnp.concatenate([betas_rest, beta_T], axis=1)
 
-    log_post = alphas + betas
-    log_post = log_post - jax.nn.logsumexp(log_post, axis=2, keepdims=True)
-    post = jnp.exp(log_post)
+    post_raw = alphas * betas
+    denom = jnp.sum(post_raw, axis=2, keepdims=True)
+    post = post_raw / jnp.maximum(denom, jnp.float32(1e-30))
     return jnp.where(pad_mask[:, :, None], post, 0.0)
 
 
@@ -82,6 +97,17 @@ def forward_backward_state0(
     return forward_backward(log_emit, log_trans, log_init, lengths)[:, :, 0]
 
 
+def _packbits(bits: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [B, T] of 0/1 -> uint8 [B, T//8] little-endian bit-packed: the
+    thresholded posterior download is the dominant transfer of the backbone
+    phase, and bits are an 8x smaller wire format (np.unpackbits restores)."""
+    B, T = bits.shape
+    w = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
+    return jnp.sum(
+        bits.reshape(B, T // 8, 8).astype(jnp.uint8) * w, axis=-1, dtype=jnp.uint8
+    )
+
+
 @jax.jit
 def forward_backward_state0_gt(
     log_emit: jnp.ndarray,
@@ -90,11 +116,11 @@ def forward_backward_state0_gt(
     lengths: jnp.ndarray,
     threshold: jnp.ndarray,  # scalar
 ) -> jnp.ndarray:
-    """uint8 [B, T]: 1 where P(state 0) > threshold.  The backbone detector
-    consumes only the thresholded posterior, and a u8 matrix is a quarter of
-    the f32 transfer."""
+    """Bit-packed uint8 [B, T//8]: bit t set where P(state 0) > threshold.
+    The backbone detector consumes only the thresholded posterior, and
+    packed bits are 1/32nd of the f32 transfer."""
     post0 = forward_backward(log_emit, log_trans, log_init, lengths)[:, :, 0]
-    return (post0 > threshold).astype(jnp.uint8)
+    return _packbits((post0 > threshold).astype(jnp.uint8))
 
 
 @jax.jit
@@ -127,7 +153,7 @@ def _fb_state0_sym(symbols, table_T, log_trans, log_init, lengths):
 def _fb_state0_gt_sym(symbols, table_T, log_trans, log_init, lengths, threshold):
     le = table_T[symbols.astype(jnp.int32)]
     post0 = forward_backward(le, log_trans, log_init, lengths)[:, :, 0]
-    return (post0 > threshold).astype(jnp.uint8)
+    return _packbits((post0 > threshold).astype(jnp.uint8))
 
 
 @jax.jit
@@ -149,7 +175,7 @@ def bucketed_decode(
     mode: str,            # "posterior0" | "threshold0" | "prefix0"
     threshold: float = 0.5,
     max_cols: int = 1 << 16,
-    mem_budget: int = 1 << 25,
+    mem_budget: int = 1 << 27,
     emit_table=None,      # [S, n_symbols] log emission table; when given,
                           # log_emits holds SYMBOL streams and the emission
                           # lookup runs on device
@@ -159,8 +185,8 @@ def bucketed_decode(
     Shapes are the scarce resource on the remote-compile TPU backend, so
     jobs bucket by power-of-two padded length (capped at `max_cols`; longer
     jobs must be pre-chunked by the caller) and power-of-two batch size,
-    with a memory-based chunk cap (64 rows only at the 65536-column
-    maximum).  Returns a list aligned with `log_emits`:
+    with a memory-based chunk cap (256 rows at the 65536-column maximum).
+    Returns a list aligned with `log_emits`:
       posterior0 -> np.float32 [T_j] P(state 0);
       threshold0 -> np.bool_  [T_j] P(state 0) > threshold;
       prefix0    -> int, leading steps with P(state 0) >= threshold.
@@ -219,13 +245,14 @@ def bucketed_decode(
                     out[idx] = res[bi, : int(lengths[bi])]
             elif mode == "threshold0":
                 if tab is None:
-                    res = np.asarray(
+                    packed = np.asarray(
                         forward_backward_state0_gt(led, lt, li, lend, jnp.float32(threshold))
-                    ).astype(bool)
+                    )
                 else:
-                    res = np.asarray(
+                    packed = np.asarray(
                         _fb_state0_gt_sym(led, tab, lt, li, lend, jnp.float32(threshold))
-                    ).astype(bool)
+                    )
+                res = np.unpackbits(packed, axis=1, bitorder="little").astype(bool)
                 for bi, idx in enumerate(chunk):
                     out[idx] = res[bi, : int(lengths[bi])]
             elif mode == "prefix0":
