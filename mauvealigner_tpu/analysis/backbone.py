@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from typing import Dict, List, Optional, Sequence, TextIO, Tuple, Union
+import time
 
 import jax.numpy as jnp
 import numpy as np
@@ -118,7 +119,7 @@ def _build_symbol_lut() -> np.ndarray:
         for b in range(4):
             if a == b:
                 lut[a, b] = SYM_MATCH
-            elif (a, b) in ((0, 2), (2, 0), (1, 3), (3, 1)):  # A<->G, C<->T
+            elif (a, b) in _TRANSITION_PAIRS:
                 lut[a, b] = SYM_TRANSITION
             else:
                 lut[a, b] = SYM_TRANSVERSION
@@ -176,6 +177,9 @@ def pairwise_homology_posteriors(
     # column space with forward-fill across the removed columns (the
     # projected decode's state carries over them; detect_backbone masks
     # those columns with iv.aln anyway).
+    from mauvealigner_tpu.utils import timing
+
+    t0 = time.perf_counter()
     jobs = []  # (key, chunk_start_in_compact, symbols_chunk)
     compact_idx: Dict[Tuple[int, int, int], np.ndarray] = {}
     full_len: Dict[Tuple[int, int, int], int] = {}
@@ -205,9 +209,11 @@ def pairwise_homology_posteriors(
                         jobs.append((key, a, sym_c[a:b]))
                         if b == T_c:
                             break
+    timing.GLOBAL.add("bb_symbols_s", time.perf_counter() - t0)
     out: Dict[Tuple[int, int, int], np.ndarray] = {}
     if not jobs:
         return out
+    t0 = time.perf_counter()
     decoded = hmm_ops.bucketed_decode(
         [sym for (_, _, sym) in jobs],
         params.log_trans(),
@@ -217,6 +223,8 @@ def pairwise_homology_posteriors(
         max_cols=max_cols,
         emit_table=params.log_emit_table(),  # [2, 4]; lookup runs on device
     )
+    timing.GLOBAL.add("bb_decode_s", time.perf_counter() - t0)
+    t0 = time.perf_counter()
     compact_out: Dict[Tuple[int, int, int], np.ndarray] = {}
     for (key, a, sym), p in zip(jobs, decoded):
         if key not in compact_out:
@@ -241,6 +249,7 @@ def pairwise_homology_posteriors(
                 np.searchsorted(nz, np.arange(T_full), side="right") - 1, 0
             )
             out[key] = pc[carry]
+    timing.GLOBAL.add("bb_stitch_s", time.perf_counter() - t0)
     return out
 
 

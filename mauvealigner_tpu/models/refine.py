@@ -54,10 +54,15 @@ def refine_intervals(
 ) -> Tuple[IntervalList, int]:
     """Window-polish every multi-sequence interval; returns (refined list,
     number of windows improved)."""
+    import time
+
+    from mauvealigner_tpu.utils import timing
+
     genomes = ivl.genomes
     improved_total = 0
     intervals = list(ivl.intervals)
     for _ in range(rounds):
+        t0 = time.perf_counter()
         jobs: List[Tuple[int, int, int, np.ndarray]] = []  # (iv idx, a, b, col_codes)
         groups: List[List[np.ndarray]] = []
         from mauvealigner_tpu.analysis.sp import interval_column_codes
@@ -76,11 +81,15 @@ def refine_intervals(
                     continue
                 jobs.append((k, a, b, win))
                 groups.append(regs)
+        timing.GLOBAL.add("rf_windows_s", time.perf_counter() - t0)
         if not jobs:
             break
+        t0 = time.perf_counter()
         new_alns = closure.hierarchical_align_region_groups(
             groups, plan, gap_open=gap_open, gap_extend=gap_extend
         )
+        timing.GLOBAL.add("rf_closure_s", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         # evaluate and apply per interval; old/new windows score in one
         # grouped batch (per-window calls were refinement's host hotspot)
         from mauvealigner_tpu.analysis.sp import match_and_gap_scores_batch
@@ -97,6 +106,8 @@ def refine_intervals(
             mats, gap_open=gap_open, gap_extend=gap_extend
         )
         scores = m_all + g_all
+        timing.GLOBAL.add("rf_score_s", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         n_jobs = len(jobs)
         by_iv: dict = {}
         for j, ((k, a, b, win), new_aln) in enumerate(zip(jobs, new_alns)):
@@ -116,6 +127,7 @@ def refine_intervals(
             if pos < iv.n_cols:
                 pieces.append(iv.aln[:, pos:])
             intervals[k] = Interval(iv.starts.copy(), np.concatenate(pieces, axis=1))
+        timing.GLOBAL.add("rf_apply_s", time.perf_counter() - t0)
     return (
         IntervalList(
             genomes=genomes, intervals=intervals, seq_filenames=list(ivl.seq_filenames)

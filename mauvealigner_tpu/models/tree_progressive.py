@@ -124,8 +124,15 @@ def merge_profiles(
     pipeline and compose the column maps.  Unaligned regions ride along as
     single-child columns (IntervalList.add_unaligned_intervals), so nothing
     is lost to higher nodes."""
+    import time
+
+    from mauvealigner_tpu.utils import timing
+
+    t0 = time.perf_counter()
     aligner = aligner_factory()
     res = aligner.align([a.rep, b.rep])
+    timing.GLOBAL.add("tp_pair_align_s", time.perf_counter() - t0)
+    t0 = time.perf_counter()
     ivl = res.interval_list
     ivl.add_unaligned_intervals()
     pos_a, pos_b = _node_alignment_columns(ivl)
@@ -135,8 +142,11 @@ def merge_profiles(
     for m in b.members:
         colmaps[m] = _compose(b.colmaps[m], pos_b)
     prof = NodeProfile(a.members + b.members, None, colmaps)
+    timing.GLOBAL.add("tp_compose_s", time.perf_counter() - t0)
+    t0 = time.perf_counter()
     rep_codes = consensus_codes(genomes, prof)
     prof.rep = Genome.from_codes(rep_codes.astype(np.int64), name=node_name)
+    timing.GLOBAL.add("tp_consensus_s", time.perf_counter() - t0)
     return prof
 
 
@@ -238,6 +248,13 @@ def tree_progressive_align(
             )
         return prof
 
+    import time
+
+    from mauvealigner_tpu.utils import timing
+
     root = build(tree)
+    t0 = time.perf_counter()
     ivl = emit_intervals(genomes, root)
-    return ivl, lcbs_from_intervals(ivl)
+    out = ivl, lcbs_from_intervals(ivl)
+    timing.GLOBAL.add("tp_emit_s", time.perf_counter() - t0)
+    return out
