@@ -166,8 +166,10 @@ def bb_analyze_report(
     reference: Optional[Genome] = None,
     categories: Optional[Dict[str, str]] = None,
     out: Optional[TextIO] = None,
+    genomes: Optional[Sequence[Genome]] = None,
+    anno_index: int = 0,
 ) -> List[SegmentReport]:
-    reports = classify_segments(rows, n_seqs, reference)
+    reports = classify_segments(rows, n_seqs, reference, ref_index=anno_index)
     if out is not None:
         n_core = sum(1 for r in reports if r.is_core)
         n_var = sum(1 for r in reports if r.is_variable)
@@ -222,7 +224,280 @@ def bb_analyze_report(
                 out.write(
                     f"{a + b}\t{a}\t{(a + b) / total:.4f}\t{chi2:.3f}\t{cat}\n"
                 )
+        # full per-region analysis of the variable sites, then the strict
+        # >= 2-allele "alternalogs" (reference main :1404-1408)
+        seq_list = genomes
+        if seq_list is None and reference is not None:
+            seq_list = [
+                reference if s == anno_index else None for s in range(n_seqs)
+            ]
+        analyze_variable_segments(
+            rows, n_seqs, seq_list, anno_index, alternalogs=False, out=out,
+            site_name="variable segments",
+        )
+        analyze_variable_segments(
+            rows, n_seqs, seq_list, anno_index, alternalogs=True, out=out,
+            site_name="alternalogs",
+        )
     return reports
+
+
+def _print_filtered_rows(
+    out: TextIO, region_rows: Sequence[np.ndarray], mask: Sequence[bool]
+) -> None:
+    """printFilteredBbSeqList (src/bbAnalyze.cpp:343-353): tab-separated
+    signed coordinate pairs of every selected region."""
+    for r, m in zip(region_rows, mask):
+        if m:
+            out.write("\t".join(str(int(x)) for x in r) + "\n")
+
+
+def _features_hit(
+    region_rows: Sequence[np.ndarray],
+    mask: np.ndarray,
+    features,
+    s: int,
+) -> np.ndarray:
+    """Boolean per-feature: overlapped by any selected region in genome s
+    (featureIntersect + getFeatureHits, src/bbAnalyze.cpp:180-230)."""
+    hit = np.zeros(len(features), bool)
+    spans = sorted(
+        (abs(int(r[2 * s])), abs(int(r[2 * s + 1])))
+        for r, m in zip(region_rows, mask)
+        if m and r[2 * s] != 0
+    )
+    if not spans:
+        return hit
+    starts = np.array([a for a, _ in spans], np.int64)
+    ends_max = np.maximum.accumulate(np.array([b for _, b in spans], np.int64))
+    for fi, f in enumerate(features):
+        i = int(np.searchsorted(starts, f.end, side="right"))
+        hit[fi] = i > 0 and ends_max[i - 1] >= f.start
+    return hit
+
+
+def write_gene_content_distribution(
+    out: TextIO,
+    region_rows: Sequence[np.ndarray],
+    mask: np.ndarray,
+    reference: Genome,
+    ref_index: int,
+    categories: Dict[str, str],
+    label: str,
+) -> None:
+    """One mfAnalyze section (src/bbAnalyze.cpp:232-282): percentage of CDS
+    hit by the selected segment class plus the per-category enrichment
+    table (chi-square vs the expected hit frequency; rows below the
+    significance/expectation thresholds are dropped, reference :257-259).
+    Output format mirrors the reference's LaTeX-style table rows."""
+    cds = [f for f in reference.features if f.kind == "CDS"]
+    if not cds:
+        return
+    hits = _features_hit(region_rows, mask, cds, ref_index)
+    expect_freq = float(hits.sum()) / len(cds)
+    out.write(f"#\n#{label} gene content distribution\n#\n")
+    out.write(f"Avg percent {label.lower()} {expect_freq * 100:.3g}\n")
+    all_count: Counter = Counter()
+    sub_count: Counter = Counter()
+    for f, h in zip(cds, hits):
+        cat = categories.get(f.name)
+        if not cat:
+            continue
+        all_count[cat] += 1
+        if h:
+            sub_count[cat] += 1
+    rows_out = []
+    for cat, n_sub in sub_count.items():
+        n_all = all_count[cat]
+        expected = n_all * expect_freq
+        if expected <= 0:
+            continue
+        chi2 = (n_sub - expected) ** 2 / expected
+        if chi2 < CHI_SQUARE_THRESHOLD or expected < MIN_EXPECTED_THRESHOLD:
+            continue
+        rows_out.append((n_sub, n_all, n_sub / n_all * 100, chi2, cat))
+    rows_out.sort(key=lambda t: t[2])
+    delim, new_row = " & ", "\\\\\n\\hline\n"
+    out.write(
+        f"NumGenes{delim}GenesInCat{delim}Percent{delim}"
+        f"Chi_square{delim}Mf_Level_2_name{new_row}"
+    )
+    for i, (n_sub, n_all, pct, chi2, cat) in enumerate(rows_out):
+        if i > 0 and rows_out[i - 1][2] < expect_freq * 100 < pct:
+            out.write(new_row)  # under- to over-represented transition
+        out.write(
+            f"{n_sub}{delim}{n_all}{delim}{pct:.3g}{delim}{chi2:.3g}{delim}"
+            f"{cat}{new_row}"
+        )
+
+
+def analyze_variable_segments(
+    rows: Sequence[np.ndarray],
+    n_seqs: int,
+    genomes: Optional[Sequence[Genome]] = None,
+    anno_index: int = 0,
+    alternalogs: bool = False,
+    out: Optional[TextIO] = None,
+    site_name: str = "variable segments",
+) -> Tuple[List[np.ndarray], List[List[SegmentReport]]]:
+    """analyzeVariableSegments (src/bbAnalyze.cpp:808-941): the variable
+    REGIONS between consecutive n-way flanks are classified against every
+    genome's own annotations; the reference's report lines are emitted to
+    `out`.  Returns (region coordinate rows, per-genome region reports).
+    """
+    sites, alts = variable_and_alternalog_sites(rows, n_seqs)
+    chosen = alts if alternalogs else sites
+    region_rows = [region for _, _, region in chosen]
+    A = len(region_rows)
+    per_genome: List[List[SegmentReport]] = []
+    for s in range(n_seqs):
+        g = None
+        if genomes and s < len(genomes) and getattr(genomes[s], "features", None):
+            g = genomes[s]
+        per_genome.append(classify_segments(region_rows, n_seqs, g, ref_index=s))
+    if out is None:
+        return region_rows, per_genome
+
+    out.write(f"There are {A} {site_name} sites\n")
+    present = np.zeros((A, n_seqs), bool)
+    for a, r in enumerate(region_rows):
+        present[a] = r[::2] != 0
+    genic = np.zeros((n_seqs, A), bool)
+    inter = np.zeros((n_seqs, A), bool)
+    spanner = np.zeros((n_seqs, A), bool)
+    for s in range(n_seqs):
+        for a, rep in enumerate(per_genome[s]):
+            genic[s, a] = rep.genic
+            inter[s, a] = present[a, s] and rep.intergenic
+            spanner[s, a] = rep.spanner
+    multi_genes = genic.all(axis=0) if A else np.zeros(0, bool)
+    multi_inter = inter.all(axis=0) if A else np.zeros(0, bool)
+    multi_entirely = (inter & ~spanner).all(axis=0) if A else np.zeros(0, bool)
+    out.write(
+        f" There are {int(multi_genes.sum())} apparently multi-allelic genes "
+        f"({site_name})\n"
+    )
+    out.write(
+        f" There are {int(multi_inter.sum())} apparently multi-allelic "
+        f"regions with intergenic endpoints ({site_name})\n"
+    )
+    out.write(
+        f" Of those, {int(multi_entirely.sum())} contain no annotated CDS "
+        f"({site_name})\n"
+    )
+    out.write(
+        " The remaining segments span gene boundaries, but are not entirely "
+        "contained in annotated genes\n"
+    )
+    anno_reps = per_genome[anno_index]
+    # classifyIntergenic on the multi-allelic intergenic set (:865-873)
+    def neigh(label):
+        return np.array(
+            [m and anno_reps[a].neighbor == label for a, m in enumerate(multi_inter)],
+            bool,
+        )
+
+    trna_n, misc_n = neigh("tRNA"), neigh("miscRNA")
+    conv, div, inl = neigh("converging"), neigh("diverging"), neigh("inline")
+    out.write(f"There are {int(trna_n.sum())} intergenic segments with a tRNA nearest neighbor\n")
+    out.write(f"There are {int(misc_n.sum())} intergenic segments with a miscRNA nearest neighbor\n")
+    out.write(f"There are {int(conv.sum())} intergenic segments surrounded by converging CDS\n")
+    out.write(f"There are {int(div.sum())} intergenic segments surrounded by diverging CDS\n")
+    out.write(f"There are {int(inl.sum())} intergenic segments surrounded by inline CDS\n")
+
+    anno = genomes[anno_index] if genomes and anno_index < len(genomes) else None
+    feats = list(getattr(anno, "features", []) or [])
+    all_mask = np.ones(A, bool)
+    misc_feats = [f for f in feats if f.kind == "misc_RNA"]
+    trna_feats = [f for f in feats if f.kind == "tRNA"]
+    misc_assoc = _features_hit(region_rows, all_mask, misc_feats, anno_index)
+    trna_assoc = _features_hit(region_rows, all_mask, trna_feats, anno_index)
+    out.write(
+        f"There are {int(misc_assoc.sum())} annotated misc_RNA associated "
+        f"with variable segments\n"
+    )
+    # intergenic ranges of the annotated genome and their variability
+    # (identifyIntergenicRanges, :532-572)
+    cds = sorted((f for f in feats if f.kind == "CDS"), key=lambda f: f.start)
+    ranges = [
+        (cds[i].end, cds[i + 1].start)
+        for i in range(len(cds) - 1)
+        if cds[i].end < cds[i + 1].start
+    ]
+    n_var_ranges = 0
+    if ranges and A:
+        lo = np.array([abs(int(r[2 * anno_index])) for r in region_rows])
+        hi = np.array([abs(int(r[2 * anno_index + 1])) for r in region_rows])
+        pres = lo != 0
+        for ra, rb in ranges:
+            if (pres & (lo <= rb - 1) & (hi >= ra + 1)).any():
+                n_var_ranges += 1
+    out.write(
+        f"There are {len(ranges)} intergenic sites in the ref genome, of "
+        f"which {n_var_ranges} exhibit variability\n"
+    )
+    out.write(
+        f"There are {int(trna_assoc.sum())} annotated tRNA associated with "
+        f"variable segments\n"
+    )
+    if misc_n.any():
+        out.write("coordinates of variable segs with misc_RNA neighboring:\n")
+        _print_filtered_rows(out, region_rows, misc_n)
+    if div.any():
+        out.write("coordinates of variable segs with diverging_cds neighboring:\n")
+        _print_filtered_rows(out, region_rows, div)
+    contains_misc = np.array([r.contains_miscrna for r in anno_reps], bool)
+    out.write(
+        f"Total variable intergenic segs that neighbor or contain miscRNA: "
+        f"{int((contains_misc | misc_n).sum())}\n"
+    )
+    out.write("coordinates of multi-allelic genes:\n")
+    _print_filtered_rows(out, region_rows, multi_genes)
+    out.write("coordinates of multi-allelic intergenic regions without CDS:\n")
+    _print_filtered_rows(out, region_rows, multi_entirely)
+
+    for s in range(n_seqs):
+        reps = per_genome[s]
+        g_mask = np.array([r.genic for r in reps], bool)
+        sp_mask = np.array([r.spanner for r in reps], bool)
+        in_mask = inter[s]
+        rr_mask = np.array([r.contains_rrna for r in reps], bool)
+        tr_mask = np.array([r.contains_trna for r in reps], bool)
+        mi_mask = np.array([r.contains_miscrna for r in reps], bool)
+        # pseudogenized: present but not genic here, genic somewhere else
+        # (:826-829)
+        other_genic = (
+            genic[np.arange(n_seqs) != s].any(axis=0) if A else np.zeros(0, bool)
+        )
+        ps_mask = present[:, s] & ~genic[s] & other_genic
+        out.write(f"genome {s} has {int(g_mask.sum())} {site_name} within CDS\n")
+        out.write(
+            f"genome {s} has {int(sp_mask.sum())} {site_name} that span CDS "
+            f"boundaries\n"
+        )
+        out.write(
+            f"genome {s} has {int(in_mask.sum())} {site_name} that lie "
+            f"entirely in intergenic regions\n"
+        )
+        out.write(f"genome {s} has {int(rr_mask.sum())} {site_name} that contain rRNA\n")
+        out.write(f"genome {s} has {int(tr_mask.sum())} {site_name} that contain tRNA\n")
+        out.write(f"genome {s} has {int(mi_mask.sum())} {site_name} that contain misc_RNA\n")
+        out.write(
+            f"genome {s} has {int(ps_mask.sum())} apparent recent pseudogenes "
+            f"in {site_name}\n"
+        )
+        if tr_mask.any():
+            out.write(f"coordinates of tRNA {site_name}:\n")
+            _print_filtered_rows(out, region_rows, tr_mask)
+        if rr_mask.any():
+            out.write(f"coordinates of rRNA {site_name}:\n")
+            _print_filtered_rows(out, region_rows, rr_mask)
+        if mi_mask.any():
+            out.write(f"coordinates of misc_RNA {site_name}:\n")
+            _print_filtered_rows(out, region_rows, mi_mask)
+        out.write("coordinates of possible pseudogenes:\n")
+        _print_filtered_rows(out, region_rows, ps_mask)
+    return region_rows, per_genome
 
 
 def ptt_gene_bounds(path: str) -> np.ndarray:
@@ -333,6 +608,14 @@ class NodeSummary:
     hop_one_len: float
     hop_two_len: float
     pan_genome_len: float
+    # per-class segment masks over the (faux-extended) row list — feed the
+    # per-node gene-content distributions (src/bbAnalyze.cpp:1368-1400)
+    conserved_mask: Optional[np.ndarray] = None
+    unique_mask: Optional[np.ndarray] = None
+    hop_one_mask: Optional[np.ndarray] = None
+    hop_two_mask: Optional[np.ndarray] = None
+    all_unique_mask: Optional[np.ndarray] = None  # unique below OR at node (:1254)
+    rows_used: Optional[List[np.ndarray]] = None  # row list the masks index
 
 
 def add_faux_unique_segments(
@@ -449,6 +732,12 @@ def tree_node_analysis(
         hop_one_bits[ni] = hop_one
         uq = unique & not_small
         cs = conserved & not_small
+        # all_unique: unique at this node or below (src/bbAnalyze.cpp:1254)
+        all_uq = uq.copy()
+        for c in node.children:
+            cm = summaries[node_ids[id(c)]].all_unique_mask
+            if cm is not None:
+                all_uq |= cm
         summaries.append(NodeSummary(
             node_id=ni,
             leaf_seqs=sorted(leaf_idx),
@@ -460,6 +749,12 @@ def tree_node_analysis(
             hop_one_len=float(avg_len[hop_one].sum()),
             hop_two_len=float(avg_len[hop_two].sum()),
             pan_genome_len=float(avg_len[ct > 0].sum()),
+            conserved_mask=cs,
+            unique_mask=uq,
+            hop_one_mask=hop_one,
+            hop_two_mask=hop_two,
+            all_unique_mask=all_uq,
+            rows_used=list(rows),
         ))
     return summaries
 
@@ -468,9 +763,15 @@ def write_tree_analysis(
     summaries: Sequence[NodeSummary],
     out: TextIO,
     genome_names: Optional[Sequence[str]] = None,
+    reference: Optional[Genome] = None,
+    ref_index: int = 0,
+    categories: Optional[Dict[str, str]] = None,
 ) -> None:
     """The per-node section of the reference report
-    (src/bbAnalyze.cpp:1342-1361)."""
+    (src/bbAnalyze.cpp:1342-1400).  With an annotated `reference` (and a
+    feature-name -> category map), every node containing the annotated
+    genome also gets the four gene-content distributions (conserved /
+    hop one / hop two / unique-to-clade), reference :1368-1399."""
     out.write("#\n# Alignment tree summary\n#\n")
     for s in summaries:
         out.write(f"Node {s.node_id}\n")
@@ -492,6 +793,22 @@ def write_tree_analysis(
         out.write(f"total avg. hop one length at this node: {s.hop_one_len:.6g}\n")
         out.write(f"total avg. hop two length at this node: {s.hop_two_len:.6g}\n")
         out.write(f'total "pan-genome" size at this node: {s.pan_genome_len:.6g}\n')
+        if (
+            reference is not None
+            and categories
+            and s.rows_used is not None
+            and ref_index in s.leaf_seqs
+        ):
+            for label, mask in (
+                ("Conserved", s.conserved_mask),
+                ("Hop one", s.hop_one_mask),
+                ("Hop two", s.hop_two_mask),
+                ("Unique to this clade", s.all_unique_mask),
+            ):
+                write_gene_content_distribution(
+                    out, s.rows_used, mask, reference, ref_index,
+                    categories, label,
+                )
 
 
 # ---------------------------------------------------------------------------

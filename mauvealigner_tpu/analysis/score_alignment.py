@@ -14,7 +14,7 @@ and classification is an elementwise comparison.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -40,27 +40,37 @@ def _interval_positions(iv, seq: int) -> np.ndarray:
 
 
 def pair_position_maps(
-    ivs: IntervalList, seq_lengths: Sequence[int]
+    ivs: IntervalList,
+    seq_lengths: Sequence[int],
+    pairs: Optional[Sequence[Tuple[int, int]]] = None,
 ) -> Dict[Tuple[int, int], np.ndarray]:
     """For each ordered pair (i<j): array of signed positions in j indexed by
-    1-based position in i (0 = unaligned).  Sign encodes relative strand."""
+    1-based position in i (0 = unaligned).  Sign encodes relative strand.
+
+    `pairs` restricts the computation (and the column-position extraction)
+    to the listed (i, j) pairs — scoring k derived genomes against one
+    ancestor needs k maps, not all n*(n-1)/2."""
     n = ivs.n_seqs
+    wanted = (
+        {(i, j) for i in range(n) for j in range(i + 1, n)}
+        if pairs is None
+        else {(min(i, j), max(i, j)) for i, j in pairs}
+    )
+    need_seq = {s for p in wanted for s in p}
     maps = {
-        (i, j): np.zeros(seq_lengths[i] + 1, np.int64)
-        for i in range(n)
-        for j in range(i + 1, n)
+        (i, j): np.zeros(seq_lengths[i] + 1, np.int64) for (i, j) in wanted
     }
     for iv in ivs.intervals:
         pres = [iv.starts[s] != 0 for s in range(iv.n_seqs)]
         pos_cache = {}
         for i in range(iv.n_seqs):
-            if pres[i]:
+            if pres[i] and i in need_seq:
                 pos_cache[i] = _interval_positions(iv, i)
         for i in range(iv.n_seqs):
             if not pres[i]:
                 continue
             for j in range(i + 1, iv.n_seqs):
-                if not pres[j]:
+                if (i, j) not in wanted or not pres[j]:
                     continue
                 pi, pj = pos_cache[i], pos_cache[j]
                 both = (pi != 0) & (pj != 0)

@@ -136,6 +136,31 @@ def _mix64(x: jnp.ndarray, c: np.int64) -> jnp.ndarray:
     return x
 
 
+def _carry_last2(va, vb, flags, reverse=False):
+    """Per-entry (va, vb) of the nearest flagged entry at/before each
+    position (at/after with reverse=True); positions before any flag keep
+    their own values.
+
+    A native cummax/cummin over flagged indices (monotone by construction)
+    finds each entry's source; two gathers with nondecreasing indices fetch
+    the values.  (A tuple associative_scan expressed the same carry but
+    lowered ~3x slower on the CPU test backend; the scatter-add
+    formulation this replaced was ~10x the sort cost on the TPU.)"""
+    n = va.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if reverse:
+        idx = jax.lax.cummin(jnp.where(flags, iota, jnp.int32(n)), reverse=True)
+        ok = idx < n
+    else:
+        idx = jax.lax.cummax(jnp.where(flags, iota, jnp.int32(-1)))
+        ok = idx >= 0
+    safe = jnp.clip(idx, 0, n - 1)
+    out = tuple(
+        jnp.where(ok, v[safe], v) for v in (va, vb) if v is not None
+    )
+    return out if vb is not None else out[0]
+
+
 def _sig_phase(keys, seq_ids, positions, seq_mask, n_seqs, min_multi, pack_sort):
     """Grouping half of the candidate kernel: sort by (mer, genome, pos),
     detect seed groups, per-genome uniqueness, reference selection, and the
@@ -145,6 +170,11 @@ def _sig_phase(keys, seq_ids, positions, seq_mask, n_seqs, min_multi, pack_sort)
     (the group's reference entry), group signature (incl. multiplicity),
     genome ids, window positions, signed 1-based positions.
 
+    Segments are CONTIGUOUS in the sorted order, so every per-segment
+    reduction/broadcast here is a cumsum plus monotone cummax/cummin fills
+    (or a carry scan where values are not monotone) — the scatter-add /
+    gather formulation cost ~10x the sort itself on this backend.
+
     The signature design: 64 bits keep the run-grouping sort at 4 keys
     instead of 6 (each extra key adds bitonic passes over the whole array);
     with ~2^21 groups the birthday collision odds are ~2^-23, and a
@@ -152,13 +182,13 @@ def _sig_phase(keys, seq_ids, positions, seq_mask, n_seqs, min_multi, pack_sort)
     which the p0 continuity check makes astronomically unlikely.
     """
     N = keys.shape[0]
-    idx = jnp.arange(N, dtype=jnp.int32)
     sortfn = _global_sort_packed if pack_sort else _global_sort
     mer_s, seq_s, pos_s, strand_s = sortfn(keys, seq_ids, positions)
     valid = mer_s != (INVALID_KEY >> 1)
 
     prev_mer = jnp.concatenate([mer_s[:1] - 1, mer_s[:-1]])
     new_seg = mer_s != prev_mer
+    is_end = jnp.concatenate([new_seg[1:], jnp.ones(1, bool)])
     seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
     prev_seq = jnp.concatenate([seq_s[:1] - 1, seq_s[:-1]])
     same_ms = (~new_seg) & (seq_s == prev_seq)
@@ -166,15 +196,26 @@ def _sig_phase(keys, seq_ids, positions, seq_mask, n_seqs, min_multi, pack_sort)
     occ_unique = valid & ~same_ms & ~next_same
     kept = occ_unique & (seq_mask[jnp.clip(seq_s, 0, n_seqs - 1)] > 0)
 
-    counts = jnp.zeros(N, jnp.int32).at[seg_id].add(kept.astype(jnp.int32))
-    count_here = counts[seg_id]
+    # segment kept-count, broadcast per entry: cumsum + monotone boundary
+    # fills (segment-start bases and segment-end totals are nondecreasing,
+    # so forward cummax / reverse cummin pick each entry's own boundary)
+    k32 = kept.astype(jnp.int32)
+    cs = jnp.cumsum(k32)
+    base = jax.lax.cummax(jnp.where(new_seg, cs - k32, jnp.int32(0)))
+    end = jax.lax.cummin(
+        jnp.where(is_end, cs, jnp.int32(np.iinfo(np.int32).max)), reverse=True
+    )
+    count_here = end - base
     kept = kept & (count_here >= min_multi)
 
-    # reference (first kept) entry per segment
-    first_kept = jnp.full(N, N, jnp.int32).at[seg_id].min(jnp.where(kept, idx, N))
-    ref_idx = jnp.clip(first_kept[seg_id], 0, N - 1)
-    ref_pos = pos_s[ref_idx]
-    ref_strand = strand_s[ref_idx]
+    # reference = first kept entry of the segment (count re-masking drops
+    # whole segments at once, so the first pre-mask kept entry survives
+    # whenever its segment does); its (pos, strand) reach every kept entry
+    # via a forward carry (all kept entries sit at/after their rep)
+    is_rep = kept & (cs == base + 1)
+    ref_pos, ref_strand = _carry_last2(
+        jnp.where(is_rep, pos_s, 0), jnp.where(is_rep, strand_s, 0), is_rep
+    )
     rel = strand_s ^ ref_strand
     inv = jnp.where(rel == 0, pos_s.astype(jnp.int64) - ref_pos, pos_s.astype(jnp.int64) + ref_pos)
 
@@ -182,11 +223,15 @@ def _sig_phase(keys, seq_ids, positions, seq_mask, n_seqs, min_multi, pack_sort)
         inv & jnp.int64(0xFFFFFFFF)
     )
     m1 = _mix64(_mix64(token + 1, _MIX_C1) ^ _mix64(token + 7, _MIX_C2), _MIX_C3)
-    zero64 = jnp.zeros(N, jnp.int64)
-    sig1 = zero64.at[seg_id].add(jnp.where(kept, m1, 0))
 
-    is_rep = kept & (idx == ref_idx)
-    rep_sig1 = sig1[seg_id] + count_here.astype(jnp.int64) * _MIX_C3
+    # order-independent segment signature = segment sum of the member mixes
+    # (wrapping int64): cumsum with carry-filled segment boundaries (the
+    # hash sums are not monotone, so the fills are carry scans)
+    contrib = jnp.where(kept, m1, jnp.int64(0))
+    cs64 = jnp.cumsum(contrib)
+    base64 = _carry_last2(cs64 - contrib, None, new_seg)
+    end64 = _carry_last2(cs64, None, is_end, reverse=True)
+    rep_sig1 = (end64 - base64) + count_here.astype(jnp.int64) * _MIX_C3
     signed_pos = jnp.where(rel == 0, pos_s + 1, -(pos_s + 1))
     return seg_id, kept, is_rep, rep_sig1, seq_s, pos_s, signed_pos, ref_pos
 
@@ -215,21 +260,17 @@ def device_mum_candidates(
         keys, seq_ids, positions, seq_mask, n_seqs, min_multi, pack_sort
     )
 
-    # compact representatives into an N/2 buffer, then sort THAT, grouped by
-    # signature then p0.  A qualifying segment has >= min_multi >= 2 entries
-    # (min_multi < 2 callers go through the host path), so representatives
-    # can never overflow N/2; the sort runs at half size with one fewer key.
-    M = N // 2
-    rep_rank = jnp.cumsum(is_rep.astype(jnp.int32)) - 1
-    rrow = jnp.where(is_rep, jnp.minimum(rep_rank, M), M)
-    zero_m = jnp.zeros(M + 1, jnp.int32)
-    vb = zero_m.at[rrow].set(1, mode="drop")
-    hb = zero_m.at[rrow].set((rep_sig1 >> 32).astype(jnp.int32), mode="drop")
-    lb = zero_m.at[rrow].set(rep_sig1.astype(jnp.int32), mode="drop")
-    pb = zero_m.at[rrow].set(pos_s, mode="drop")
-    sb = zero_m.at[rrow].set(seg_id, mode="drop")
+    # group representatives by (signature, p0): sort the FULL entry array
+    # with a reps-first leading key.  (A scatter-compaction into an N/2
+    # buffer followed by a half-size sort costs far more than the extra
+    # sort passes — scatters are ~10x a sort pass on this backend.)
+    nv = (~is_rep).astype(jnp.int32)
+    hb = jnp.where(is_rep, (rep_sig1 >> 32).astype(jnp.int32), 0)
+    lb = jnp.where(is_rep, rep_sig1.astype(jnp.int32), 0)
+    pb = jnp.where(is_rep, pos_s, 0)
+    sb = jnp.where(is_rep, seg_id, 0)
     (nv_s, a_s, b_s, p0_s, segid_s) = jax.lax.sort(
-        (1 - vb[:M], hb[:M], lb[:M], pb[:M], sb[:M]), num_keys=4
+        (nv, hb, lb, pb, sb), num_keys=4
     )
     rep_valid = nv_s == 0
     prev_same_sig = (

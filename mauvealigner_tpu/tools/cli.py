@@ -899,6 +899,9 @@ def bb_analyze_cli(argv: List[str]) -> int:
     p.add_argument("output")
     p.add_argument("--reference", default="", help="annotated GenBank reference")
     p.add_argument("--categories", default="", help="TSV: feature<TAB>category")
+    p.add_argument("--annotated-index", type=int, default=0,
+                   help="sequence index of the annotated genome (reference "
+                        "positional 'annotated seq index', 0-based)")
     p.add_argument("--n-seqs", type=int, default=0)
     p.add_argument("--guide-tree", default="",
                    help="Newick guide tree: adds the per-node unique/hop/"
@@ -924,7 +927,10 @@ def bb_analyze_cli(argv: List[str]) -> int:
             if len(toks) >= 2:
                 categories[toks[0]] = toks[1]
     with open_out(a.output) as fh:
-        bb_analyze_report(rows, n_seqs, ref, categories or None, fh)
+        bb_analyze_report(
+            rows, n_seqs, ref, categories or None, fh,
+            anno_index=a.annotated_index,
+        )
         if a.guide_tree:
             from mauvealigner_tpu.analysis.tree import parse_newick
 
@@ -956,7 +962,10 @@ def bb_analyze_cli(argv: List[str]) -> int:
                 ivl = IntervalList.read_xmfa(a.xmfa)
                 seq_lengths = [len(g) for g in ivl.genomes]
             summaries = tree_node_analysis(rows, n_seqs, tree, seq_lengths)
-            write_tree_analysis(summaries, fh)
+            write_tree_analysis(
+                summaries, fh, reference=ref, ref_index=a.annotated_index,
+                categories=categories or None,
+            )
     return 0
 
 

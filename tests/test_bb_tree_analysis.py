@@ -197,3 +197,101 @@ def test_bucketed_site_detection_matches_quadratic_reference():
             assert len(g_list) == len(w_list), trial
             for (ga, gb, gr_), (wa, wb, wr) in zip(g_list, w_list):
                 assert (ga, gb) == (wa, wb) and (gr_ == wr).all(), trial
+
+
+def _feat(kind, a, b, strand=1, name=None):
+    from mauvealigner_tpu.genome.sequence import Feature
+
+    quals = {"gene": name} if name else {}
+    return Feature(kind, a, b, strand, quals)
+
+
+def _annotated_genome(length, feats):
+    from mauvealigner_tpu.genome.sequence import Genome
+
+    g = Genome.from_string("A" * length)
+    g.features = feats
+    return g
+
+
+def test_analyze_variable_segments_report():
+    """analyzeVariableSegments semantics (src/bbAnalyze.cpp:808-941):
+    variable regions between n-way flanks are classified against every
+    genome's own annotations; multi-allelic genes need the region genic in
+    EVERY genome; pseudogenes are genic elsewhere but not in the subject."""
+    from mauvealigner_tpu.analysis.bb_analyze import analyze_variable_segments
+
+    n = 2
+    rows = [
+        _row(n, {0: (1, 100), 1: (1, 100)}),      # flank A
+        _row(n, {0: (200, 300), 1: (200, 300)}),  # flank B
+        _row(n, {0: (120, 180)}),                 # allele in g0 only
+        _row(n, {1: (120, 180)}),                 # allele in g1 only
+        _row(n, {0: (400, 500), 1: (400, 500)}),  # flank C
+    ]
+    # both genomes have a CDS spanning the whole A-B gap -> multi-allelic
+    # gene; only genome 0 has a CDS over the B-C gap -> apparent pseudogene
+    # in genome 1
+    g0 = _annotated_genome(600, [
+        _feat("CDS", 80, 210, 1, "alleleA"),
+        _feat("CDS", 290, 405, 1, "soloGene"),
+        _feat("tRNA", 130, 150),
+    ])
+    g1 = _annotated_genome(600, [_feat("CDS", 80, 210, -1, "alleleA")])
+
+    import io
+
+    buf = io.StringIO()
+    regions, per_genome = analyze_variable_segments(
+        rows, n, [g0, g1], anno_index=0, alternalogs=False, out=buf,
+    )
+    text = buf.getvalue()
+    assert len(regions) == 2  # A-B and B-C gaps both carry variable content
+    assert "There are 2 variable segments sites" in text
+    # A-B region [101,199] inside alleleA CDS in both genomes
+    assert " There are 1 apparently multi-allelic genes" in text
+    # genome 1 lacks soloGene -> the B-C region is an apparent pseudogene
+    assert "genome 1 has 1 apparent recent pseudogenes" in text
+    # genome 0's tRNA sits inside the A-B region
+    assert "genome 0 has 1 variable segments that contain tRNA" in text
+    assert "coordinates of multi-allelic genes:" in text
+    assert "101\t199\t101\t199" in text
+
+
+def test_tree_gene_content_distribution():
+    """Per-node gene-content distributions (src/bbAnalyze.cpp:1368-1400):
+    categories enriched beyond the chi-square threshold appear in the
+    node's conserved-distribution table."""
+    import io
+
+    from mauvealigner_tpu.analysis.bb_analyze import (
+        tree_node_analysis,
+        write_tree_analysis,
+    )
+    from mauvealigner_tpu.analysis.tree import parse_newick
+
+    n = 3
+    tree = parse_newick("((0:1,1:1):1,2:1);")
+    rows = []
+    feats = []
+    # 12 conserved segments each covering one CDS of category "met";
+    # 12 CDS of category "other" never covered (expected hit rate 0.5 ->
+    # both categories deviate strongly -> chi2 above threshold)
+    for i in range(12):
+        a = 1 + i * 40
+        rows.append(_row(n, {0: (a, a + 29), 1: (a, a + 29), 2: (a, a + 29)}))
+        feats.append(_feat("CDS", a + 2, a + 20, 1, f"met{i}"))
+    for i in range(12):
+        a = 2000 + i * 40
+        feats.append(_feat("CDS", a, a + 20, 1, f"oth{i}"))
+    ref = _annotated_genome(4000, feats)
+    cats = {f"met{i}": "metabolism" for i in range(12)}
+    cats.update({f"oth{i}": "other" for i in range(12)})
+    summaries = tree_node_analysis(rows, n, tree)
+    buf = io.StringIO()
+    write_tree_analysis(summaries, buf, reference=ref, ref_index=0,
+                        categories=cats)
+    text = buf.getvalue()
+    assert "Conserved gene content distribution" in text
+    assert "metabolism" in text
+    assert "Avg percent conserved 50" in text
