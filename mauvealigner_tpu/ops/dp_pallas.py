@@ -84,30 +84,40 @@ def _kernel(gaps_ref, ma_ref, mb_ref, sskew_ref, dec_ref, score_ref,
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, sp), 1)
+    is_lane0 = lane == 0
+    lane_ge1 = lane >= 1
     ma128 = ma_ref[0]                          # (8, 128)
     d_final128 = ma128 + mb_ref[0]
-    # per-sublane mA/d_final replicated across all Sp lanes (capture masks)
+    # per-sublane capture target: element r's final cell H[mA, mB] lives in
+    # lane mA on diagonal mA+mB — folding both conditions into ONE per-lane
+    # target diagonal makes the in-loop capture predicate a single compare
+    # (the kernel is VPU-issue-bound: ~45 vector ops/diagonal owned the
+    # measured ~370ns/diagonal, so every hoisted op counts)
     ma_sp = jnp.broadcast_to(ma128[:, :1], (GROUP, sp))
     dfin_sp = ma_sp + jnp.broadcast_to(mb_ref[0][:, :1], (GROUP, sp))
+    target_d = jnp.where(lane == ma_sp, dfin_sp, jnp.int32(-1))
 
     go_ge = gaps_ref[0]
     ge = gaps_ref[1]
 
     @pl.when(c == jnp.int32(0))
     def _init():
-        h_ref[:, :] = jnp.where(lane == 0, F0, NEG)
+        h_ref[:, :] = jnp.where(is_lane0, F0, NEG)
         h2_ref[:, :] = jnp.full((GROUP, sp), NEG)
         e_ref[:, :] = jnp.full((GROUP, sp), NEG)
         f_ref[:, :] = jnp.full((GROUP, sp), NEG)
         cap_ref[:, :] = jnp.zeros((GROUP, sp), jnp.float32)
+        # diagonal 0 is pure init: its decision row is all zero and the
+        # sweep loop starts at diagonal 1 (peeling it removes the `live`
+        # select from every state write of every diagonal)
+        dec_ref[0, jnp.int32(0)] = jnp.zeros((GROUP, sp), jnp.uint8)
 
     def shift_down(x):
         rolled = pltpu.roll(x, shift=jnp.int32(1), axis=1)
-        return jnp.where(lane == 0, NEG, rolled)
+        return jnp.where(is_lane0, NEG, rolled)
 
     def body(dl, carry):
         d = c * jnp.int32(ch) + dl             # global diagonal index
-        live = d != 0                          # diagonal 0 is pure init
         h_prev = h_ref[:, :]
         h_prev2 = h2_ref[:, :]
         e_prev = e_ref[:, :]
@@ -124,7 +134,7 @@ def _kernel(gaps_ref, ma_ref, mb_ref, sskew_ref, dec_ref, score_ref,
         f_from_h = hp1 + go_ge
         f_from_f = fp1 + ge
         f_open = f_from_h >= f_from_f
-        f_val = jnp.where(lane >= 1, jnp.maximum(f_from_h, f_from_f), NEG)
+        f_val = jnp.where(lane_ge1, jnp.maximum(f_from_h, f_from_f), NEG)
 
         sdiag = sskew_ref[0, dl].astype(jnp.float32)   # (8, Sp)
         hd = shift_down(h_prev2) + sdiag  # invalid cells stay ~NEG via sdiag mask
@@ -148,18 +158,18 @@ def _kernel(gaps_ref, ma_ref, mb_ref, sskew_ref, dec_ref, score_ref,
         # uint8 store: 4 bits/cell of decision in 1 byte instead of 4 — the
         # dec matrix dominates both the kernel's HBM writes and the VMEM
         # block budget at the 1024-4096 buckets
-        dec_ref[0, dl] = jnp.where(live, dec, zero).astype(jnp.uint8)
-        h2_ref[:, :] = jnp.where(live, h_prev, h_prev2)
-        h_ref[:, :] = jnp.where(live, best, h_prev)
-        e_ref[:, :] = jnp.where(live, e_val, e_prev)
-        f_ref[:, :] = jnp.where(live, f_val, f_prev)
+        dec_ref[0, dl] = dec.astype(jnp.uint8)
+        h2_ref[:, :] = h_prev
+        h_ref[:, :] = best
+        e_ref[:, :] = e_val
+        f_ref[:, :] = f_val
 
         # elementwise capture of each element's final cell H[mA, mB]
-        hit = (lane == ma_sp) & (dfin_sp == d) & live
-        cap_ref[:, :] = jnp.where(hit, best, cap_ref[:, :])
+        cap_ref[:, :] = jnp.where(d == target_d, best, cap_ref[:, :])
         return carry
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(ch), body, jnp.int32(0))
+    start = jnp.where(c == jnp.int32(0), jnp.int32(1), jnp.int32(0))
+    jax.lax.fori_loop(start, jnp.int32(ch), body, jnp.int32(0))
 
     @pl.when(c == n_chunks - jnp.int32(1))
     def _emit_scores():
