@@ -20,6 +20,56 @@ from mauvealigner_tpu.core.interval import Interval, IntervalList
 from mauvealigner_tpu.models import closure
 
 
+def _split_realign(
+    jobs, groups, side_a, side_b, gap_open, gap_extend
+):
+    """Root-edge profile-profile re-alignment of every window: keep each
+    side's internal alignment (all-gap columns dropped within the side),
+    align the two count profiles with ONE batched DP, and stitch.  Returns
+    the surviving (jobs, groups, new_alns, new_codes) — windows with an
+    empty side cannot be re-aligned this way and drop out."""
+    from mauvealigner_tpu.ops import dp
+
+    GAP = np.int8(5)
+    kept_jobs, kept_groups, sides = [], [], []
+    pairs = []
+    for job, regs in zip(jobs, groups):
+        win = job[3]
+        rows_a = [s for s in side_a if s < win.shape[0] and (win[s] != GAP).any()]
+        rows_b = [s for s in side_b if s < win.shape[0] and (win[s] != GAP).any()]
+        if not rows_a or not rows_b:
+            continue
+        cols_a = (win[rows_a] != GAP).any(axis=0)
+        cols_b = (win[rows_b] != GAP).any(axis=0)
+        cc_a = win[rows_a][:, cols_a]
+        cc_b = win[rows_b][:, cols_b]
+        kept_jobs.append(job)
+        kept_groups.append(regs)
+        sides.append((rows_a, rows_b, cc_a, cc_b))
+        pairs.append((cc_a, cc_b))
+    if not kept_jobs:
+        return [], [], [], []
+    profs = closure._profiles_of_many([m for p in pairs for m in p])
+    prof_pairs = [
+        (profs[2 * i], pairs[i][0].shape[1], profs[2 * i + 1], pairs[i][1].shape[1])
+        for i in range(len(pairs))
+    ]
+    ops_all = closure._batched_profile_pair_align(
+        prof_pairs, dp.HOXD70, gap_open, gap_extend
+    )
+    new_alns, new_codes_all = [], []
+    for job, (rows_a, rows_b, cc_a, cc_b), ops in zip(kept_jobs, sides, ops_all):
+        win = job[3]
+        consumes_a = (ops == dp.OP_DIAG) | (ops == dp.OP_UP)
+        consumes_b = (ops == dp.OP_DIAG) | (ops == dp.OP_LEFT)
+        new_codes = np.full((win.shape[0], len(ops)), GAP, np.int8)
+        new_codes[np.ix_(rows_a, np.nonzero(consumes_a)[0])] = cc_a
+        new_codes[np.ix_(rows_b, np.nonzero(consumes_b)[0])] = cc_b
+        new_codes_all.append(new_codes)
+        new_alns.append(new_codes != GAP)
+    return kept_jobs, kept_groups, new_alns, new_codes_all
+
+
 def _window_bounds(iv: Interval, target: int) -> List[Tuple[int, int]]:
     """Split columns into windows of roughly `target` columns, cutting only
     at clean columns (every present sequence has a base)."""
@@ -44,6 +94,23 @@ def _window_bounds(iv: Interval, target: int) -> List[Tuple[int, int]]:
     return list(zip(bounds[:-1], bounds[1:]))
 
 
+def _plan_bipartition(plan, n_seqs: int) -> Tuple[List[int], List[int]]:
+    """Leaf sets on the two sides of the merge plan's FINAL (root) merge —
+    the deepest divergence, where progressive closure leaves the most
+    misalignment."""
+    members: dict = {}
+
+    def of(x):
+        return {x} if isinstance(x, (int, np.integer)) else members[x]
+
+    if not plan:
+        plan = closure.chain_plan(n_seqs)
+    for node, left, right in plan:
+        members[node] = of(left) | of(right)
+    _, left, right = plan[-1]
+    return sorted(of(left)), sorted(of(right))
+
+
 def refine_intervals(
     ivl: IntervalList,
     plan=None,
@@ -51,9 +118,18 @@ def refine_intervals(
     rounds: int = 1,
     gap_open: float = -400.0,
     gap_extend: float = -30.0,
+    mode: str = "split",
 ) -> Tuple[IntervalList, int]:
     """Window-polish every multi-sequence interval; returns (refined list,
-    number of windows improved)."""
+    number of windows improved).
+
+    mode="split" (default): each window keeps the two root-side groups'
+    internal alignments and re-aligns their count profiles against each
+    other — ONE profile DP per window.  mode="rebuild": re-align the
+    window from its ungapped sequences along the whole merge plan
+    (n_seqs - 1 DPs per window; the original formulation).  Both accept a
+    replacement only when the window's sum-of-pairs score improves, so
+    quality is monotone under either mode."""
     import time
 
     from mauvealigner_tpu.utils import timing
@@ -61,6 +137,8 @@ def refine_intervals(
     genomes = ivl.genomes
     improved_total = 0
     intervals = list(ivl.intervals)
+    GAP = np.int8(5)
+    side_a, side_b = (None, None)
     for _ in range(rounds):
         t0 = time.perf_counter()
         jobs: List[Tuple[int, int, int, np.ndarray]] = []  # (iv idx, a, b, col_codes)
@@ -70,6 +148,8 @@ def refine_intervals(
         for k, iv in enumerate(intervals):
             if iv.multiplicity() < 2 or iv.n_cols == 0:
                 continue
+            if side_a is None:
+                side_a, side_b = _plan_bipartition(plan, iv.n_seqs)
             codes = interval_column_codes(iv, genomes)
             for a, b in _window_bounds(iv, window):
                 win = codes[:, a:b]
@@ -85,22 +165,31 @@ def refine_intervals(
         if not jobs:
             break
         t0 = time.perf_counter()
-        new_alns = closure.hierarchical_align_region_groups(
-            groups, plan, gap_open=gap_open, gap_extend=gap_extend
-        )
-        timing.GLOBAL.add("rf_closure_s", time.perf_counter() - t0)
-        t0 = time.perf_counter()
+        if mode == "split":
+            jobs, groups, new_alns, new_codes_all = _split_realign(
+                jobs, groups, side_a, side_b, gap_open, gap_extend
+            )
+            timing.GLOBAL.add("rf_closure_s", time.perf_counter() - t0)
+            t0 = time.perf_counter()
+        else:
+            new_alns = closure.hierarchical_align_region_groups(
+                groups, plan, gap_open=gap_open, gap_extend=gap_extend
+            )
+            timing.GLOBAL.add("rf_closure_s", time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            new_codes_all = []
+            for (k, a, b, win), new_aln, regs in zip(jobs, new_alns, groups):
+                new_codes = np.full((win.shape[0], new_aln.shape[1]), 5, np.int8)
+                for s in range(win.shape[0]):
+                    cols = np.nonzero(new_aln[s])[0]
+                    new_codes[s, cols] = regs[s][: len(cols)]
+                new_codes_all.append(new_codes)
+        if not jobs:
+            break
         # evaluate and apply per interval; old/new windows score in one
         # grouped batch (per-window calls were refinement's host hotspot)
         from mauvealigner_tpu.analysis.sp import match_and_gap_scores_batch
 
-        new_codes_all: List[np.ndarray] = []
-        for (k, a, b, win), new_aln, regs in zip(jobs, new_alns, groups):
-            new_codes = np.full((win.shape[0], new_aln.shape[1]), 5, np.int8)
-            for s in range(win.shape[0]):
-                cols = np.nonzero(new_aln[s])[0]
-                new_codes[s, cols] = regs[s][: len(cols)]
-            new_codes_all.append(new_codes)
         mats = [j[3] for j in jobs] + new_codes_all
         m_all, g_all = match_and_gap_scores_batch(
             mats, gap_open=gap_open, gap_extend=gap_extend
