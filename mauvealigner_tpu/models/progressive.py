@@ -72,6 +72,7 @@ class ProgressiveOptions:
     gapped: bool = True
     max_gapped_len: int = 4096
     refine: bool = True               # iterative window refinement (setRefinement)
+    refine_mode: str = "split"        # root-edge profile realign | "rebuild"
     subset_lcbs: bool = True          # clade-restricted subset-LCB recovery
     # gapped extension of LCB boundaries into unanchored flanks (the
     # reference's full-length alignment / LCB extension semantics,
@@ -358,7 +359,8 @@ class ProgressiveMauve:
 
             with timer.phase("refinement"):
                 ivl, _ = refine_intervals(
-                    ivl, plan, gap_open=o.gap_open, gap_extend=o.gap_extend
+                    ivl, plan, gap_open=o.gap_open, gap_extend=o.gap_extend,
+                    mode=o.refine_mode,
                 )
         ivl.add_unaligned_intervals()
 
@@ -418,7 +420,8 @@ class ProgressiveMauve:
 
             with timer.phase("refinement"):
                 ivl, _ = refine_intervals(
-                    ivl, plan, gap_open=o.gap_open, gap_extend=o.gap_extend
+                    ivl, plan, gap_open=o.gap_open, gap_extend=o.gap_extend,
+                    mode=o.refine_mode,
                 )
         ivl.add_unaligned_intervals()
         backbone_rows: List[np.ndarray] = []

@@ -420,6 +420,9 @@ def progressive_mauve_cli(argv: List[str]) -> int:
     p.add_argument("--mums", action="store_true")
     p.add_argument("--skip-gapped-alignment", action="store_true")
     p.add_argument("--skip-refinement", action="store_true")
+    p.add_argument("--refine-mode", choices=("split", "rebuild"),
+                   default="split",
+                   help="window refinement: one root-edge profile DP per window (split) or full per-window rebuild along the merge plan (rebuild)")
     p.add_argument("--no-backbone", "--disable-backbone", dest="no_backbone",
                    action="store_true")
     p.add_argument("--backbone-output", default="")
@@ -526,6 +529,7 @@ def progressive_mauve_cli(argv: List[str]) -> int:
         max_gapped_len=a.max_gapped_aligner_length,
         use_sml_cache=not a.disable_cache,
         refine=not a.skip_refinement,
+        refine_mode=a.refine_mode,
         boundary_extension=not a.no_boundary_extension,
         max_extension_flank=a.max_extension_flank,
         skip_backbone=a.no_backbone,
