@@ -67,13 +67,15 @@ def tree_plan(tree) -> List[Tuple[NodeId, NodeId, NodeId]]:
 
 
 def _profile_of(cc: np.ndarray) -> np.ndarray:
-    """[m, n_cols] column codes -> [n_cols, 5] float32 base counts (gaps
-    excluded).  One bincount pass over (column, symbol) cells; GAP (=5)
-    lands in the dropped sixth slot."""
+    """[m, n_cols] column codes -> [n_cols, 5] base counts (gaps excluded).
+    One bincount pass over (column, symbol) cells; GAP (=5) lands in the
+    dropped sixth slot.  uint8 when counts fit (the tunnel wire format —
+    the device widens), float32 above 255 rows."""
     T = cc.shape[1]
     flat = np.arange(T, dtype=np.int64) * 6 + cc
     counts = np.bincount(flat.ravel(), minlength=T * 6).reshape(T, 6)
-    return counts[:, :5].astype(np.float32)
+    dt = np.uint8 if cc.shape[0] < 256 else np.float32
+    return counts[:, :5].astype(dt)
 
 
 def _profiles_of_many(ccs: Sequence[np.ndarray]) -> List[np.ndarray]:
@@ -84,8 +86,10 @@ def _profiles_of_many(ccs: Sequence[np.ndarray]) -> List[np.ndarray]:
     for i, cc in enumerate(ccs):
         offs[i + 1] = offs[i] + cc.shape[1]
     total = int(offs[-1])
+    small = all(cc.shape[0] < 256 for cc in ccs)
+    dt = np.uint8 if small else np.float32
     if total == 0:
-        return [np.zeros((cc.shape[1], 5), np.float32) for cc in ccs]
+        return [np.zeros((cc.shape[1], 5), dt) for cc in ccs]
     flats = [
         ((np.arange(cc.shape[1], dtype=np.int64) + offs[i]) * 6 + cc).ravel()
         for i, cc in enumerate(ccs)
@@ -93,7 +97,7 @@ def _profiles_of_many(ccs: Sequence[np.ndarray]) -> List[np.ndarray]:
     counts = (
         np.bincount(np.concatenate(flats), minlength=total * 6)
         .reshape(total, 6)[:, :5]
-        .astype(np.float32)
+        .astype(dt)
     )
     return [counts[offs[i] : offs[i + 1]] for i in range(len(ccs))]
 
@@ -306,8 +310,20 @@ def _batched_profile_pair_align(
             chunk = idxs[off : off + bmax]
             # pad the batch: one compiled shape per (bucket, batch-bucket)
             B = bmax if len(idxs) > bmax else dp._batch_bucket(len(chunk))
-            pa = np.zeros((B, M, 5), np.float32)
-            pb = np.zeros((B, N, 5), np.float32)
+            # u8 wire format when every profile in the chunk fits (device
+            # widens to f32); avoids building + integrality-scanning a 4x
+            # bigger f32 staging buffer per call
+            dt = (
+                np.uint8
+                if all(
+                    pairs[i][0].dtype == np.uint8
+                    and pairs[i][2].dtype == np.uint8
+                    for i in chunk
+                )
+                else np.float32
+            )
+            pa = np.zeros((B, M, 5), dt)
+            pb = np.zeros((B, N, 5), dt)
             la = np.zeros(B, np.int32)
             lb = np.zeros(B, np.int32)
             for j, i in enumerate(chunk):

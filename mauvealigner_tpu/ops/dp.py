@@ -364,6 +364,8 @@ def align_profiles_batch(
     mB = jnp.asarray(lens_b, dtype=jnp.int32)
 
     def ship(p):
+        if p.dtype == np.uint8:  # preferred wire format; widen on device
+            return jnp.asarray(p).astype(jnp.float32)
         if p.dtype == np.float32 and p.max(initial=0.0) < 255 and np.allclose(p, np.round(p)):
             return jnp.asarray(p.astype(np.uint8)).astype(jnp.float32)
         return jnp.asarray(p)
