@@ -63,3 +63,28 @@ def test_refine_keeps_good_alignment(rng):
     assert compute_sp_score(refined.intervals[0], [anc, g2]) >= compute_sp_score(
         iv, [anc, g2]
     )
+
+
+def test_refine_modes_sp_monotone_multiway(rng):
+    """Both refinement modes only ever accept SP-improving windows, and the
+    split mode preserves every base (5-way, gappy input)."""
+    n = 5
+    anc = simulate.random_genome(rng, 400)
+    genomes = [anc] + [
+        simulate.evolve(anc, rng, sub_rate=0.05, ins_rate=0.01, del_rate=0.01)[0]
+        for _ in range(n - 1)
+    ]
+    # naive ragged stack: left-align every sequence, pad tails with gaps
+    L = max(len(g) for g in genomes)
+    aln = np.zeros((n, L), bool)
+    for s, g in enumerate(genomes):
+        aln[s, : len(g)] = True
+    iv = Interval(np.ones(n, np.int64), aln)
+    ivl = IntervalList(genomes=genomes, intervals=[iv])
+    before = compute_sp_score(iv, genomes)
+    for mode in ("split", "rebuild"):
+        refined, _ = refine_intervals(ivl, window=128, mode=mode)
+        out = refined.intervals[0]
+        assert compute_sp_score(out, genomes) >= before, mode
+        for s, g in enumerate(genomes):
+            assert out.aln[s].sum() == len(g), mode  # bases preserved
