@@ -213,9 +213,7 @@ def _sig_phase(keys, seq_ids, positions, seq_mask, n_seqs, min_multi, pack_sort)
     # whenever its segment does); its (pos, strand) reach every kept entry
     # via a forward carry (all kept entries sit at/after their rep)
     is_rep = kept & (cs == base + 1)
-    ref_pos, ref_strand = _carry_last2(
-        jnp.where(is_rep, pos_s, 0), jnp.where(is_rep, strand_s, 0), is_rep
-    )
+    ref_pos, ref_strand = _carry_last2(pos_s, strand_s, is_rep)
     rel = strand_s ^ ref_strand
     inv = jnp.where(rel == 0, pos_s.astype(jnp.int64) - ref_pos, pos_s.astype(jnp.int64) + ref_pos)
 
