@@ -282,3 +282,42 @@ def test_match_and_gap_scores_batch_matches_single(rng):
         m1, g1 = match_and_gap_scores(X, gap_open=-100.0, gap_extend=-20.0)
         assert m == m1, (X.shape, m, m1)
         assert g == g1, (X.shape, g, g1)
+
+
+def test_forward_backward_matches_logspace_reference(rng):
+    """The normalized probability-space scan must reproduce a straight
+    log-space forward/backward to float accuracy (random chains, padding)."""
+    import jax.numpy as jnp
+
+    from mauvealigner_tpu.ops import hmm
+
+    def ref_posteriors(log_emit, log_trans, log_init, L):
+        from scipy.special import logsumexp
+
+        T, S = log_emit.shape
+        la = np.full((L, S), -np.inf)
+        la[0] = log_init + log_emit[0]
+        for t in range(1, L):
+            la[t] = logsumexp(la[t - 1][:, None] + log_trans, axis=0) + log_emit[t]
+        lb = np.zeros((L, S))
+        for t in range(L - 2, -1, -1):
+            lb[t] = logsumexp(log_trans + log_emit[t + 1] + lb[t + 1], axis=1)
+        lp = la + lb
+        lp -= logsumexp(lp, axis=1, keepdims=True)
+        return np.exp(lp)
+
+    B, T, S = 3, 29, 2
+    raw = rng.random((B, T, S)) * 0.95 + 0.02
+    log_emit = np.log(raw / raw.sum(axis=2, keepdims=True)).astype(np.float32)
+    log_trans = np.log(np.array([[0.999, 0.001], [0.01, 0.99]])).astype(np.float32)
+    log_init = np.log(np.array([0.6, 0.4])).astype(np.float32)
+    lengths = np.array([T, T - 7, 2], np.int32)
+    post = np.asarray(
+        hmm.forward_backward(
+            jnp.asarray(log_emit), jnp.asarray(log_trans),
+            jnp.asarray(log_init), jnp.asarray(lengths),
+        )
+    )
+    for b, L in enumerate(lengths):
+        want = ref_posteriors(log_emit[b], log_trans, log_init, int(L))
+        np.testing.assert_allclose(post[b, :L], want, atol=2e-4)
