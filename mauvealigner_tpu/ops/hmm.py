@@ -31,6 +31,72 @@ def _norm_matmul(A: jnp.ndarray, Bm: jnp.ndarray) -> jnp.ndarray:
     return C / jnp.maximum(m, jnp.float32(1e-30))
 
 
+def _combine2(x, y):
+    """2-state chain combine: element-wise 2x2 matrix product L @ R over
+    four [B, T] entry lanes, renormalized to max 1.  The lane layout keeps
+    T in the TPU lane dimension — scanning [B, T, 2, 2] tensors instead
+    pads each trailing (2, 2) matrix to a (2, 128) tile, a 64x memory
+    blowup that OOMed HBM at the 32k-column bucket."""
+    xa, xb, xc, xd = x
+    ya, yb, yc, yd = y
+    ca = xa * ya + xb * yc
+    cb = xa * yb + xb * yd
+    cc = xc * ya + xd * yc
+    cd = xc * yb + xd * yd
+    m = jnp.maximum(
+        jnp.maximum(jnp.maximum(ca, cb), jnp.maximum(cc, cd)), jnp.float32(1e-30)
+    )
+    return (ca / m, cb / m, cc / m, cd / m)
+
+
+def _forward_backward_2state(
+    log_emit: jnp.ndarray,   # [B, T, 2]
+    log_trans: jnp.ndarray,  # [2, 2]
+    log_init: jnp.ndarray,   # [2]
+    lengths: jnp.ndarray,    # [B]
+) -> jnp.ndarray:
+    """S=2 specialization of forward_backward on four [B, T] entry lanes
+    (see _combine2 for why the matrix layout is untenable on TPU)."""
+    B, T, _ = log_emit.shape
+    step_ids = jnp.arange(T)
+    pad_mask = step_ids[None, :] < lengths[:, None]  # [B, T]
+    le = jnp.where(pad_mask[:, :, None], log_emit, 0.0)
+    e0, e1 = jnp.exp(le[:, :, 0]), jnp.exp(le[:, :, 1])  # [B, T]
+    trans = jnp.exp(log_trans)
+    init = jnp.exp(log_init)
+
+    # forward prefix over steps 1..T-1: A_t[i, j] = trans[i, j] * emit_t[j]
+    a = trans[0, 0] * e0[:, 1:]
+    b = trans[0, 1] * e1[:, 1:]
+    c = trans[1, 0] * e0[:, 1:]
+    d = trans[1, 1] * e1[:, 1:]
+    pa, pb, pc, pd = jax.lax.associative_scan(_combine2, (a, b, c, d), axis=1)
+    a00 = init[0] * e0[:, 0]
+    a01 = init[1] * e1[:, 0]
+    m0 = jnp.maximum(jnp.maximum(a00, a01), jnp.float32(1e-30))
+    a00, a01 = a00 / m0, a01 / m0
+    ar0 = a00[:, None] * pa + a01[:, None] * pc
+    ar1 = a00[:, None] * pb + a01[:, None] * pd
+    alphas0 = jnp.concatenate([a00[:, None], ar0], axis=1)  # [B, T]
+    alphas1 = jnp.concatenate([a01[:, None], ar1], axis=1)
+
+    # backward suffix: scan the TRANSPOSED factors (swap b/c lanes) in
+    # reverse; beta_t = row sums of A_{t+1}..A_{T-1} = column sums of the
+    # transposed product.
+    sa, sb, sc, sd = jax.lax.associative_scan(
+        _combine2, (a, c, b, d), axis=1, reverse=True
+    )
+    ones = jnp.ones((B, 1), log_emit.dtype)
+    betas0 = jnp.concatenate([sa + sc, ones], axis=1)
+    betas1 = jnp.concatenate([sb + sd, ones], axis=1)
+
+    raw0 = alphas0 * betas0
+    raw1 = alphas1 * betas1
+    denom = jnp.maximum(raw0 + raw1, jnp.float32(1e-30))
+    post = jnp.stack([raw0 / denom, raw1 / denom], axis=-1)
+    return jnp.where(pad_mask[:, :, None], post, 0.0)
+
+
 @partial(jax.jit, static_argnames=())
 def forward_backward(
     log_emit: jnp.ndarray,   # [B, T, S] per-step emission log-probs
@@ -49,8 +115,14 @@ def forward_backward(
     Steps beyond `lengths` are padding: they contribute emission
     probability one, so the row-stochastic transition factors leave the
     backward pass invariant (beta stays constant over padding).
+
+    The production S=2 case routes to a lane-decomposed kernel: scanning
+    [B, T, S, S] tensors puts the (S, S) matrix in the two minor (tiled)
+    dimensions, which the TPU pads to (8, 128) — 64x the HBM.
     """
     B, T, S = log_emit.shape
+    if S == 2:
+        return _forward_backward_2state(log_emit, log_trans, log_init, lengths)
     step_ids = jnp.arange(T)
     pad_mask = step_ids[None, :] < lengths[:, None]  # [B, T]
     le = jnp.where(pad_mask[:, :, None], log_emit, 0.0)

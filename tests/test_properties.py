@@ -321,3 +321,55 @@ def test_forward_backward_matches_logspace_reference(rng):
     for b, L in enumerate(lengths):
         want = ref_posteriors(log_emit[b], log_trans, log_init, int(L))
         np.testing.assert_allclose(post[b, :L], want, atol=2e-4)
+
+
+def test_forward_backward_2state_lane_kernel_matches_generic(rng):
+    """The S=2 lane-decomposed kernel (TPU tile-layout fix: scanning
+    [B, T, 2, 2] pads each trailing 2x2 matrix to a (2, 128) tile, 64x the
+    HBM) must agree with the generic matrix formulation bit-for-float."""
+    import jax.numpy as jnp
+
+    from mauvealigner_tpu.ops import hmm
+
+    B, T = 4, 517
+    raw = rng.random((B, T, 2)) * 0.95 + 0.02
+    log_emit = np.log(raw / raw.sum(axis=2, keepdims=True)).astype(np.float32)
+    log_trans = np.log(np.array([[1 - 1e-9, 1e-9], [1e-5, 1 - 1e-5]])).astype(
+        np.float32
+    )
+    log_init = np.log(np.array([0.5, 0.5])).astype(np.float32)
+    lengths = np.array([T, T - 100, 16, 1], np.int32)
+    args = (
+        jnp.asarray(log_emit), jnp.asarray(log_trans),
+        jnp.asarray(log_init), jnp.asarray(lengths),
+    )
+    lane = np.asarray(hmm._forward_backward_2state(*args))
+
+    # generic matrix path, forced by bypassing the S==2 dispatch
+    le = jnp.where(
+        (jnp.arange(T)[None, :] < jnp.asarray(lengths)[:, None])[:, :, None],
+        jnp.asarray(log_emit), 0.0,
+    )
+    emit = jnp.exp(le)
+    A = jnp.exp(jnp.asarray(log_trans))[None, None] * emit[:, :, None, :]
+    import jax
+
+    prefix = jax.lax.associative_scan(hmm._norm_matmul, A[:, 1:], axis=1)
+    alpha0_raw = jnp.exp(jnp.asarray(log_init)) * emit[:, 0]
+    alpha0 = alpha0_raw / jnp.maximum(
+        jnp.max(alpha0_raw, axis=-1, keepdims=True), jnp.float32(1e-30)
+    )
+    alphas = jnp.concatenate(
+        [alpha0[:, None], jnp.einsum("bok,btkj->btj", alpha0[:, None], prefix)],
+        axis=1,
+    )
+    suffix_T = jax.lax.associative_scan(
+        hmm._norm_matmul, jnp.swapaxes(A[:, 1:], -1, -2), axis=1, reverse=True
+    )
+    betas = jnp.concatenate(
+        [jnp.sum(suffix_T, axis=-2), jnp.ones((B, 1, 2))], axis=1
+    )
+    raw_p = alphas * betas
+    want = np.asarray(raw_p / jnp.maximum(raw_p.sum(2, keepdims=True), 1e-30))
+    for b, L in enumerate(lengths):
+        np.testing.assert_allclose(lane[b, :L], want[b, :L], atol=1e-5)
