@@ -233,11 +233,11 @@ def bb_analyze_report(
             ]
         analyze_variable_segments(
             rows, n_seqs, seq_list, anno_index, alternalogs=False, out=out,
-            site_name="variable segments",
+            site_name="variable segments", precomputed=(sites, alts),
         )
         analyze_variable_segments(
             rows, n_seqs, seq_list, anno_index, alternalogs=True, out=out,
-            site_name="alternalogs",
+            site_name="alternalogs", precomputed=(sites, alts),
         )
     return reports
 
@@ -307,8 +307,10 @@ def write_gene_content_distribution(
         if h:
             sub_count[cat] += 1
     rows_out = []
-    for cat, n_sub in sub_count.items():
-        n_all = all_count[cat]
+    # iterate every annotated category: a zero-hit category can still be
+    # significantly UNDER-represented (chi2 = expected at n_sub = 0)
+    for cat, n_all in all_count.items():
+        n_sub = sub_count.get(cat, 0)
         expected = n_all * expect_freq
         if expected <= 0:
             continue
@@ -339,13 +341,20 @@ def analyze_variable_segments(
     alternalogs: bool = False,
     out: Optional[TextIO] = None,
     site_name: str = "variable segments",
+    precomputed=None,
 ) -> Tuple[List[np.ndarray], List[List[SegmentReport]]]:
     """analyzeVariableSegments (src/bbAnalyze.cpp:808-941): the variable
     REGIONS between consecutive n-way flanks are classified against every
     genome's own annotations; the reference's report lines are emitted to
     `out`.  Returns (region coordinate rows, per-genome region reports).
+    ``precomputed`` takes an existing ``variable_and_alternalog_sites``
+    result so one detection pass serves the whole report.
     """
-    sites, alts = variable_and_alternalog_sites(rows, n_seqs)
+    sites, alts = (
+        precomputed
+        if precomputed is not None
+        else variable_and_alternalog_sites(rows, n_seqs)
+    )
     chosen = alts if alternalogs else sites
     region_rows = [region for _, _, region in chosen]
     A = len(region_rows)
@@ -879,33 +888,67 @@ def variable_and_alternalog_sites(
         ~nway & (counts > 0) & (mean_span >= min_variable_size)
     )[0]
 
-    # bucket each candidate onto a flank pair: in every member genome its
-    # interval must sit inside that pair's gap.  Per genome, sort the gaps
-    # (ties broken toward the widest so empty gaps never shadow a real one)
-    # and searchsorted each candidate's start against the gap starts.
+    # bucket each candidate onto flank pairs: in every member genome its
+    # interval must sit inside that pair's gap.  Per genome the gaps of
+    # distinct pairs are disjoint on a collinear backbone, so a single
+    # searchsorted pick per genome is exact there (ties broken toward the
+    # widest gap so empty gaps never shadow a real one).  Rearrangements
+    # make gaps of distinct pairs overlap or nest in some genome; the
+    # candidates whose pick lands in such a neighborhood fall back to an
+    # exact all-valid-pairs containment scan — which, like the reference's
+    # per-pair rescan, may count one row for SEVERAL pairs.
     assign = np.full((len(cand), n_seqs), -1, np.int64)
-    for g in range(n_seqs):
+    picked_dirty = np.zeros(len(cand), bool)     # pick in an overlap zone
+    contain_fail = np.zeros(len(cand), bool)     # member genome provably
+    for g in range(n_seqs):                      # without a containing gap
         ordp = np.lexsort((gap_r[:, g], gap_l[:, g]))
-        pos = (
-            np.searchsorted(gap_l[ordp, g], lo[cand, g], side="right") - 1
+        gl_s, gr_s = gap_l[ordp, g], gap_r[ordp, g]
+        overlaps = np.zeros(n_pairs, bool)
+        if n_pairs > 1:
+            cr = np.maximum.accumulate(gr_s)
+            overlaps[1:] = gl_s[1:] <= cr[:-1]
+            overlaps[:-1] |= gr_s[:-1] >= gl_s[1:]
+        pos = np.searchsorted(gl_s, lo[cand, g], side="right") - 1
+        pc = np.clip(pos, 0, n_pairs - 1)
+        p = ordp[pc]
+        memb = present[cand, g]
+        has_pick = pos >= 0
+        contained = (
+            has_pick & (lo[cand, g] >= gap_l[p, g]) & (hi[cand, g] <= gap_r[p, g])
         )
-        p = ordp[np.clip(pos, 0, n_pairs - 1)]
-        ok = (
-            (pos >= 0)
-            & present[cand, g]
-            & (lo[cand, g] >= gap_l[p, g])
-            & (hi[cand, g] <= gap_r[p, g])
-        )
-        assign[:, g] = np.where(ok, p, -1)
+        assign[:, g] = np.where(memb & contained, p, -1)
+        dirty_g = has_pick & overlaps[pc]
+        picked_dirty |= memb & dirty_g
+        # with disjoint gaps the pick is the ONLY possible container, so a
+        # clean containment failure rules the candidate out entirely
+        contain_fail |= memb & ~contained & ~dirty_g
     first_member = np.argmax(present[cand], axis=1)
     prow = assign[np.arange(len(cand)), first_member]
     member_ok = (assign == prow[:, None]) | ~present[cand]
-    belongs = (prow >= 0) & member_ok.all(axis=1)
+    belongs = ~picked_dirty & ~contain_fail & (prow >= 0) & member_ok.all(axis=1)
     belongs &= valid[np.clip(prow, 0, max(n_pairs - 1, 0))]
 
+    memberships = [
+        (int(prow[ci]), int(cand[ci])) for ci in np.nonzero(belongs)[0]
+    ]
+    dirty_idx = np.nonzero(picked_dirty & ~contain_fail)[0]
+    if len(dirty_idx):
+        vp = np.nonzero(valid)[0]
+        if len(vp):
+            chunk = max(1, (1 << 22) // max(len(vp) * n_seqs, 1))
+            for off in range(0, len(dirty_idx), chunk):
+                ch = dirty_idx[off : off + chunk]
+                c_lo = lo[cand[ch]][:, None, :]          # (c, 1, g)
+                c_hi = hi[cand[ch]][:, None, :]
+                c_pr = present[cand[ch]][:, None, :]
+                inside = (c_lo >= gap_l[vp][None]) & (c_hi <= gap_r[vp][None])
+                okcp = (inside | ~c_pr).all(axis=2)      # (c, pairs)
+                for a, b in zip(*np.nonzero(okcp)):
+                    memberships.append((int(vp[b]), int(cand[ch[a]])))
+    memberships.sort()  # (pair, row index): row order kept within each pair
     rows_of: Dict[int, List[int]] = {}
-    for ci in np.nonzero(belongs)[0]:  # cand ascending => row order kept
-        rows_of.setdefault(int(prow[ci]), []).append(int(cand[ci]))
+    for p_i, r_i in memberships:
+        rows_of.setdefault(p_i, []).append(r_i)
 
     sites: List[Tuple[int, int, np.ndarray]] = []
     alts: List[Tuple[int, int, np.ndarray]] = []

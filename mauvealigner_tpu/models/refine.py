@@ -26,18 +26,23 @@ def _split_realign(
     """Root-edge profile-profile re-alignment of every window: keep each
     side's internal alignment (all-gap columns dropped within the side),
     align the two count profiles with ONE batched DP, and stitch.  Returns
-    the surviving (jobs, groups, new_alns, new_codes) — windows with an
-    empty side cannot be re-aligned this way and drop out."""
+    (jobs, groups, new_alns, new_codes, rest_jobs, rest_groups) — windows
+    with an empty side (every present sequence on one side of the root
+    bipartition, e.g. subset LCBs) cannot be re-aligned this way and are
+    handed back for the rebuild fallback."""
     from mauvealigner_tpu.ops import dp
 
     GAP = np.int8(5)
     kept_jobs, kept_groups, sides = [], [], []
+    rest_jobs, rest_groups = [], []
     pairs = []
     for job, regs in zip(jobs, groups):
         win = job[3]
         rows_a = [s for s in side_a if s < win.shape[0] and (win[s] != GAP).any()]
         rows_b = [s for s in side_b if s < win.shape[0] and (win[s] != GAP).any()]
         if not rows_a or not rows_b:
+            rest_jobs.append(job)
+            rest_groups.append(regs)
             continue
         cols_a = (win[rows_a] != GAP).any(axis=0)
         cols_b = (win[rows_b] != GAP).any(axis=0)
@@ -48,7 +53,7 @@ def _split_realign(
         sides.append((rows_a, rows_b, cc_a, cc_b))
         pairs.append((cc_a, cc_b))
     if not kept_jobs:
-        return [], [], [], []
+        return [], [], [], [], rest_jobs, rest_groups
     profs = closure._profiles_of_many([m for p in pairs for m in p])
     prof_pairs = [
         (profs[2 * i], pairs[i][0].shape[1], profs[2 * i + 1], pairs[i][1].shape[1])
@@ -67,7 +72,20 @@ def _split_realign(
         new_codes[np.ix_(rows_b, np.nonzero(consumes_b)[0])] = cc_b
         new_codes_all.append(new_codes)
         new_alns.append(new_codes != GAP)
-    return kept_jobs, kept_groups, new_alns, new_codes_all
+    return kept_jobs, kept_groups, new_alns, new_codes_all, rest_jobs, rest_groups
+
+
+def _codes_from_alns(jobs, new_alns, groups) -> List[np.ndarray]:
+    """Reconstruct int8 column-code matrices from rebuild-path alignment
+    masks (each row's bases fill its True cells in order)."""
+    out = []
+    for (k, a, b, win), new_aln, regs in zip(jobs, new_alns, groups):
+        new_codes = np.full((win.shape[0], new_aln.shape[1]), 5, np.int8)
+        for s in range(win.shape[0]):
+            cols = np.nonzero(new_aln[s])[0]
+            new_codes[s, cols] = regs[s][: len(cols)]
+        out.append(new_codes)
+    return out
 
 
 def _window_bounds(iv: Interval, target: int) -> List[Tuple[int, int]]:
@@ -166,9 +184,22 @@ def refine_intervals(
             break
         t0 = time.perf_counter()
         if mode == "split":
-            jobs, groups, new_alns, new_codes_all = _split_realign(
-                jobs, groups, side_a, side_b, gap_open, gap_extend
+            jobs, groups, new_alns, new_codes_all, rest_jobs, rest_groups = (
+                _split_realign(jobs, groups, side_a, side_b, gap_open, gap_extend)
             )
+            if rest_jobs:
+                # one-sided windows (e.g. subset LCBs entirely within one
+                # root clade) fall back to the full rebuild re-alignment —
+                # dropping them would leave those intervals unpolished
+                rest_alns = closure.hierarchical_align_region_groups(
+                    rest_groups, plan, gap_open=gap_open, gap_extend=gap_extend
+                )
+                jobs = jobs + rest_jobs
+                groups = groups + rest_groups
+                new_alns = new_alns + rest_alns
+                new_codes_all = new_codes_all + _codes_from_alns(
+                    rest_jobs, rest_alns, rest_groups
+                )
             timing.GLOBAL.add("rf_closure_s", time.perf_counter() - t0)
             t0 = time.perf_counter()
         else:
@@ -177,13 +208,7 @@ def refine_intervals(
             )
             timing.GLOBAL.add("rf_closure_s", time.perf_counter() - t0)
             t0 = time.perf_counter()
-            new_codes_all = []
-            for (k, a, b, win), new_aln, regs in zip(jobs, new_alns, groups):
-                new_codes = np.full((win.shape[0], new_aln.shape[1]), 5, np.int8)
-                for s in range(win.shape[0]):
-                    cols = np.nonzero(new_aln[s])[0]
-                    new_codes[s, cols] = regs[s][: len(cols)]
-                new_codes_all.append(new_codes)
+            new_codes_all = _codes_from_alns(jobs, new_alns, groups)
         if not jobs:
             break
         # evaluate and apply per interval; old/new windows score in one

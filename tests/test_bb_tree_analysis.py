@@ -116,56 +116,62 @@ def test_variable_segment_and_alternalog_sites():
     assert region[0] == 101 and region[1] == 199  # genome 0 gap coordinates
 
 
+def _quadratic_sites(rows, n_seqs, min_bb=None, min_var=None):
+    """Straightforward per-pair rescan (the pre-round-3 algorithm): the
+    oracle for the bucketed one-pass site detection.  Note a row counts for
+    EVERY pair whose gaps contain it (nested gaps under rearrangement)."""
+    from mauvealigner_tpu.analysis.bb_analyze import ALTERNALOG_MIN_SIZE
+
+    min_bb = ALTERNALOG_MIN_SIZE if min_bb is None else min_bb
+    min_var = ALTERNALOG_MIN_SIZE if min_var is None else min_var
+    mat = np.stack(rows).astype(np.int64)
+    lefts, rights = np.abs(mat[:, ::2]), np.abs(mat[:, 1::2])
+    lo, hi = np.minimum(lefts, rights), np.maximum(lefts, rights)
+    present = mat[:, ::2] != 0
+    spans = np.where(present, hi - lo + 1, 0)
+    nway = present.all(axis=1) & (spans.mean(axis=1) >= min_bb)
+    nidx = np.nonzero(nway)[0]
+    if len(nidx) < 2:
+        return [], []
+    order = nidx[np.argsort(lo[nidx, 0], kind="stable")]
+    sites, alts = [], []
+    for a, b in zip(order[:-1], order[1:]):
+        gl, gr = hi[a] + 1, lo[b] - 1
+        if (gr < gl - 1).any():
+            continue
+        alleles = 0
+        seen = np.zeros(n_seqs, bool)
+        for r in range(mat.shape[0]):
+            if nway[r] or not present[r].any():
+                continue
+            m = present[r]
+            if spans[r][m].mean() < min_var:
+                continue
+            if not ((lo[r][m] >= gl[m]) & (hi[r][m] <= gr[m])).all():
+                continue
+            if (~seen[m]).any():
+                alleles += 1
+            seen |= m
+        alleles += int(((~seen) & (gr - gl + 1 >= min_var)).sum())
+        if alleles > 0:
+            region = np.zeros(2 * n_seqs, np.int64)
+            ne = gr >= gl
+            region[::2] = np.where(ne, gl, 0)
+            region[1::2] = np.where(ne, gr, 0)
+            sites.append((int(a), int(b), region))
+            if alleles > 1:
+                alts.append((int(a), int(b), region))
+    return sites, alts
+
+
 def test_bucketed_site_detection_matches_quadratic_reference():
     """The searchsorted-bucketed one-pass site detection must reproduce the
-    straightforward per-pair rescan (the pre-round-3 algorithm) on random
-    well-formed backbones."""
+    per-pair rescan oracle on random COLLINEAR well-formed backbones."""
     from mauvealigner_tpu.analysis.bb_analyze import (
-        ALTERNALOG_MIN_SIZE,
         variable_and_alternalog_sites,
     )
 
-    def quadratic(rows, n_seqs, min_bb=ALTERNALOG_MIN_SIZE,
-                  min_var=ALTERNALOG_MIN_SIZE):
-        mat = np.stack(rows).astype(np.int64)
-        lefts, rights = np.abs(mat[:, ::2]), np.abs(mat[:, 1::2])
-        lo, hi = np.minimum(lefts, rights), np.maximum(lefts, rights)
-        present = mat[:, ::2] != 0
-        spans = np.where(present, hi - lo + 1, 0)
-        nway = present.all(axis=1) & (spans.mean(axis=1) >= min_bb)
-        nidx = np.nonzero(nway)[0]
-        if len(nidx) < 2:
-            return [], []
-        order = nidx[np.argsort(lo[nidx, 0], kind="stable")]
-        sites, alts = [], []
-        for a, b in zip(order[:-1], order[1:]):
-            gl, gr = hi[a] + 1, lo[b] - 1
-            if (gr < gl - 1).any():
-                continue
-            alleles = 0
-            seen = np.zeros(n_seqs, bool)
-            for r in range(mat.shape[0]):
-                if nway[r] or not present[r].any():
-                    continue
-                m = present[r]
-                if spans[r][m].mean() < min_var:
-                    continue
-                if not ((lo[r][m] >= gl[m]) & (hi[r][m] <= gr[m])).all():
-                    continue
-                if (~seen[m]).any():
-                    alleles += 1
-                seen |= m
-            alleles += int(((~seen) & (gr - gl + 1 >= min_var)).sum())
-            if alleles > 0:
-                region = np.zeros(2 * n_seqs, np.int64)
-                ne = gr >= gl
-                region[::2] = np.where(ne, gl, 0)
-                region[1::2] = np.where(ne, gr, 0)
-                sites.append((int(a), int(b), region))
-                if alleles > 1:
-                    alts.append((int(a), int(b), region))
-        return sites, alts
-
+    quadratic = _quadratic_sites
     rng = np.random.default_rng(37)
     for trial in range(25):
         n = int(rng.integers(2, 6))
@@ -197,6 +203,98 @@ def test_bucketed_site_detection_matches_quadratic_reference():
             assert len(g_list) == len(w_list), trial
             for (ga, gb, gr_), (wa, wb, wr) in zip(g_list, w_list):
                 assert (ga, gb) == (wa, wb) and (gr_ == wr).all(), trial
+
+
+def test_bucketed_site_detection_matches_quadratic_on_rearrangements():
+    """Rearranged backbones make the per-genome gaps of distinct flank
+    pairs overlap or NEST; the bucketed detection must still reproduce the
+    per-pair rescan (incl. rows counting for several pairs)."""
+    from mauvealigner_tpu.analysis.bb_analyze import (
+        variable_and_alternalog_sites,
+    )
+
+    rng = np.random.default_rng(41)
+    for trial in range(40):
+        n = int(rng.integers(2, 6))
+        n_flanks = int(rng.integers(2, 8))
+        rows = []
+        # flanks collinear in genome 0, PERMUTED placement in the others:
+        # disjoint blocks per genome, but block order differs per genome
+        lengths = rng.integers(20, 120, n_flanks)
+        placements = np.zeros((n_flanks, n), np.int64)
+        for g in range(n):
+            order = np.arange(n_flanks) if g == 0 else rng.permutation(n_flanks)
+            cur = 1
+            for fi in order:
+                cur += int(rng.integers(0, 200))
+                placements[fi, g] = cur
+                cur += int(lengths[fi])
+        for fi in range(n_flanks):
+            row = np.zeros(2 * n, np.int64)
+            row[::2] = placements[fi]
+            row[1::2] = placements[fi] + int(lengths[fi]) - 1
+            rows.append(row)
+        span_hi = int(placements.max() + 300)
+        for _ in range(int(rng.integers(0, 16))):
+            members = rng.random(n) < 0.6
+            if not members.any():
+                members[int(rng.integers(0, n))] = True
+            a = rng.integers(1, span_hi, n)
+            b = a + int(rng.integers(1, 80))
+            row = np.zeros(2 * n, np.int64)
+            row[::2] = np.where(members, a, 0)
+            row[1::2] = np.where(members, b, 0)
+            rows.append(row)
+        # second parameter set raises min_variable_size so most gaps are
+        # below the gap-allele threshold: row membership alone then decides
+        # site vs alternalog, which is where bucketing errors surface
+        for min_bb, min_var in ((None, None), (20, 45)):
+            kw = {} if min_bb is None else {
+                "min_bb_size": min_bb, "min_variable_size": min_var,
+            }
+            qkw = {} if min_bb is None else {"min_bb": min_bb, "min_var": min_var}
+            got = variable_and_alternalog_sites(rows, n, **kw)
+            want = _quadratic_sites(rows, n, **qkw)
+            for g_list, w_list in zip(got, want):
+                assert len(g_list) == len(w_list), (
+                    trial, min_var, len(g_list), len(w_list),
+                )
+                for (ga, gb, gr_), (wa, wb, wr) in zip(g_list, w_list):
+                    assert (ga, gb) == (wa, wb) and (gr_ == wr).all(), trial
+
+
+def test_nested_gap_translocation_site_not_misclassified():
+    """A translocation nests flank pair (C,D)'s genome-2 gap inside pair
+    (A,B)'s: a subset row fitting (A,B) in both its genomes must attach to
+    (A,B) even though the innermost-gap pick in genome 2 is (C,D)."""
+    from mauvealigner_tpu.analysis.bb_analyze import (
+        variable_and_alternalog_sites,
+    )
+
+    n = 3
+    rows = [
+        # flanks: collinear in genomes 0,1; genome 2 translocates F1 late.
+        # Genome 1's (F0,F1) gap is 10 bp — too small for a gap allele — so
+        # losing the subset row flips the site to a spurious alternalog.
+        _row(n, {0: (1, 100), 1: (1, 100), 2: (1, 100)}),            # F0
+        _row(n, {0: (201, 300), 1: (111, 210), 2: (1000, 1100)}),    # F1
+        _row(n, {0: (401, 500), 1: (401, 500), 2: (200, 300)}),      # F2
+        _row(n, {0: (601, 700), 1: (601, 700), 2: (400, 500)}),      # F3
+        # subset row in {0, 2}: fits pair (F0,F1) in both member genomes;
+        # in genome 2 its interval [310, 360] also sits inside pair
+        # (F2,F3)'s nested gap [301, 399]
+        _row(n, {0: (110, 160), 2: (310, 360)}),
+    ]
+    got_sites, got_alts = variable_and_alternalog_sites(rows, n)
+    want_sites, want_alts = _quadratic_sites(rows, n)
+    for g_list, w_list in ((got_sites, want_sites), (got_alts, want_alts)):
+        assert len(g_list) == len(w_list), (len(g_list), len(w_list))
+        for (ga, gb, gr_), (wa, wb, wr) in zip(g_list, w_list):
+            assert (ga, gb) == (wa, wb) and (gr_ == wr).all()
+    # the (F0,F1) site exists, with the subset row counted as its ONE
+    # allele: one allele = variable site but NOT an alternalog
+    assert any(a == 0 and b == 1 for a, b, _ in got_sites)
+    assert not any(a == 0 and b == 1 for a, b, _ in got_alts)
 
 
 def _feat(kind, a, b, strand=1, name=None):

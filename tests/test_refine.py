@@ -88,3 +88,30 @@ def test_refine_modes_sp_monotone_multiway(rng):
         assert compute_sp_score(out, genomes) >= before, mode
         for s, g in enumerate(genomes):
             assert out.aln[s].sum() == len(g), mode  # bases preserved
+
+
+def test_refine_split_falls_back_for_one_sided_windows(rng):
+    """A subset interval whose present sequences all sit on one side of the
+    root bipartition can't be profile-split at the root edge; split mode
+    must fall back to the rebuild path instead of skipping it."""
+    seq = simulate.random_genome(rng, 120)
+    g1 = Genome(seq.seq.copy(), name="c1")
+    g2 = simulate.random_genome(rng, 50)
+    g3 = simulate.random_genome(rng, 50)
+    genomes = [seq, g1, g2, g3]
+    # misaligned pair interval present ONLY in genomes {0, 1}
+    aln = np.zeros((4, 124), bool)
+    aln[0] = aln[1] = True
+    aln[0, 40:44] = False
+    aln[1, 80:84] = False
+    iv = Interval(np.array([1, 1, 0, 0], np.int64), aln)
+    ivl = IntervalList(genomes=genomes, intervals=[iv])
+    # root merge splits {0,1} | {2,3}: every window of iv is one-sided
+    plan = [("n0", 0, 1), ("n1", 2, 3), ("root", "n0", "n1")]
+    before = compute_sp_score(iv, genomes)
+    refined, improved = refine_intervals(ivl, plan=plan, window=256, mode="split")
+    after = compute_sp_score(refined.intervals[0], genomes)
+    assert improved >= 1
+    assert after > before
+    assert refined.intervals[0].aln[0].sum() == 120
+    assert refined.intervals[0].aln[1].sum() == 120
