@@ -177,9 +177,23 @@ class ProgressiveMauve:
         if o.input_guide_tree:
             with open(o.input_guide_tree) as fh:
                 tree = parse_newick(fh.read())
-            # leaf names may be filenames; map to indices by order
-            for i, leaf in enumerate(tree.leaves()):
-                if not leaf.name.isdigit():
+            leaves = tree.leaves()
+            if len(leaves) != len(genomes):
+                raise ValueError(
+                    f"guide tree has {len(leaves)} leaves for "
+                    f"{len(genomes)} input genomes"
+                )
+            # leaf names bind to genome indices only when they are exactly
+            # the 0-based set {0..n-1}; anything else (filenames, 1-based
+            # labels from external tools) maps to input order — passing
+            # digit labels through unchecked would silently bind clades to
+            # the wrong genomes
+            names = [leaf.name or "" for leaf in leaves]
+            zero_based = all(n.isdigit() for n in names) and sorted(
+                int(n) for n in names
+            ) == list(range(len(genomes)))
+            if not zero_based:
+                for i, leaf in enumerate(leaves):
                     leaf.name = str(i)
             return tree
         if dist is None:

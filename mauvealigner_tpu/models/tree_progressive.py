@@ -238,6 +238,11 @@ def tree_progressive_align(
     def build(node) -> NodeProfile:
         if node.is_leaf:
             i = int(node.name)
+            if not 0 <= i < len(genomes):
+                raise ValueError(
+                    f"guide-tree leaf {node.name!r} is not a 0-based genome "
+                    f"index (n_genomes={len(genomes)})"
+                )
             return leaf_profile(i, genomes[i])
         prof = build(node.children[0])
         for child in node.children[1:]:

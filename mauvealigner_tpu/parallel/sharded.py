@@ -282,8 +282,13 @@ def find_multi_mums_sharded(
         if int(multihost.fetch_replicated(dropped).sum()) > 0:
             cf *= 2.0
             continue
-        tabs_np = multihost.fetch_replicated(tabs)
-        n_runs = tabs_np[:, 0, 0]
+        # head-slice download: row 0 carries the run count and most results
+        # fit in a few thousand rows — the full [D, cap_local+1, ...] table
+        # is tens of MB over the tunnel (decode fetches taller slices only
+        # when a device's count demands it)
+        first = min(1 + (1 << 12), cap_local + 1)
+        head_np = multihost.fetch_replicated(tabs[:, :first])
+        n_runs = head_np[:, 0, 0]
         if (n_runs > cap_local).any():
             cap_local = 1 << int(int(n_runs.max()) - 1).bit_length()
             continue
@@ -293,7 +298,10 @@ def find_multi_mums_sharded(
         )
         break
     parts = [
-        matchops.decode_mum_table(tabs_np[d], n_seqs, cap_local, seed_length)
+        matchops.decode_mum_table(
+            head_np[d], n_seqs, cap_local, seed_length,
+            fetch=lambda rb, d=d: multihost.fetch_replicated(tabs[d, :rb]),
+        )
         for d in range(D)
     ]
     ml = parts[0]
@@ -329,12 +337,13 @@ def sharded_gotoh_scores(
     M, N = pa.shape[1], pb.shape[1]
 
     def local(pa_l, pb_l, la_l, lb_l):
-        H_all, _ = dp_ops.gotoh_forward(
-            pa_l, pb_l, subst, jnp.float32(gap_open), jnp.float32(gap_extend), M, N
+        # scored kernel: captures H[mA, mB] inside the scan instead of
+        # materializing every H row — half the HBM per shard
+        scores, _ = dp_ops.gotoh_forward_scored(
+            pa_l, pb_l, la_l, lb_l, subst,
+            jnp.float32(gap_open), jnp.float32(gap_extend), M, N,
         )
-        b = pa_l.shape[0]
-        bi = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0).reshape(b)
-        return H_all[bi, la_l + lb_l, la_l]
+        return scores
 
     spec = P(AXIS)
     return jax.shard_map(
@@ -426,6 +435,7 @@ def find_pair_mums_sharded(
     """
     from mauvealigner_tpu.core.sml import build_mer_list_device
     from mauvealigner_tpu.ops import matchops
+    from mauvealigner_tpu.parallel import multihost
 
     n_dev = mesh.devices.size
     D = len(drafts)
@@ -450,10 +460,32 @@ def find_pair_mums_sharded(
         K = jnp.stack([cols[i][0] for i in padded])
         S = jnp.stack([cols[i][1] for i in padded])
         Ppos = jnp.stack([cols[i][2] for i in padded])
+        if jax.process_count() > 1:
+            # multi-process (DCN): host-replicated pair rows scatter into
+            # the global mesh; results gather back to every process
+            K = multihost.scatter_global(np.asarray(K), mesh)
+            S = multihost.scatter_global(np.asarray(S), mesh)
+            Ppos = multihost.scatter_global(np.asarray(Ppos), mesh)
         cap = max(1 << 14, N >> 3)
-        tabs = np.asarray(sharded_pair_mum_tables(K, S, Ppos, 2, cap, mesh))
+        while True:
+            tabs = sharded_pair_mum_tables(K, S, Ppos, 2, cap, mesh)
+            first = min(1 + (1 << 12), cap + 1)
+            head = multihost.fetch_replicated(tabs[:, :first])
+            n_runs = head[:, 0, 0]
+            if (n_runs > cap).any():
+                # capacity overflow (repeat-dense draft): retry with the
+                # covering power of two, like the single-device search —
+                # truncating would silently drop anchors
+                cap = 1 << int(int(n_runs.max()) - 1).bit_length()
+                continue
+            break
         for row, i in enumerate(idxs):
-            ml = matchops.decode_mum_table(tabs[row], 2, cap, seed.length)
+            ml = matchops.decode_mum_table(
+                head[row], 2, cap, seed.length,
+                fetch=lambda rb, row=row: multihost.fetch_replicated(
+                    tabs[row, :rb]
+                ),
+            )
             if extend and len(ml):
                 ml = matchops.extend_matches_maximal(
                     ml, [ref.codes, drafts[i].codes]

@@ -68,3 +68,40 @@ def test_progressive_seed_family(rng):
     res = pm.align([anc, d1])
     score = score_alignment(truth, res.interval_list, [len(anc), len(d1)])
     assert score.sensitivity > 0.85
+
+
+def test_input_guide_tree_label_conventions(rng, tmp_path):
+    """External guide trees bind leaves to genomes only via an exact 0-based
+    digit label set; 1-based or name labels map to input order, and a leaf
+    count mismatch is an error (digit labels passed through unchecked would
+    silently bind clades to the wrong genomes)."""
+    import os
+
+    import pytest
+
+    anc = simulate.random_genome(rng, 800)
+    d1, _ = simulate.evolve(anc, rng, sub_rate=0.01)
+    d2, _ = simulate.evolve(anc, rng, sub_rate=0.02)
+    genomes = [anc, d1, d2]
+
+    def tree_for(newick):
+        path = os.path.join(tmp_path, "in.nwk")
+        with open(path, "w") as fh:
+            fh.write(newick)
+        pm = ProgressiveMauve(
+            ProgressiveOptions(input_guide_tree=path, use_sml_cache=False)
+        )
+        return pm.guide_tree(genomes, None)
+
+    # 0-based labels bind verbatim (topology preserved)
+    t = tree_for("((2,1),0);")
+    assert t.leaf_names() == ["2", "1", "0"]
+    # 1-based labels from an external tool remap to input order
+    t = tree_for("((1,2),3);")
+    assert sorted(t.leaf_names()) == ["0", "1", "2"]
+    # filename labels remap to input order
+    t = tree_for("((a.fa,b.fa),c.fa);")
+    assert t.leaf_names() == ["0", "1", "2"]
+    # leaf count mismatch is loud
+    with pytest.raises(ValueError):
+        tree_for("(0,1);")
