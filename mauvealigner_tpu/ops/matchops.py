@@ -96,11 +96,15 @@ def _device_sorted_entries(smls: Sequence[SortedMerList]):
     pos = np.concatenate([s.positions for s in smls]) if smls else np.zeros(0, np.int32)
     if len(keys) == 0:
         return (np.zeros(0, np.int64), np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0, np.int32))
-    # pad to a bucketed size to bound recompiles (coarse x4 buckets)
+    # pad to a bucketed size to bound recompiles: coarse x4 buckets at small
+    # sizes, the x1.5 ladder above 4M (an 18M-entry concat must pad to 24M,
+    # not 67M — sort cost tracks the padded size)
     n = len(keys)
     bucket = 1 << 14
-    while bucket < n:
+    while bucket < n and bucket < (1 << 22):
         bucket *= 4
+    if bucket < n:
+        bucket = merops.bucket_size(n, floor=bucket)
     pad = bucket - n
     # padding must sort after every real entry: INVALID_KEY's mer (2^61)
     # exceeds any valid mer (weight <= 30 -> < 2^60)
@@ -110,8 +114,15 @@ def _device_sorted_entries(smls: Sequence[SortedMerList]):
     mer_s, seq_s, pos_s, strand_s = _global_sort(
         jnp.asarray(keys_p), jnp.asarray(seq_p), jnp.asarray(pos_p)
     )
-    mer_np = np.asarray(mer_s)[:n]  # padding sorts to the tail
-    return mer_np, np.asarray(seq_s)[:n], np.asarray(pos_s)[:n], np.asarray(strand_s)[:n]
+    # slice on DEVICE before download: padding sorts to the tail, and
+    # np.asarray(x)[:n] would pull the whole bucket-padded arrays over the
+    # ~21 MB/s tunnel (up to 4x the real data)
+    return (
+        np.asarray(mer_s[:n]),
+        np.asarray(seq_s[:n]),
+        np.asarray(pos_s[:n]),
+        np.asarray(strand_s[:n]),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -671,20 +682,21 @@ def merge_collinear_runs(
         _INT64_MAX,
     )
     sig_strand = np.where(present, rel_strand, -1)
-    # lexsort: last key is primary; order by signature columns then p0
+    # lexsort: LAST key is primary — p0 goes first (least significant) so
+    # rows order by the signature columns, then p0 within a signature.
+    # (Reversing this list makes p0 primary and splits any two runs whose
+    # reference windows interleave into per-window fragments.)
     sort_keys = [p0]
     for j in range(n_seqs - 1, -1, -1):
         sort_keys.append(sig_strand[:, j])
         sort_keys.append(inv[:, j])
-    order = np.lexsort(sort_keys[::-1])
+    order = np.lexsort(sort_keys)
     inv_s, strand_s, p0_s = inv[order], sig_strand[order], p0[order]
     same_sig = np.all(inv_s[1:] == inv_s[:-1], axis=1) & np.all(
         strand_s[1:] == strand_s[:-1], axis=1
     )
     run_continue = same_sig & (p0_s[1:] == p0_s[:-1] + 1)
     run_start = np.concatenate([[True], ~run_continue])
-    run_id = np.cumsum(run_start) - 1
-    n_runs = run_id[-1] + 1
     first_idx = np.nonzero(run_start)[0]
     run_len = np.diff(np.concatenate([first_idx, [m]]))
     p0_min = p0_s[first_idx]
@@ -866,7 +878,6 @@ def repeat_matches_from_groups(
     strand = g.strand[keep]
     seg_sel, seg_start = np.unique(seg, return_index=True)
     m = len(seg_sel)
-    width = int(counts[ok].max())
     remap = np.full(g.n_segs, -1, np.int64)
     remap[seg_sel] = np.arange(m)
     rows = remap[seg]

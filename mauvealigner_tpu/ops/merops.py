@@ -33,7 +33,9 @@ import numpy as np
 
 from mauvealigner_tpu.genome.sequence import CODE_N
 
-INVALID_KEY = np.int64(2**62)  # sorts after every valid (2w+1 <= 63 bit) key
+INVALID_KEY = np.int64(2**62)  # sorts after every valid key: valid keys use
+# 2w+1 <= 61 bits (MAX_SEED_WEIGHT 30, seeds.py) — also the bound that keeps
+# _global_sort's 31-bit hi/lo split in int32
 
 
 def bucket_size(n: int, floor: int = 1 << 12) -> int:
@@ -62,9 +64,14 @@ def pad_codes(codes: np.ndarray, pattern_len: int, pad_to_multiple: int = 1 << 1
     bounded while supporting arbitrary genome sizes.
     """
     n = len(codes) + pattern_len  # ensure full final windows are representable
+    # x2 steps up to 4M (stable small-size shape family), then the x1.5
+    # bucket ladder: sort cost tracks the PADDED size at genome scale, and a
+    # 4.6 Mbp genome must pad to 6.3M entries, not 8.4M
     padded = pad_to_multiple
-    while padded < n:
+    while padded < n and padded < (1 << 22):
         padded *= 2
+    if padded < n:
+        padded = bucket_size(n, floor=padded)
     out = np.full(padded, CODE_N, dtype=np.int32)
     out[: len(codes)] = codes
     return out
@@ -230,8 +237,8 @@ def unique_mer_count(sorted_keys: np.ndarray, n_valid: int) -> int:
     mers = np.asarray(sorted_keys[:n_valid]) >> 1
     if len(mers) == 0:
         return 0
-    # mers sorted up to the strand bit; strand bit cannot reorder distinct mers
-    mers = np.sort(mers)
+    # keys ascending => mers (key >> 1) ascending: the strand LSB cannot
+    # reorder distinct mers, so no re-sort is needed
     new_run = np.concatenate([[True], mers[1:] != mers[:-1]])
     run_ids = np.cumsum(new_run) - 1
     counts = np.bincount(run_ids)

@@ -121,3 +121,32 @@ def test_matchlist_crop_invert():
     assert cr.starts[0, 0] == 5 and cr.starts[0, 1] == -14 and cr.lengths[0] == 16
     inv = ml.invert()
     assert inv.starts[0, 0] == -5 and inv.starts[0, 1] == 10
+
+
+def test_merge_collinear_runs_interleaved_reference_windows():
+    """Two diagonal runs whose reference-window ranges interleave (different
+    component signatures) must each merge into ONE match: the run sort must
+    be signature-primary, p0-secondary — p0-primary ordering alternates the
+    rows and fragments both runs into per-window matches."""
+    from mauvealigner_tpu.ops.matchops import merge_collinear_runs
+
+    n_seqs, L = 3, 11
+    rows, strands, refs = [], [], []
+    # run A: genomes {0, 1}, ref genome 0, windows p0 = 10..15, same diagonal
+    for p0 in range(10, 16):
+        rows.append([p0, p0 + 100, -1])
+        strands.append([0, 0, 0])
+        refs.append(0)
+    # run B: genomes {1, 2}, ref genome 1, windows p0 = 12..17 (interleaves A)
+    for p0 in range(12, 18):
+        rows.append([-1, p0, p0 + 200])
+        strands.append([0, 0, 0])
+        refs.append(1)
+    ml = merge_collinear_runs(
+        np.array(rows, np.int64),
+        np.array(strands, np.int32),
+        np.array(refs, np.int64),
+        L,
+    )
+    assert len(ml) == 2, f"expected 2 merged runs, got {len(ml)}"
+    assert sorted(int(x) for x in ml.lengths) == [5 + L, 5 + L]
