@@ -338,6 +338,12 @@ def _batched_profile_pair_align(
 
 
 def _bucket_of(n: int) -> int:
+    """Smallest static DP side covering n; above the table (user-raised
+    --max-gapped-aligner-length / --max-extension-flank) continue with
+    powers of two — capping at the table's last entry crashed downstream
+    with an opaque broadcast error."""
+    if n > PROFILE_BUCKETS[-1]:
+        return 1 << (n - 1).bit_length()
     for b in PROFILE_BUCKETS:
         if n <= b:
             return b

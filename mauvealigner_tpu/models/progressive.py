@@ -374,7 +374,7 @@ class ProgressiveMauve:
             with timer.phase("refinement"):
                 ivl, _ = refine_intervals(
                     ivl, plan, gap_open=o.gap_open, gap_extend=o.gap_extend,
-                    mode=o.refine_mode,
+                    mode=o.refine_mode, subst=o.subst,
                 )
         ivl.add_unaligned_intervals()
 
@@ -435,7 +435,7 @@ class ProgressiveMauve:
             with timer.phase("refinement"):
                 ivl, _ = refine_intervals(
                     ivl, plan, gap_open=o.gap_open, gap_extend=o.gap_extend,
-                    mode=o.refine_mode,
+                    mode=o.refine_mode, subst=o.subst,
                 )
         ivl.add_unaligned_intervals()
         backbone_rows: List[np.ndarray] = []

@@ -21,7 +21,7 @@ from mauvealigner_tpu.models import closure
 
 
 def _split_realign(
-    jobs, groups, side_a, side_b, gap_open, gap_extend
+    jobs, groups, side_a, side_b, gap_open, gap_extend, subst=None
 ):
     """Root-edge profile-profile re-alignment of every window: keep each
     side's internal alignment (all-gap columns dropped within the side),
@@ -60,7 +60,7 @@ def _split_realign(
         for i in range(len(pairs))
     ]
     ops_all = closure._batched_profile_pair_align(
-        prof_pairs, dp.HOXD70, gap_open, gap_extend
+        prof_pairs, dp.HOXD70 if subst is None else subst, gap_open, gap_extend
     )
     new_alns, new_codes_all = [], []
     for job, (rows_a, rows_b, cc_a, cc_b), ops in zip(kept_jobs, sides, ops_all):
@@ -137,6 +137,7 @@ def refine_intervals(
     gap_open: float = -400.0,
     gap_extend: float = -30.0,
     mode: str = "split",
+    subst=None,
 ) -> Tuple[IntervalList, int]:
     """Window-polish every multi-sequence interval; returns (refined list,
     number of windows improved).
@@ -183,16 +184,20 @@ def refine_intervals(
         if not jobs:
             break
         t0 = time.perf_counter()
+        kw = {} if subst is None else {"subst": subst}
         if mode == "split":
             jobs, groups, new_alns, new_codes_all, rest_jobs, rest_groups = (
-                _split_realign(jobs, groups, side_a, side_b, gap_open, gap_extend)
+                _split_realign(
+                    jobs, groups, side_a, side_b, gap_open, gap_extend, subst
+                )
             )
             if rest_jobs:
                 # one-sided windows (e.g. subset LCBs entirely within one
                 # root clade) fall back to the full rebuild re-alignment —
                 # dropping them would leave those intervals unpolished
                 rest_alns = closure.hierarchical_align_region_groups(
-                    rest_groups, plan, gap_open=gap_open, gap_extend=gap_extend
+                    rest_groups, plan, gap_open=gap_open, gap_extend=gap_extend,
+                    **kw,
                 )
                 jobs = jobs + rest_jobs
                 groups = groups + rest_groups
@@ -204,7 +209,7 @@ def refine_intervals(
             t0 = time.perf_counter()
         else:
             new_alns = closure.hierarchical_align_region_groups(
-                groups, plan, gap_open=gap_open, gap_extend=gap_extend
+                groups, plan, gap_open=gap_open, gap_extend=gap_extend, **kw
             )
             timing.GLOBAL.add("rf_closure_s", time.perf_counter() - t0)
             t0 = time.perf_counter()

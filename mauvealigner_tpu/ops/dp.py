@@ -34,6 +34,19 @@ import numpy as np
 NEG = jnp.float32(-1e9)
 
 
+def _bf16_exact_scores(pa, pb, subst) -> bool:
+    """The Pallas kernel ships skewed scores as bf16, which is exact only
+    when every possible score is an integer of magnitude <= 2^8: one-hot
+    profiles (each score = one substitution entry) x integer substitution
+    values.  Count profiles (multi-member merge rounds) or large/custom
+    matrices must take the f32 scan path — bf16 spacing at |S| ~ 8k is 32,
+    enough to flip close DP decisions vs the CPU reference."""
+    s = np.asarray(subst)
+    if not (np.abs(s).max(initial=0) <= 256 and np.array_equal(s, np.round(s))):
+        return False
+    return float(pa.max(initial=0)) <= 1 and float(pb.max(initial=0)) <= 1
+
+
 def _pallas_ok(M: int, N: int) -> bool:
     """True when the fused Pallas wavefront kernel should run this bucket:
     TPU backend, square bucket within the kernel's VMEM budget.  Set
@@ -370,7 +383,7 @@ def align_profiles_batch(
             return jnp.asarray(p.astype(np.uint8)).astype(jnp.float32)
         return jnp.asarray(p)
 
-    if _pallas_ok(M, N):
+    if _pallas_ok(M, N) and _bf16_exact_scores(profiles_a, profiles_b, subst):
         from mauvealigner_tpu.ops.dp_pallas import gotoh_forward_pallas
 
         forward = partial(gotoh_forward_pallas, M=M, N=N)
@@ -454,7 +467,13 @@ def align_code_pairs_batch(
     timing.GLOBAL.add("dp_cells", float(B) * M * N)
     mA = jnp.asarray(lens_a, dtype=jnp.int32)
     mB = jnp.asarray(lens_b, dtype=jnp.int32)
-    fwd = _gotoh_codes_pallas if _pallas_ok(M, N) else _gotoh_codes
+    # codes one-hot on device, so only the substitution values gate bf16
+    ones = np.ones(1, np.float32)
+    fwd = (
+        _gotoh_codes_pallas
+        if _pallas_ok(M, N) and _bf16_exact_scores(ones, ones, subst)
+        else _gotoh_codes
+    )
     scores_dev, dec = fwd(
         jnp.asarray(codes_a),
         jnp.asarray(codes_b),
@@ -523,7 +542,12 @@ def align_sequence_pairs(
         groups.setdefault((side, side), []).append(idx)
     for (M, N), idxs in groups.items():
         # per-element device footprint: dec u8 ((M+N+1)*(M+1)) plus the score
-        # matrix S f32 (4*M*N); H rows are not materialized
+        # matrix S f32 (4*M*N); H rows are not materialized.  KNOWN
+        # UNDERCOUNT: the sheared score buffers (Spad/QT) add another ~2x S
+        # transiently, so the true peak is ~3x this figure — the effective
+        # budget is ~3x memory_budget_bytes (fine in 16 GB HBM; lower the
+        # budget on smaller chips).  Changing the formula would change the
+        # compiled batch-shape family, so it is documented instead.
         per_elt = (M + N + 1) * (M + 1) + 4 * M * N
         bucket_batch = max(1, min(max_batch, memory_budget_bytes // per_elt))
         for off in range(0, len(idxs), bucket_batch):

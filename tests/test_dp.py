@@ -151,3 +151,30 @@ def test_ops_to_gap_rows():
     ra, rb = dp.ops_to_gap_rows(ops)
     assert ra.tolist() == [True, True, False, True]
     assert rb.tolist() == [True, False, True, True]
+
+
+def test_bf16_exact_scores_gate():
+    """Pallas (bf16 skewed scores) is exact only for one-hot profiles with
+    small integer substitution entries; count profiles or large/fractional
+    matrices must take the f32 scan path."""
+    from mauvealigner_tpu.ops.dp import HOXD70, _bf16_exact_scores
+
+    one_hot = np.eye(5, dtype=np.float32)[None]
+    counts = (2 * np.eye(5, dtype=np.uint8))[None]
+    assert _bf16_exact_scores(one_hot, one_hot, HOXD70)
+    assert not _bf16_exact_scores(counts, one_hot, HOXD70)
+    assert not _bf16_exact_scores(one_hot, counts, HOXD70)
+    assert not _bf16_exact_scores(one_hot, one_hot, HOXD70 * 10.0)  # > 2^8
+    assert not _bf16_exact_scores(one_hot, one_hot, HOXD70 + 0.5)   # fractional
+
+
+def test_closure_bucket_above_table():
+    """--max-gapped-aligner-length above the largest static bucket must keep
+    working (powers of two past the table), not crash with a broadcast
+    error downstream."""
+    from mauvealigner_tpu.models.closure import PROFILE_BUCKETS, _bucket_of
+
+    assert _bucket_of(4096) == 4096
+    assert _bucket_of(5000) == 8192
+    assert _bucket_of(9000) == 16384
+    assert _bucket_of(3) == PROFILE_BUCKETS[0]
