@@ -104,13 +104,22 @@ class MauveAligner:
             ml = ml.multiplicity_filter(len(genomes))
         if o.eliminate_overlaps:
             ml = ml.eliminate_overlaps()
-            ml = ml.multiplicity_filter(len(genomes))
-        weight = o.lcb_weight
-        if weight is None:
-            weight = getattr(self, "_seed_weight", 15) * 3 * len(genomes)
+            if o.nway_filter:  # overlap crops can zero components
+                ml = ml.multiplicity_filter(len(genomes))
+        return greedy_breakpoint_elimination(
+            ml, self._lcb_weight(len(genomes)), o.anchor_weight_fn
+        )
+
+    def _lcb_weight(self, n: int) -> float:
+        """The LCB elimination threshold every phase shares: -1 in collinear
+        mode, the user's --weight when given (0 is a valid 'never eliminate'
+        value — test is None, not falsiness), else seed_weight * 3 * n."""
+        o = self.options
         if o.collinear:
-            weight = -1
-        return greedy_breakpoint_elimination(ml, weight, o.anchor_weight_fn)
+            return -1.0
+        if o.lcb_weight is not None:
+            return float(o.lcb_weight)
+        return float(getattr(self, "_seed_weight", 15) * 3 * n)
 
     # -- phase 4: recursive anchoring ---------------------------------------
     @staticmethod
@@ -204,11 +213,15 @@ class MauveAligner:
             add = new_rows[0]
             for extra in new_rows[1:]:
                 add = add.concat(extra)
-            ml = ml.concat(add).dedup()
+            merged = ml.concat(add).dedup()
+            if len(merged) == len(ml):
+                # every gap MUM was a re-find of an existing row: ml/lcbs
+                # from the previous round stay valid, and further rounds
+                # would re-run identical device programs for nothing
+                break
+            ml = merged
             ml, lcbs = greedy_breakpoint_elimination(
-                ml,
-                -1 if o.collinear else (self.options.lcb_weight or getattr(self, "_seed_weight", 15) * 3 * n),
-                o.anchor_weight_fn,
+                ml, self._lcb_weight(n), o.anchor_weight_fn
             )
         return ml, lcbs
 
@@ -225,11 +238,7 @@ class MauveAligner:
 
         o = self.options
         n = len(genomes)
-        weight = o.lcb_weight
-        if weight is None:
-            weight = getattr(self, "_seed_weight", 15) * 3 * n
-        if o.collinear:
-            weight = -1
+        weight = self._lcb_weight(n)
         seed = get_seed(max(5, getattr(self, "_seed_weight", 15) - 2), 0)
         for _ in range(o.max_extension_iters):
             # per-genome uncovered regions (outside every LCB extent)
@@ -275,13 +284,26 @@ class MauveAligner:
             if not ok.any():
                 break
             new_ml = MatchList(rows[ok], found.lengths[ok])
-            before = len(ml)
-            ml = ml.concat(new_ml).dedup().eliminate_overlaps()
+            ml2 = ml.concat(new_ml).dedup()
+            if o.eliminate_overlaps:
+                ml2 = ml2.eliminate_overlaps()
             if o.nway_filter:
-                ml = ml.multiplicity_filter(n)
-            if len(ml) == before:
+                ml2 = ml2.multiplicity_filter(n)
+            # re-eliminate BEFORE deciding convergence: breaking with stale
+            # lcbs would leave match_indices pointing into a different row
+            # layout than the returned list (both sides of the comparison
+            # are greedy-elimination outputs, so row order is canonical)
+            ml2, lcbs2 = greedy_breakpoint_elimination(
+                ml2, weight, o.anchor_weight_fn
+            )
+            same = (
+                len(ml2) == len(ml)
+                and np.array_equal(ml2.starts, ml.starts)
+                and np.array_equal(ml2.lengths, ml.lengths)
+            )
+            ml, lcbs = ml2, lcbs2
+            if same:
                 break
-            ml, lcbs = greedy_breakpoint_elimination(ml, weight, o.anchor_weight_fn)
         return ml, lcbs
 
     # -- phase 5+6: gapped closure and interval assembly --------------------

@@ -89,9 +89,18 @@ def build_lcbs(
     out: List[LCB] = []
     if n == 0:
         return out
+    # member chain order must match compute_lcb_boundaries: first PRESENT
+    # sequence primary (sorting by |seq-0 start| alone leaves seq-0-absent
+    # subset LCBs in arbitrary order — downstream gap-region assembly
+    # assumes chain order and would crop misordered anchors to nothing)
+    keys = np.abs(ml.starts).astype(np.int64)
+    keys[ml.starts == NO_MATCH] = np.iinfo(np.int64).max
     for lid in range(int(lcb_ids.max()) + 1):
         idx = np.nonzero(lcb_ids == lid)[0]
-        idx = idx[np.argsort(np.abs(ml.starts[idx, 0]), kind="stable")]
+        sub_keys = keys[idx]
+        idx = idx[
+            np.lexsort(tuple(sub_keys[:, g] for g in range(n_seqs - 1, -1, -1)))
+        ]
         sub = ml.select(idx)
         if match_weights is None:
             weight = int(sub.lengths.sum())
@@ -153,6 +162,10 @@ def greedy_breakpoint_elimination(
             return cur, build_lcbs(cur, ids, mw if weight_fn is not None else None)
         cutoff = min(float(min_weight), wmin * 2 + 1)
         drop_lcb = weights < cutoff
+        if not drop_lcb.any():
+            # custom weight_fn with wmin <= -1 makes wmin*2+1 < wmin; drop
+            # the minimum cohort directly so the loop always progresses
+            drop_lcb = weights <= wmin
         cur = cur.select(~drop_lcb[ids])
 
 

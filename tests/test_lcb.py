@@ -73,3 +73,35 @@ def test_lcb_extents():
     assert lcb.lefts.tolist() == [10, 150]
     assert lcb.rights.tolist() == [79, 219]
     assert lcb.strands.tolist() == [1, -1]
+
+
+def test_build_lcbs_orders_seq0_absent_members_by_first_present():
+    """Subset LCBs absent in sequence 0 must keep chain order (first present
+    sequence), not arbitrary input order — gap-region assembly crops
+    misordered anchors to nothing."""
+    from mauvealigner_tpu.core.match import NO_MATCH, MatchList
+    from mauvealigner_tpu.models.lcb import build_lcbs, compute_lcb_boundaries
+
+    starts = np.array(
+        [[NO_MATCH, 300, 300], [NO_MATCH, 100, 100], [NO_MATCH, 200, 200]],
+        np.int64,
+    )
+    ml = MatchList(starts, np.array([50, 50, 50], np.int64))
+    ids = compute_lcb_boundaries(ml)
+    assert int(ids.max()) == 0  # one collinear chain
+    (lcb,) = build_lcbs(ml, ids)
+    ordered = ml.select(lcb.match_indices)
+    assert list(np.abs(ordered.starts[:, 1])) == [100, 200, 300]
+
+
+def test_greedy_elimination_terminates_with_negative_weights():
+    """A weight_fn returning weights <= -1 must not hang the cohort loop."""
+    from mauvealigner_tpu.core.match import MatchList
+    from mauvealigner_tpu.models.lcb import greedy_breakpoint_elimination
+
+    starts = np.array([[100, 500], [600, 200]], np.int64)  # two LCBs
+    ml = MatchList(starts, np.array([20, 20], np.int64))
+    cur, lcbs = greedy_breakpoint_elimination(
+        ml, 50.0, weight_fn=lambda m: np.full(len(m), -5.0)
+    )
+    assert len(cur) == 0 and lcbs == []
