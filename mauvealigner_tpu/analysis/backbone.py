@@ -253,6 +253,119 @@ def pairwise_homology_posteriors(
     return out
 
 
+def pairwise_homology_bits(
+    ivs: IntervalList,
+    params: HmmParams,
+    threshold: float = 0.5,
+    max_cols: int = 1 << 16,
+    overlap: int = 2048,
+) -> Dict[Tuple[int, int, int], np.ndarray]:
+    """Device-resident replacement for the detect_backbone consumer of
+    pairwise_homology_posteriors: thresholded P(Homologous) per column for
+    every (interval, i, j) projection, as bool arrays.
+
+    The host path extracts a SYMBOL stream per PAIR (n^2/2 uploads per
+    interval, host LUT + both-gap compaction + posterior stitch-back);
+    here one uint8 code ROW per present (interval, seq) uploads once, and
+    pair symbol classes, emission lookup, both-gap inert handling
+    (identity chain elements — the projected-pair semantics), decode,
+    thresholding and bit-packing all run on device
+    (ops/hmm.pair_rows_state0_gt).  Reference analog: detectAndApplyBackbone
+    scoring the pairwise projections, src/progressiveMauve.cpp:226-260.
+
+    Chunking above max_cols stitches mid-overlap like the host path; the
+    overlap is wider (2048 vs 512) because inert both-gap columns consume
+    burn-in without advancing the projected chain.
+    """
+    genomes = ivs.genomes
+    from mauvealigner_tpu.utils import timing
+
+    t0 = time.perf_counter()
+    row_blobs: List[np.ndarray] = []   # uint8 row slices, global ids
+    jobs = []   # (key, col_start, global_i, global_j, width)
+    out: Dict[Tuple[int, int, int], np.ndarray] = {}
+    for k, iv in enumerate(ivs.intervals):
+        present = [s for s in range(iv.n_seqs) if iv.starts[s] != 0]
+        if len(present) < 2:
+            continue
+        rows = {
+            s: _signed_codes_row(iv, genomes, s).view(np.uint8) for s in present
+        }
+        T_full = iv.n_cols
+        if T_full <= max_cols:
+            chunks = [(0, T_full)]
+        else:
+            step = max_cols - overlap
+            chunks = []
+            for a in range(0, T_full, step):
+                b = min(a + max_cols, T_full)
+                chunks.append((a, b))
+                if b == T_full:
+                    break
+        for (a, b) in chunks:
+            gidx = {}
+            for s in present:
+                gidx[s] = len(row_blobs)
+                row_blobs.append(rows[s][a:b])
+            for ai in range(len(present)):
+                for bi in range(ai + 1, len(present)):
+                    i, j = present[ai], present[bi]
+                    key = (k, i, j)
+                    if key not in out:
+                        out[key] = np.zeros(T_full, bool)
+                    jobs.append((key, a, gidx[i], gidx[j], b - a))
+    timing.GLOBAL.add("bb_symbols_s", time.perf_counter() - t0)
+    if not jobs:
+        return out
+    t0 = time.perf_counter()
+    from mauvealigner_tpu.parallel import context as par_ctx
+
+    # f64 transition chain over f32 emissions: the exact promotion the host
+    # symbol path uses (x64 is globally enabled), so posteriors match it
+    lt = jnp.asarray(params.log_trans())
+    li = jnp.asarray(np.log([0.5, 0.5]))
+    tab = jnp.asarray(params.log_emit_table().astype(np.float32).T)  # [4, 2]
+    thr = jnp.asarray(float(threshold))
+    buckets: Dict[int, List[int]] = {}
+    for idx, (_, _, _, _, width) in enumerate(jobs):
+        Tp = 1 << max(4, (width - 1).bit_length())
+        buckets.setdefault(Tp, []).append(idx)
+    for Tp, idxs in buckets.items():
+        cap_pairs = max(8, (1 << 27) // (Tp * 16))
+        for off in range(0, len(idxs), cap_pairs):
+            chunk = [jobs[i] for i in idxs[off : off + cap_pairs]]
+            uniq = sorted({g for (_, _, gi, gj, _) in chunk for g in (gi, gj)})
+            loc = {g: n for n, g in enumerate(uniq)}
+            Pp = 1 << max(1, (len(uniq) - 1).bit_length())
+            rows_arr = np.full((Pp, Tp), 5, np.uint8)
+            for g, n in loc.items():
+                blob = row_blobs[g]
+                rows_arr[n, : len(blob)] = blob
+            B = 1 << max(3, (len(chunk) - 1).bit_length())
+            ii = np.zeros(B, np.int32)
+            jj = np.zeros(B, np.int32)
+            lens = np.zeros(B, np.int32)
+            for n, (_, _, gi, gj, width) in enumerate(chunk):
+                ii[n], jj[n], lens[n] = loc[gi], loc[gj], width
+            packed = par_ctx.shard_batched_call(
+                lambda i2, j2, ln, rws, tb, t, ini, th: hmm_ops.pair_rows_state0_gt(
+                    rws, i2, j2, tb, t, ini, ln, th
+                ),
+                [jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(lens)],
+                (jnp.asarray(rows_arr), tab, lt, li, thr),
+            )
+            bits = np.unpackbits(packed, axis=1, bitorder="little").astype(bool)
+            for n, (key, a, _, _, width) in enumerate(chunk):
+                got = bits[n, :width]
+                if a == 0:
+                    out[key][a : a + width] = got
+                else:
+                    skip = overlap // 2
+                    out[key][a + skip : a + width] = got[skip:]
+    timing.GLOBAL.add("bb_decode_s", time.perf_counter() - t0)
+    return out
+
+
 @dataclasses.dataclass
 class BackboneColumnSegment:
     interval_index: int
@@ -266,12 +379,27 @@ def detect_backbone(
     params: HmmParams,
     island_gap_size: int = 20,
     posterior_threshold: float = 0.5,
+    device_symbols: Optional[bool] = None,
 ) -> List[BackboneColumnSegment]:
     """detectBackbone + BigGapsDetector equivalents
     (src/progressiveMauve.cpp:242-243): per sequence per column, homologous
     iff some partner's pair-HMM posterior exceeds the threshold; gap runs
-    longer than island_gap_size are never backbone."""
-    posts = pairwise_homology_posteriors(ivs, params, threshold=posterior_threshold)
+    longer than island_gap_size are never backbone.
+
+    device_symbols routes the posterior pass through the device-resident
+    row path (pairwise_homology_bits; default on — set
+    MAUVE_HOST_BB_SYMBOLS=1 to force the host symbol path, which remains
+    the cross-validation reference)."""
+    import os
+
+    if device_symbols is None:
+        device_symbols = os.environ.get("MAUVE_HOST_BB_SYMBOLS", "") != "1"
+    if device_symbols:
+        posts = pairwise_homology_bits(ivs, params, threshold=posterior_threshold)
+    else:
+        posts = pairwise_homology_posteriors(
+            ivs, params, threshold=posterior_threshold
+        )
     segments: List[BackboneColumnSegment] = []
     for k, iv in enumerate(ivs.intervals):
         present = [s for s in range(iv.n_seqs) if iv.starts[s] != 0]

@@ -85,11 +85,14 @@ class MauveAligner:
         from mauvealigner_tpu.core.sml import build_mer_list_device
 
         smls_dev = [build_mer_list_device(g, seed) for g in genomes]
-        if o.mesh is not None:
+        from mauvealigner_tpu.parallel import context as par_ctx
+
+        mesh = o.mesh if o.mesh is not None else par_ctx.active_mesh()
+        if mesh is not None:
             from mauvealigner_tpu.parallel import find_multi_mums_sharded
 
             return find_multi_mums_sharded(
-                genomes, smls_dev, o.mesh, seed_length=seed.length
+                genomes, smls_dev, mesh, seed_length=seed.length
             )
         return matchops.find_multi_mums_device(
             genomes, smls_dev, seed_length=seed.length
@@ -106,6 +109,11 @@ class MauveAligner:
             ml = ml.eliminate_overlaps()
             if o.nway_filter:  # overlap crops can zero components
                 ml = ml.multiplicity_filter(len(genomes))
+            else:
+                # overlap crops can reduce a row to one surviving component;
+                # the reference's projection semantics drop multiplicity<2
+                # rows, and a single-genome row is meaningless as an anchor
+                ml = ml.multiplicity_filter(2)
         return greedy_breakpoint_elimination(
             ml, self._lcb_weight(len(genomes)), o.anchor_weight_fn
         )
@@ -409,12 +417,30 @@ class MauveAligner:
         return IntervalList(genomes=list(genomes), intervals=intervals)
 
     # -- full pipeline ------------------------------------------------------
-    def align(self, genomes: Sequence[Genome]) -> AlignmentResult:
+    def align(
+        self, genomes: Sequence[Genome], extra_matches: Optional[MatchList] = None
+    ) -> AlignmentResult:
+        """extra_matches: additional anchors unioned with the MUM search
+        result before LCB determination (the progressive aligner's
+        translated extant anchors, models/tree_progressive.py)."""
+        from mauvealigner_tpu.parallel import context as par_ctx
+
+        # ambient mesh: every batched kernel below (closure/extension DP)
+        # batch-shards over it; the anchor search routes explicitly through
+        # find_multi_mums_sharded in find_mums
+        with par_ctx.use_mesh(self.options.mesh):
+            return self._align_impl(genomes, extra_matches)
+
+    def _align_impl(
+        self, genomes: Sequence[Genome], extra_matches: Optional[MatchList] = None
+    ) -> AlignmentResult:
         from mauvealigner_tpu.utils import timing
 
         timer = timing.GLOBAL
         with timer.phase("anchoring"):
             ml = self.find_mums(genomes)
+            if extra_matches is not None and len(extra_matches):
+                ml = ml.concat(extra_matches).dedup()
         if self.options.debug:
             from mauvealigner_tpu.core.validate import validate_match_list
 

@@ -255,7 +255,7 @@ def _batched_code_pair_align(
     subst: np.ndarray,
     gap_open: float,
     gap_extend: float,
-    memory_budget_bytes: int = 1 << 29,
+    memory_budget_bytes: int = 3 << 29,
 ) -> List[np.ndarray]:
     """Bucket plain sequence pairs and run batched Gotoh with uint8 upload."""
     results: List[Optional[np.ndarray]] = [None] * len(pairs)
@@ -265,7 +265,8 @@ def _batched_code_pair_align(
         buckets.setdefault(side, []).append(i)
     for side, idxs in buckets.items():
         M = N = side
-        per_elt = (M + N + 1) * (M + 1) + 4 * M * N
+        # true peak: dec bytes + ~3x the f32 score matrix (sheared copies)
+        per_elt = (M + N + 1) * (M + 1) + 12 * M * N
         bmax = max(1, min(4096, memory_budget_bytes // per_elt))
         for off in range(0, len(idxs), bmax):
             chunk = idxs[off : off + bmax]
@@ -292,7 +293,7 @@ def _batched_profile_pair_align(
     subst: np.ndarray,
     gap_open: float,
     gap_extend: float,
-    memory_budget_bytes: int = 1 << 29,
+    memory_budget_bytes: int = 3 << 29,
 ) -> List[np.ndarray]:
     """Bucket (profileA, profileB) pairs and run batched Gotoh."""
     results: List[Optional[np.ndarray]] = [None] * len(pairs)
@@ -302,7 +303,8 @@ def _batched_profile_pair_align(
         buckets.setdefault(side, []).append(i)
     for side, idxs in buckets.items():
         M = N = side
-        per_elt = (M + N + 1) * (M + 1) + 4 * M * N
+        # true peak: dec bytes + ~3x the f32 score matrix (sheared copies)
+        per_elt = (M + N + 1) * (M + 1) + 12 * M * N
         # big batches amortize the per-call host<->device latency, which on
         # the TPU tunnel dwarfs kernel runtime for small buckets
         bmax = max(1, min(4096, memory_budget_bytes // per_elt))

@@ -106,6 +106,21 @@ class ProgressiveOptions:
     # where it collapses to 0.75).
     tree_progressive: Optional[bool] = None
     tree_progressive_threshold: float = 0.15
+    # profile-aware anchoring at internal tree nodes: union translated
+    # extant anchors (closest cross-clade pair, lifted through the column
+    # maps) into every non-leaf-leaf node merge's anchor set — recovers
+    # seeds that majority-consensus collapse erases at high divergence
+    # (src/progressiveMauve.cpp:575-710,643-646)
+    translated_anchors: bool = True
+    translated_anchor_pairs: int = 3  # cross-clade pairs consulted per node
+    # run the WHOLE pipeline over a jax.sharding.Mesh: the N-way anchor
+    # search routes through parallel.find_multi_mums_sharded, and every
+    # batched kernel underneath (node-merge anchoring, closure/refinement
+    # Gotoh, backbone HMM decode) batch-shards via the ambient mesh context
+    # (parallel/context.py).  Output is identical to single-device (the
+    # reference's never-shipped MPI split, projects/mpiMauveAligner.vcproj,
+    # re-imagined as SPMD collectives).  None = single device.
+    mesh: Optional[object] = None
     # mer-space subsample (1/mod of windows) for the initial N-way search
     # when it only feeds distances + the coverage gate (tree-progressive
     # candidates); extension recovers full match lengths, so coverage and
@@ -166,6 +181,18 @@ class ProgressiveMauve:
             return matchops.find_multi_mums(genomes, smls)
         # device-resident path: SML arrays never cross the tunnel
         smls_dev = [build_mer_list_device(g, seed) for g in genomes]
+        from mauvealigner_tpu.parallel import context as par_ctx
+
+        mesh = par_ctx.active_mesh()
+        if mesh is not None and sketch_mod <= 1:
+            # mesh path: two-phase all-to-all partitioned N-way search (the
+            # sketched candidate search stays single-device: a 1/16 mer
+            # subsample is already cheap and shards poorly)
+            from mauvealigner_tpu.parallel import find_multi_mums_sharded
+
+            return find_multi_mums_sharded(
+                genomes, smls_dev, mesh, seed_length=seed.length
+            )
         return matchops.find_multi_mums_device(
             genomes, smls_dev, seed_length=seed.length, sketch_mod=sketch_mod
         )
@@ -260,6 +287,14 @@ class ProgressiveMauve:
     ) -> ProgressiveResult:
         """matches: pre-computed match list (--match-input phase re-entry,
         src/progressiveMauve.cpp:367-385); skips the anchor search."""
+        from mauvealigner_tpu.parallel import context as par_ctx
+
+        with par_ctx.use_mesh(self.options.mesh):
+            return self._align_impl(genomes, matches)
+
+    def _align_impl(
+        self, genomes: Sequence[Genome], matches: Optional[MatchList] = None
+    ) -> ProgressiveResult:
         from mauvealigner_tpu.utils import timing
 
         timer = timing.GLOBAL
@@ -294,7 +329,7 @@ class ProgressiveMauve:
             ) / max(float(np.mean([len(g) for g in genomes])), 1.0)
             use_tree = nway_cov < o.tree_progressive_threshold
         if use_tree:
-            return self._align_tree_progressive(genomes, ml, tree, timer)
+            return self._align_tree_progressive(genomes, ml, tree, timer, dist)
         if sketched:
             # the extant pipeline consumes the matches themselves: redo the
             # search at full density
@@ -318,6 +353,7 @@ class ProgressiveMauve:
                 subst=o.subst,
                 use_sml_cache=o.use_sml_cache,
                 anchor_weight_fn=weight_fn,
+                mesh=o.mesh,
             )
         )
         inner._seed_weight = self._seed_weight
@@ -397,7 +433,75 @@ class ProgressiveMauve:
                 ivl = bb.apply_backbone(ivl, segments)
         return ProgressiveResult(ivl, lcbs, ml, tree, backbone_rows, segments)
 
-    def _align_tree_progressive(self, genomes, ml, tree, timer) -> "ProgressiveResult":
+    def _translated_anchor_fn(self, genomes, dist):
+        """Profile-aware anchoring for the divergence tail: per node merge,
+        find unique MUMs between the CLOSEST cross-clade EXTANT pair and
+        lift them through the children's column maps into rep space
+        (models/tree_progressive.translate_extant_matches).  Extant seeds
+        see the true sequences, so node-level anchors survive what majority
+        -consensus collapse erases (ref: per-node profile anchoring + match
+        cache-db, src/progressiveMauve.cpp:575-710,643-646)."""
+        from mauvealigner_tpu.core.sml import build_mer_list_device
+        from mauvealigner_tpu.models import tree_progressive as tp
+        from mauvealigner_tpu.seeds import default_mer_size, get_seed
+
+        cache: dict = {}
+        k_pairs = self.options.translated_anchor_pairs
+
+        def search(am, bm):
+            if (am, bm) not in cache:
+                w = default_mer_size(
+                    int(np.mean([len(genomes[am]), len(genomes[bm])]))
+                )
+                seed = get_seed(w, 0)
+                smls = [
+                    build_mer_list_device(genomes[g], seed) for g in (am, bm)
+                ]
+                cache[(am, bm)] = matchops.find_multi_mums_device(
+                    [genomes[am], genomes[bm]], smls, seed_length=seed.length
+                )
+            return cache[(am, bm)]
+
+        def fn(a, b):
+            if len(a.members) == 1 and len(b.members) == 1:
+                return None  # a leaf-leaf merge IS an extant pairwise search
+            ranked = sorted(
+                (float(dist[x, y]), x, y)
+                for x in a.members
+                for y in b.members
+            )
+            # top-K closest cross-clade pairs, preferring unseen members so
+            # anchors cover content any single member may have lost
+            chosen, seen = [], set()
+            for d, x, y in ranked:
+                if len(chosen) >= k_pairs:
+                    break
+                if chosen and x in seen and y in seen:
+                    continue
+                chosen.append((x, y))
+                seen.update((x, y))
+            inv_cache: dict = {}
+
+            def inv(prof, m):
+                if m not in inv_cache:
+                    inv_cache[m] = tp.inverse_colmap(
+                        prof.colmaps[m], len(genomes[m])
+                    )
+                return inv_cache[m]
+
+            out = None
+            for am, bm in chosen:
+                got = tp.translate_extant_matches(
+                    search(am, bm), inv(a, am), inv(b, bm)
+                )
+                out = got if out is None else out.concat(got)
+            return out.dedup() if out is not None else None
+
+        return fn
+
+    def _align_tree_progressive(
+        self, genomes, ml, tree, timer, dist=None
+    ) -> "ProgressiveResult":
         """Consensus-ladder pipeline: per-node pairwise alignment up the
         guide tree, then refinement and the homology backbone."""
         from mauvealigner_tpu.models import closure as closure_mod
@@ -422,12 +526,21 @@ class ProgressiveMauve:
                     gap_extend=o.gap_extend,
                     subst=o.subst,
                     use_sml_cache=False,  # consensus reps are synthetic
+                    mesh=o.mesh,  # explicit: node merges may run in worker
+                    # threads where the ambient mesh doesn't propagate
                 )
             )
             return inner
 
+        translated = (
+            self._translated_anchor_fn(genomes, dist)
+            if o.translated_anchors and dist is not None
+            else None
+        )
         with timer.phase("tree_progressive"), timer.suspend():
-            ivl, lcbs = tree_progressive_align(genomes, tree, factory)
+            ivl, lcbs = tree_progressive_align(
+                genomes, tree, factory, translated_fn=translated
+            )
         plan = closure_mod.tree_plan(tree)
         if o.refine and o.gapped:
             from mauvealigner_tpu.models.refine import refine_intervals

@@ -113,24 +113,108 @@ def _compose(colmap: np.ndarray, node_pos: np.ndarray) -> np.ndarray:
     return out
 
 
+def inverse_colmap(colmap: np.ndarray, genome_len: int) -> np.ndarray:
+    """Signed genome-position -> rep-position map (int64 [genome_len]):
+    inv[p-1] = +c when forward-strand genome position p sits at 1-based rep
+    column c, -c when reverse, 0 when the position is not carried (cannot
+    happen after add_unaligned_intervals, kept for safety)."""
+    inv = np.zeros(genome_len, np.int64)
+    nz = colmap != 0
+    pos = colmap[nz]
+    cols = np.nonzero(nz)[0] + 1
+    inv[np.abs(pos) - 1] = np.where(pos > 0, cols, -cols)
+    return inv
+
+
+def translate_extant_matches(
+    ml, inv_a: np.ndarray, inv_b: np.ndarray, min_len: int = 10
+):
+    """Translate extant pairwise matches into rep coordinates (the
+    reference's translated-anchor semantics: profiles are anchored by
+    matches found between EXTANT clade members and lifted through the
+    profile's column maps, src/progressiveMauve.cpp:575-710,643-646).
+
+    ml: 2-row MatchList between the two extant genomes; inv_a/inv_b their
+    inverse column maps into the two child reps.  Each match expands to
+    per-column rep positions; maximal runs where BOTH rep positions advance
+    contiguously (+1 per signed step — clade-internal rearrangements and
+    indels split runs) become rep-space matches, normalized row0-forward.
+    Runs shorter than min_len are dropped (noise control)."""
+    from mauvealigner_tpu.core.match import MatchList
+
+    if len(ml) == 0:
+        return MatchList.empty(2)
+    L = ml.lengths.astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(L)])
+    total = int(offs[-1])
+    midx = np.repeat(np.arange(len(ml)), L)
+    t = np.arange(total, dtype=np.int64) - offs[midx]
+    Q = np.zeros((2, total), np.int64)
+    for r, inv in enumerate((inv_a, inv_b)):
+        s = ml.starts[midx, r]
+        fwd = s > 0
+        gp = np.where(fwd, np.abs(s) + t, np.abs(s) + L[midx] - 1 - t)
+        sign = np.where(fwd, 1, -1)
+        iv = inv[gp - 1]
+        Q[r] = np.where(iv != 0, sign * iv, 0)
+    valid = (Q[0] != 0) & (Q[1] != 0)
+    brk = np.zeros(total, bool)
+    brk[offs[1:-1]] = True  # first column of every match
+    brk[0] = True
+    for r in range(2):
+        cont = np.zeros(total, bool)
+        cont[1:] = Q[r][1:] != Q[r][:-1] + 1
+        brk |= cont
+    prev_valid = np.concatenate([[False], valid[:-1]])
+    start = valid & (brk | ~prev_valid)
+    run_id = np.cumsum(start) - 1
+    idx = np.nonzero(valid)[0]
+    if not len(idx):
+        return MatchList.empty(2)
+    rid = run_id[idx]
+    n_runs = int(rid[-1]) + 1
+    counts = np.bincount(rid, minlength=n_runs)
+    first_col = idx[np.searchsorted(rid, np.arange(n_runs), side="left")]
+    keep = counts >= min_len
+    if not keep.any():
+        return MatchList.empty(2)
+    counts, first_col = counts[keep], first_col[keep]
+    q0 = Q[0][first_col]
+    q1 = Q[1][first_col]
+    s0 = np.where(q0 > 0, q0, q0 + counts - 1)
+    s1 = np.where(q1 > 0, q1, q1 + counts - 1)
+    flip = s0 < 0  # row 0 forward, like the K2 reference component
+    s0 = np.where(flip, -s0, s0)
+    s1 = np.where(flip, -s1, s1)
+    return MatchList(np.stack([s0, s1], axis=1), counts.astype(np.int64)).dedup()
+
+
 def merge_profiles(
     genomes: Sequence[Genome],
     a: NodeProfile,
     b: NodeProfile,
     aligner_factory,
     node_name: str,
+    translated_fn=None,
 ) -> NodeProfile:
     """Align the two children's representatives with the full pairwise
     pipeline and compose the column maps.  Unaligned regions ride along as
     single-child columns (IntervalList.add_unaligned_intervals), so nothing
-    is lost to higher nodes."""
+    is lost to higher nodes.
+
+    translated_fn(a, b) -> extra rep-space MatchList (or None): translated
+    extant anchors unioned into the node's anchor set before LCB
+    determination (profile-aware anchoring for the divergence tail)."""
     import time
 
     from mauvealigner_tpu.utils import timing
 
     t0 = time.perf_counter()
+    extra = translated_fn(a, b) if translated_fn is not None else None
+    timing.GLOBAL.add("tp_translate_s", time.perf_counter() - t0)
+    t0 = time.perf_counter()
     aligner = aligner_factory()
-    res = aligner.align([a.rep, b.rep])
+    res = aligner.align([a.rep, b.rep], extra_matches=extra)
     timing.GLOBAL.add("tp_pair_align_s", time.perf_counter() - t0)
     t0 = time.perf_counter()
     ivl = res.interval_list
@@ -224,18 +308,16 @@ def lcbs_from_intervals(ivl: IntervalList) -> List[LCB]:
     return out
 
 
-def tree_progressive_align(
-    genomes: Sequence[Genome],
-    tree,
-    aligner_factory,
-) -> Tuple[IntervalList, List[LCB]]:
-    """Post-order consensus-ladder alignment; returns (intervals, blocks).
+def merge_plan(genomes, tree) -> Tuple[List[Tuple[str, object, object]], object]:
+    """Flatten the guide tree into a binary merge DAG.
 
-    aligner_factory() -> a configured MauveAligner for one pairwise node
-    merge (a fresh instance per node: the aligner caches per-run state)."""
-    counter = [0]
+    Returns (tasks, root_ref): tasks[t] = (node_name, left_ref, right_ref)
+    where a ref is ("leaf", genome_index) or ("task", task_index); root_ref
+    is the ref holding the final profile.  Node names follow the serial
+    post-order numbering, so results are independent of execution order."""
+    tasks: List[Tuple[str, object, object]] = []
 
-    def build(node) -> NodeProfile:
+    def build(node):
         if node.is_leaf:
             i = int(node.name)
             if not 0 <= i < len(genomes):
@@ -243,21 +325,89 @@ def tree_progressive_align(
                     f"guide-tree leaf {node.name!r} is not a 0-based genome "
                     f"index (n_genomes={len(genomes)})"
                 )
-            return leaf_profile(i, genomes[i])
-        prof = build(node.children[0])
+            return ("leaf", i)
+        cur = build(node.children[0])
         for child in node.children[1:]:
             right = build(child)
-            counter[0] += 1
-            prof = merge_profiles(
-                genomes, prof, right, aligner_factory, f"node{counter[0]}"
-            )
-        return prof
+            tasks.append((f"node{len(tasks) + 1}", cur, right))
+            cur = ("task", len(tasks) - 1)
+        return cur
 
+    return tasks, build(tree)
+
+
+def tree_progressive_align(
+    genomes: Sequence[Genome],
+    tree,
+    aligner_factory,
+    max_workers: Optional[int] = None,
+    translated_fn=None,
+) -> Tuple[IntervalList, List[LCB]]:
+    """Consensus-ladder alignment up the guide tree; returns
+    (intervals, blocks).
+
+    aligner_factory() -> a configured MauveAligner for one pairwise node
+    merge (a fresh instance per node: the aligner caches per-run state).
+
+    Independent merges (sibling subtrees whose children are both ready) run
+    CONCURRENTLY on a thread pool: each merge is a pure function of its two
+    child profiles, so results are identical to the serial post-order — but
+    the per-launch tunnel latency and the host-side compose/consensus work
+    of one merge overlap another merge's device time.  max_workers=1 forces
+    the serial order (default: MAUVE_TP_WORKERS env var, else 4)."""
+    import os
     import time
 
     from mauvealigner_tpu.utils import timing
 
-    root = build(tree)
+    tasks, root_ref = merge_plan(genomes, tree)
+    if max_workers is None:
+        max_workers = int(os.environ.get("MAUVE_TP_WORKERS", "4"))
+    profiles: Dict[object, NodeProfile] = {}
+    for name, l, r in tasks:
+        for ref in (l, r):
+            if ref[0] == "leaf" and ref not in profiles:
+                profiles[ref] = leaf_profile(ref[1], genomes[ref[1]])
+    if not tasks:  # single leaf
+        profiles[root_ref] = leaf_profile(root_ref[1], genomes[root_ref[1]])
+
+    if max_workers <= 1 or len(tasks) <= 1:
+        for t, (name, l, r) in enumerate(tasks):
+            profiles[("task", t)] = merge_profiles(
+                genomes, profiles[l], profiles[r], aligner_factory, name,
+                translated_fn,
+            )
+    else:
+        import concurrent.futures as cf
+
+        t0 = time.perf_counter()
+        remaining = set(range(len(tasks)))
+        with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+            pending: Dict[object, int] = {}
+            while remaining or pending:
+                for t in sorted(remaining):
+                    name, l, r = tasks[t]
+                    if l in profiles and r in profiles:
+                        remaining.discard(t)
+                        fut = ex.submit(
+                            merge_profiles, genomes,
+                            profiles[l], profiles[r], aligner_factory, name,
+                            translated_fn,
+                        )
+                        pending[fut] = t
+                if not pending:  # malformed DAG (cannot happen from a tree)
+                    raise RuntimeError(
+                        f"merge plan stalled with tasks {sorted(remaining)} unready"
+                    )
+                done, _ = cf.wait(
+                    list(pending), return_when=cf.FIRST_COMPLETED
+                )
+                for fut in done:
+                    t = pending.pop(fut)
+                    profiles[("task", t)] = fut.result()  # re-raises errors
+        timing.GLOBAL.add("tp_ladder_wall_s", time.perf_counter() - t0)
+
+    root = profiles[root_ref]
     t0 = time.perf_counter()
     ivl = emit_intervals(genomes, root)
     out = ivl, lcbs_from_intervals(ivl)

@@ -389,18 +389,22 @@ def align_profiles_batch(
         forward = partial(gotoh_forward_pallas, M=M, N=N)
     else:
         forward = partial(gotoh_forward_scored, M=M, N=N)
-    scores_dev, dec = forward(
-        ship(profiles_a),
-        ship(profiles_b),
-        mA,
-        mB,
-        jnp.asarray(subst, dtype=jnp.float32),
-        jnp.float32(gap_open),
-        jnp.float32(gap_extend),
+
+    def _packed(pa, pb, la, lb, sub):
+        scores_dev, dec = forward(
+            pa, pb, la, lb, sub, jnp.float32(gap_open), jnp.float32(gap_extend)
+        )
+        return gotoh_traceback_packed(dec, la, lb, scores_dev, M, N)
+
+    from mauvealigner_tpu.parallel import context as par_ctx
+
+    # batch-sharded under an ambient mesh (per-element kernel, bit-identical)
+    buf = par_ctx.shard_batched_call(
+        _packed,
+        [ship(profiles_a), ship(profiles_b), mA, mB],
+        replicated_args=(jnp.asarray(subst, dtype=jnp.float32),),
     )
-    scores, ops_rev, counts = _unpack_results(
-        np.asarray(gotoh_traceback_packed(dec, mA, mB, scores_dev, M, N)), M + N
-    )
+    scores, ops_rev, counts = _unpack_results(buf, M + N)
     out = [ops_rev[b, : counts[b]][::-1].copy() for b in range(B)]
     return out, scores
 
@@ -474,20 +478,23 @@ def align_code_pairs_batch(
         if _pallas_ok(M, N) and _bf16_exact_scores(ones, ones, subst)
         else _gotoh_codes
     )
-    scores_dev, dec = fwd(
-        jnp.asarray(codes_a),
-        jnp.asarray(codes_b),
-        mA,
-        mB,
-        jnp.asarray(subst, dtype=jnp.float32),
-        jnp.float32(gap_open),
-        jnp.float32(gap_extend),
-        M,
-        N,
+
+    def _packed(ca, cb, la, lb, sub):
+        scores_dev, dec = fwd(
+            ca, cb, la, lb, sub,
+            jnp.float32(gap_open), jnp.float32(gap_extend), M, N,
+        )
+        return gotoh_traceback_packed(dec, la, lb, scores_dev, M, N)
+
+    from mauvealigner_tpu.parallel import context as par_ctx
+
+    # batch-sharded under an ambient mesh (per-element kernel, bit-identical)
+    buf = par_ctx.shard_batched_call(
+        _packed,
+        [jnp.asarray(codes_a), jnp.asarray(codes_b), mA, mB],
+        replicated_args=(jnp.asarray(subst, dtype=jnp.float32),),
     )
-    scores, ops_rev, counts = _unpack_results(
-        np.asarray(gotoh_traceback_packed(dec, mA, mB, scores_dev, M, N)), M + N
-    )
+    scores, ops_rev, counts = _unpack_results(buf, M + N)
     out = [ops_rev[b, : counts[b]][::-1].copy() for b in range(B)]
     return out, scores
 
@@ -514,13 +521,16 @@ def align_sequence_pairs(
     gap_extend: float = DEFAULT_GAP_EXTEND,
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     max_batch: int = 4096,
-    memory_budget_bytes: int = 1 << 29,
+    memory_budget_bytes: int = 3 << 29,
 ) -> List[np.ndarray]:
     """Globally align many (codesA, codesB) pairs, bucketing by length.
 
     Returns per-pair op arrays.  Pairs longer than the largest bucket raise:
     callers cap region size (--max-gapped-aligner-length semantics,
     src/mauveAligner.cpp:675-676).
+
+    memory_budget_bytes bounds the measured peak HBM per launch (default
+    1.5 GB, fine in 16 GB; lower it on smaller chips).
     """
     results: List[np.ndarray] = [None] * len(pairs)  # type: ignore[list-item]
     groups: dict = {}
@@ -541,14 +551,11 @@ def align_sequence_pairs(
         side = _bucket(max(len(a), len(b)), buckets)
         groups.setdefault((side, side), []).append(idx)
     for (M, N), idxs in groups.items():
-        # per-element device footprint: dec u8 ((M+N+1)*(M+1)) plus the score
-        # matrix S f32 (4*M*N); H rows are not materialized.  KNOWN
-        # UNDERCOUNT: the sheared score buffers (Spad/QT) add another ~2x S
-        # transiently, so the true peak is ~3x this figure — the effective
-        # budget is ~3x memory_budget_bytes (fine in 16 GB HBM; lower the
-        # budget on smaller chips).  Changing the formula would change the
-        # compiled batch-shape family, so it is documented instead.
-        per_elt = (M + N + 1) * (M + 1) + 4 * M * N
+        # per-element device PEAK footprint: dec u8 ((M+N+1)*(M+1)) plus the
+        # score matrix S f32 (4*M*N) and its transient sheared copies
+        # (Spad/QT, another ~2x S) — 12*M*N covers the measured ~3x S peak;
+        # H rows are not materialized.
+        per_elt = (M + N + 1) * (M + 1) + 12 * M * N
         bucket_batch = max(1, min(max_batch, memory_budget_bytes // per_elt))
         for off in range(0, len(idxs), bucket_batch):
             chunk = idxs[off : off + bucket_batch]

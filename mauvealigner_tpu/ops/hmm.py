@@ -307,40 +307,154 @@ def bucketed_decode(
                         f"symbol {int(le.max())} out of range for emission "
                         f"table with {tab.shape[0]} symbols"
                     )
+            from mauvealigner_tpu.parallel import context as par_ctx
+
             led, lend = jnp.asarray(le), jnp.asarray(lengths)
+            thr = jnp.float32(threshold)
+            # batch-sharded under an ambient mesh (per-element decode,
+            # bit-identical to the direct call); kernel args are
+            # (*batch, *replicated)
             if mode == "posterior0":
                 if tab is None:
-                    res = np.asarray(forward_backward_state0(led, lt, li, lend))
+                    res = par_ctx.shard_batched_call(
+                        lambda e, n, t, i: forward_backward_state0(e, t, i, n),
+                        [led, lend], (lt, li),
+                    )
                 else:
-                    res = np.asarray(_fb_state0_sym(led, tab, lt, li, lend))
+                    res = par_ctx.shard_batched_call(
+                        lambda e, n, tb, t, i: _fb_state0_sym(e, tb, t, i, n),
+                        [led, lend], (tab, lt, li),
+                    )
                 for bi, idx in enumerate(chunk):
                     out[idx] = res[bi, : int(lengths[bi])]
             elif mode == "threshold0":
                 if tab is None:
-                    packed = np.asarray(
-                        forward_backward_state0_gt(led, lt, li, lend, jnp.float32(threshold))
+                    packed = par_ctx.shard_batched_call(
+                        lambda e, n, t, i, th: forward_backward_state0_gt(
+                            e, t, i, n, th
+                        ),
+                        [led, lend], (lt, li, thr),
                     )
                 else:
-                    packed = np.asarray(
-                        _fb_state0_gt_sym(led, tab, lt, li, lend, jnp.float32(threshold))
+                    packed = par_ctx.shard_batched_call(
+                        lambda e, n, tb, t, i, th: _fb_state0_gt_sym(
+                            e, tb, t, i, n, th
+                        ),
+                        [led, lend], (tab, lt, li, thr),
                     )
                 res = np.unpackbits(packed, axis=1, bitorder="little").astype(bool)
                 for bi, idx in enumerate(chunk):
                     out[idx] = res[bi, : int(lengths[bi])]
             elif mode == "prefix0":
                 if tab is None:
-                    res = np.asarray(
-                        forward_backward_prefix(led, lt, li, lend, jnp.float32(threshold))
+                    res = par_ctx.shard_batched_call(
+                        lambda e, n, t, i, th: forward_backward_prefix(
+                            e, t, i, n, th
+                        ),
+                        [led, lend], (lt, li, thr),
                     )
                 else:
-                    res = np.asarray(
-                        _fb_prefix_sym(led, tab, lt, li, lend, jnp.float32(threshold))
+                    res = par_ctx.shard_batched_call(
+                        lambda e, n, tb, t, i, th: _fb_prefix_sym(
+                            e, tb, t, i, n, th
+                        ),
+                        [led, lend], (tab, lt, li, thr),
                     )
                 for bi, idx in enumerate(chunk):
                     out[idx] = int(res[bi])
             else:
                 raise ValueError(f"unknown mode {mode!r}")
     return out
+
+
+def _fb2_pair_rows_state0(ri, rj, table_T, log_trans, log_init, lengths):
+    """P(state 0) [B, T] decoded directly from PAIR CODE ROWS on device.
+
+    ri/rj: uint8 [B, T] per-column base codes (0-3 = A/C/G/T, 4 = N,
+    5 = gap/absent) in match-space orientation.  The column symbol classes
+    match analysis/backbone.SYMBOL_LUT (match / transition / transversion /
+    gap), computed elementwise — no host symbol extraction, no LUT gather.
+
+    Both-gap columns are INERT: their chain element is the identity matrix,
+    so forward/backward state passes through untouched and the posterior
+    there equals the nearest live column's — exactly the reference's
+    projected-pair semantics (the projection does not contain those
+    columns; the host path removes them and forward-fills,
+    analysis/backbone.pairwise_homology_posteriors).  The first live
+    column's element is diag(e) (no transition), matching the projected
+    chain's start.
+    """
+    B, T = ri.shape
+    iota = jnp.arange(T, dtype=jnp.int32)
+    pad = iota[None, :] >= lengths[:, None]
+    none = ((ri == 5) & (rj == 5)) | pad
+    base = (ri < 4) & (rj < 4)
+    match = base & (ri == rj)
+    # transitions are A<->G (0^2) and C<->T (1^3): xor == 2
+    tr_sym = base & ((ri ^ rj) == 2)
+    et = jnp.exp(table_T)  # [4, 2] symbol -> per-state emission prob
+    # 4-way select instead of a gather (tiny table, elementwise select wins)
+    def emit(state):
+        return jnp.where(
+            match, et[0, state],
+            jnp.where(tr_sym, et[1, state],
+                      jnp.where(base, et[2, state], et[3, state])),
+        )
+
+    e0 = jnp.where(none, 1.0, emit(0))
+    e1 = jnp.where(none, 1.0, emit(1))
+    trans = jnp.exp(log_trans)
+    init = jnp.exp(log_init)
+    live = ~none
+    first = live & (jnp.cumsum(live.astype(jnp.int32), axis=1) == 1)
+
+    nz, f = none[:, 1:], first[:, 1:]
+    E0, E1 = e0[:, 1:], e1[:, 1:]
+    a = jnp.where(nz, 1.0, jnp.where(f, E0, trans[0, 0] * E0))
+    b = jnp.where(nz | f, 0.0, trans[0, 1] * E1)
+    c = jnp.where(nz | f, 0.0, trans[1, 0] * E0)
+    d = jnp.where(nz, 1.0, jnp.where(f, E1, trans[1, 1] * E1))
+    pa, pb, pc, pd = jax.lax.associative_scan(_combine2, (a, b, c, d), axis=1)
+    a00 = init[0] * e0[:, 0]
+    a01 = init[1] * e1[:, 0]
+    m0 = jnp.maximum(jnp.maximum(a00, a01), jnp.float32(1e-30))
+    a00, a01 = a00 / m0, a01 / m0
+    alphas0 = jnp.concatenate(
+        [a00[:, None], a00[:, None] * pa + a01[:, None] * pc], axis=1
+    )
+    alphas1 = jnp.concatenate(
+        [a01[:, None], a00[:, None] * pb + a01[:, None] * pd], axis=1
+    )
+    sa, sb, sc, sd = jax.lax.associative_scan(
+        _combine2, (a, c, b, d), axis=1, reverse=True
+    )
+    ones = jnp.ones((B, 1), jnp.float32)
+    betas0 = jnp.concatenate([sa + sc, ones], axis=1)
+    betas1 = jnp.concatenate([sb + sd, ones], axis=1)
+    raw0 = alphas0 * betas0
+    raw1 = alphas1 * betas1
+    post0 = raw0 / jnp.maximum(raw0 + raw1, jnp.float32(1e-30))
+    return jnp.where(pad, 0.0, post0)
+
+
+@jax.jit
+def pair_rows_state0_gt(
+    rows: jnp.ndarray,      # uint8 [P, T] code rows (shared across pairs)
+    ii: jnp.ndarray,        # int32 [B] row index of pair member i
+    jj: jnp.ndarray,        # int32 [B] row index of pair member j
+    table_T: jnp.ndarray,   # [4, 2] log emission table (symbol-major)
+    log_trans: jnp.ndarray,
+    log_init: jnp.ndarray,
+    lengths: jnp.ndarray,   # [B]
+    threshold: jnp.ndarray,
+) -> jnp.ndarray:
+    """Bit-packed P(Homologous) > threshold per column for many pairwise
+    projections sharing a code-row table (the device-resident backbone
+    symbol path): one row upload serves every pair containing it."""
+    post0 = _fb2_pair_rows_state0(
+        rows[ii], rows[jj], table_T, log_trans, log_init, lengths
+    )
+    return _packbits((post0 > threshold).astype(jnp.uint8))
 
 
 @jax.jit

@@ -32,6 +32,10 @@ __all__ = [
     "sharded_pair_mum_tables",
     "multichip_pipeline_step",
     "multihost",
+    "context",
+    "active_mesh",
+    "use_mesh",
+    "shard_batched_call",
 ]
 
 
@@ -40,6 +44,11 @@ def __getattr__(name):
 
     if name == "multihost":
         return importlib.import_module("mauvealigner_tpu.parallel.multihost")
+    if name == "context":
+        return importlib.import_module("mauvealigner_tpu.parallel.context")
+    if name in ("active_mesh", "use_mesh", "shard_batched_call"):
+        ctx = importlib.import_module("mauvealigner_tpu.parallel.context")
+        return getattr(ctx, name)
     if name in __all__:
         sharded = importlib.import_module("mauvealigner_tpu.parallel.sharded")
         return getattr(sharded, name)

@@ -470,6 +470,11 @@ def progressive_mauve_cli(argv: List[str]) -> int:
                    help="accepted for reference compatibility (anchors here "
                    "are unique MUMs, src/progressiveMauve.cpp:295)")
     p.add_argument("--no-recursion", action="store_true")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="shard the whole pipeline (N-way anchor search, "
+                   "node-merge anchoring, closure/refinement DP, backbone "
+                   "HMM decode) over this many devices (0 = single device; "
+                   "output is identical)")
     p.add_argument("--tree-progressive", choices=["auto", "0", "1"],
                    default="auto",
                    help="per-node consensus-profile anchoring up the guide "
@@ -540,6 +545,10 @@ def progressive_mauve_cli(argv: List[str]) -> int:
         input_guide_tree=a.input_guide_tree or None,
         output_guide_tree=a.output_guide_tree or (a.output + ".guide_tree"),
     )
+    if a.mesh_devices > 1:
+        from mauvealigner_tpu.parallel import make_mesh
+
+        opts.mesh = make_mesh(a.mesh_devices)
     if a.gap_open is not None:
         opts.gap_open = a.gap_open
     if a.gap_extend is not None:

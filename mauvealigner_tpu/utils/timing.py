@@ -9,6 +9,7 @@ phase records wall-clock and work counters, and DP phases report GCUPS
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import OrderedDict
 from typing import Dict, Optional
@@ -33,6 +34,8 @@ class PhaseTimer:
         self.phases: "OrderedDict[str, float]" = OrderedDict()
         self.counters: Dict[str, float] = {}
         self._suspended = 0
+        # counters accumulate from concurrent node-merge threads
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def phase(self, name: str):
@@ -56,7 +59,8 @@ class PhaseTimer:
             self._suspended -= 1
 
     def add(self, counter: str, value: float) -> None:
-        self.counters[counter] = self.counters.get(counter, 0.0) + value
+        with self._lock:
+            self.counters[counter] = self.counters.get(counter, 0.0) + value
 
     def reset(self) -> None:
         self.phases.clear()

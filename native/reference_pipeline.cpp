@@ -90,9 +90,17 @@ struct Match { i64 a_left0; i64 b_left0; i64 len; bool rev; };
 // K2 analog: merge the two sorted lists, keep mers unique in BOTH genomes,
 // extend each seed to base-level maximality; per-diagonal coverage skips
 // re-extension of seeds inside an already-found match.
+//
+// extend_all disables the coverage skip (oracle mode): a spaced-seed window
+// whose span bridges a mismatch at a DON'T-CARE offset extends further than
+// the exact match preceding it on the same diagonal — the inexact-match
+// semantics libMems' spaced-seed extension has (and the TPU K2 reproduces);
+// the skip would wrongly drop those.  Contained duplicates die in chain()'s
+// overlap cropping.  Measurement mode keeps the skip (strictly faster, so
+// the measured baseline stays a conservative lower bound).
 static void find_mums(const std::vector<uint8_t>& A, const std::vector<uint8_t>& B,
                       const std::vector<Entry>& sa, const std::vector<Entry>& sb,
-                      int L, std::vector<Match>& out) {
+                      int L, std::vector<Match>& out, bool extend_all = false) {
   struct Seed { i64 pa, pb; bool rev; };
   std::vector<Seed> seeds;
   size_t i = 0, j = 0;
@@ -123,7 +131,7 @@ static void find_mums(const std::vector<uint8_t>& A, const std::vector<uint8_t>&
     i64 diag = s.rev ? s.pa + s.pb : s.pb - s.pa;
     if (s.rev != prev_rev || diag != prev_diag) covered_to = INT64_MIN;
     prev_rev = s.rev; prev_diag = diag;
-    if (s.pa < covered_to) continue;
+    if (!extend_all && s.pa < covered_to) continue;
     // extend: A[a0 + c], fwd B[b0 + c], rev B reads b_right - c complemented
     i64 a0 = s.pa, alen = L;
     i64 b0 = s.pb;  // leftmost of the B window either way
@@ -164,6 +172,137 @@ static void find_mums(const std::vector<uint8_t>& A, const std::vector<uint8_t>&
     return x.a_left0 == y.a_left0 && x.b_left0 == y.b_left0 &&
            x.len == y.len && x.rev == y.rev;
   }), out.end());
+}
+
+// --- oracle-mode match processing: exact ports of the pipeline's overlap
+// elimination and collinear greedy breakpoint elimination, so the emitted
+// columns are comparable position-for-position with the TPU output. ------
+
+// Crop `amt` match-space columns from the left (consume_left) or right of
+// match m.  A is always the forward reference component; B mirrors through
+// the rev flag (match-space left = B genome left for fwd, genome right for
+// rev — cropping match-left of a rev match leaves b_left0 untouched).
+static void crop_match(Match& m, i64 amt, bool match_left) {
+  if (amt >= m.len) { m.len = 0; return; }
+  if (match_left) {
+    m.a_left0 += amt;
+    if (!m.rev) m.b_left0 += amt;
+  } else {
+    if (m.rev) m.b_left0 += amt;
+  }
+  m.len -= amt;
+}
+
+// EliminateOverlaps_v2 port (core/match.MatchList.eliminate_overlaps): per
+// sequence, sort by genome-left; on overlap crop the shorter match (ties:
+// the later one); victim-cur crops its genome-left edge, victim-prev its
+// genome-right edge; iterate to fixpoint (<= 8 rounds).
+static void eliminate_overlaps_v2(std::vector<Match>& ms) {
+  for (int iter = 0; iter < 8; iter++) {
+    bool changed = false;
+    for (int seq = 0; seq < 2; seq++) {
+      std::vector<int> order;
+      for (int i = 0; i < (int)ms.size(); i++)
+        if (ms[i].len > 0) order.push_back(i);
+      std::stable_sort(order.begin(), order.end(), [&](int x, int y) {
+        i64 lx = seq == 0 ? ms[x].a_left0 : ms[x].b_left0;
+        i64 ly = seq == 0 ? ms[y].a_left0 : ms[y].b_left0;
+        return lx < ly;
+      });
+      if (order.size() < 2) continue;
+      int prev = order[0];
+      for (size_t k = 1; k < order.size(); k++) {
+        int cur = order[k];
+        auto left = [&](int i) {
+          return seq == 0 ? ms[i].a_left0 : ms[i].b_left0;
+        };
+        i64 prev_r = left(prev) + ms[prev].len - 1;
+        i64 cur_l = left(cur);
+        if (cur_l <= prev_r && ms[cur].len > 0 && ms[prev].len > 0) {
+          i64 overlap = prev_r - cur_l + 1;
+          bool victim_is_cur = !(ms[prev].len < ms[cur].len);
+          int victim = victim_is_cur ? cur : prev;
+          i64 amt = std::min(overlap, ms[victim].len);
+          // genome-left crop for victim-cur, genome-right for victim-prev;
+          // genome side maps to match side through the component's strand
+          bool forward = seq == 0 ? true : !ms[victim].rev;
+          bool match_left = (victim_is_cur == forward);
+          crop_match(ms[victim], amt, match_left);
+          changed = true;
+        }
+        i64 cur_r = left(cur) + ms[cur].len - 1;
+        prev_r = left(prev) + ms[prev].len - 1;
+        if (cur_r > prev_r || ms[prev].len <= 0) prev = cur;
+      }
+    }
+    ms.erase(std::remove_if(ms.begin(), ms.end(),
+                            [](const Match& m) { return m.len <= 0; }),
+             ms.end());
+    if (!changed) break;
+  }
+}
+
+// Collinear greedy breakpoint elimination port (models/lcb.py
+// greedy_breakpoint_elimination, min_weight < 0): partition matches into
+// collinear runs by rank adjacency (computeLCBAdjacencies_v2 semantics) and
+// drop the lightest block until one remains.
+static void collinear_eliminate(std::vector<Match>& ms) {
+  while (true) {
+    std::vector<int> order(ms.size());
+    for (size_t i = 0; i < ms.size(); i++) order[i] = (int)i;
+    std::stable_sort(order.begin(), order.end(), [&](int x, int y) {
+      if (ms[x].a_left0 != ms[y].a_left0) return ms[x].a_left0 < ms[y].a_left0;
+      return ms[x].b_left0 < ms[y].b_left0;
+    });
+    // rank of each match within the B ordering
+    std::vector<int> border(order);
+    std::stable_sort(border.begin(), border.end(), [&](int x, int y) {
+      return ms[x].b_left0 < ms[y].b_left0;
+    });
+    std::vector<int> rank_b(ms.size());
+    for (size_t i = 0; i < border.size(); i++) rank_b[border[i]] = (int)i;
+    // block ids in A order: same strand and directly-adjacent B rank
+    std::vector<int> block(ms.size());
+    int nb = 0;
+    for (size_t k = 0; k < order.size(); k++) {
+      if (k > 0) {
+        const Match& p = ms[order[k - 1]];
+        const Match& c = ms[order[k]];
+        int sign = c.rev ? -1 : 1;
+        bool same = (p.rev == c.rev) &&
+                    (rank_b[order[k]] - rank_b[order[k - 1]] == sign);
+        if (!same) nb++;
+      }
+      block[order[k]] = nb;
+    }
+    if (nb == 0) break;  // single block
+    std::vector<i64> weight(nb + 1, 0);
+    for (size_t i = 0; i < ms.size(); i++) weight[block[i]] += ms[i].len;
+    int victim = 0;
+    for (int b = 1; b <= nb; b++)
+      if (weight[b] < weight[victim]) victim = b;  // first minimum wins
+    std::vector<Match> kept;
+    for (size_t i = 0; i < ms.size(); i++)
+      if (block[i] != victim) kept.push_back(ms[i]);
+    ms = kept;
+    if (ms.empty()) break;
+  }
+  std::sort(ms.begin(), ms.end(), [](const Match& x, const Match& y) {
+    if (x.a_left0 != y.a_left0) return x.a_left0 < y.a_left0;
+    return x.b_left0 < y.b_left0;
+  });
+  // make_collinear_nonoverlapping analog: crop the later match's left by
+  // the max residual overlap over both sequences
+  for (size_t k = 1; k < ms.size(); k++) {
+    Match& p = ms[k - 1]; Match& c = ms[k];
+    if (p.len <= 0) continue;
+    i64 ov = std::max(p.a_left0 + p.len - c.a_left0,
+                      p.b_left0 + p.len - c.b_left0);
+    if (ov > 0) crop_match(c, std::min(ov, c.len), true);
+  }
+  ms.erase(std::remove_if(ms.begin(), ms.end(),
+                          [](const Match& m) { return m.len <= 0; }),
+           ms.end());
 }
 
 // collinear chaining: weighted LIS over forward matches (the pairwise
@@ -209,11 +348,24 @@ static const int SUB[5][5] = {
 static const int GAP_OPEN = -400, GAP_EXT = -30;
 static const int NEG = -(1 << 28);
 
-// Full Gotoh with traceback over one gap; returns aligned column count.
+// Full Gotoh with affine-state traceback over one gap; returns aligned
+// column count.  Decision byte layout matches the TPU kernel (ops/dp.py
+// _gotoh_core): bits0-1 = H source (0 diag, 1 up/E-consume-A, 2 left/F),
+// bit2 = E opened from H at this cell, bit3 = F opened from H.  Tie policy
+// is the shared convention: diag > up > left; gap-open wins ties over
+// gap-extend.  ops_out (optional) receives the start-to-end op string
+// ('D' diag, 'U' consume A, 'L' consume B) for column-identity oracle runs.
 static i64 gotoh(const uint8_t* a, i64 m, const uint8_t* b, i64 n,
                  std::vector<uint8_t>& tb, std::vector<int>& H,
-                 std::vector<int>& E, std::vector<int>& F) {
-  if (m == 0 || n == 0) return m + n;
+                 std::vector<int>& E, std::vector<int>& F,
+                 std::string* ops_out = nullptr) {
+  if (m == 0 || n == 0) {
+    if (ops_out) {
+      ops_out->assign((size_t)m, 'U');
+      ops_out->append((size_t)n, 'L');
+    }
+    return m + n;
+  }
   tb.assign((size_t)(m + 1) * (n + 1), 0);
   H.assign(n + 1, 0); E.assign(n + 1, NEG); F.assign(n + 1, NEG);
   H[0] = 0;
@@ -223,26 +375,42 @@ static i64 gotoh(const uint8_t* a, i64 m, const uint8_t* b, i64 n,
     H[0] = GAP_OPEN + (int)i * GAP_EXT;
     int f_here = NEG;
     for (i64 j = 1; j <= n; j++) {
-      E[j] = std::max(H[j] + GAP_OPEN + GAP_EXT, E[j] + GAP_EXT);
-      f_here = std::max(H[j - 1] + GAP_OPEN + GAP_EXT, f_here + GAP_EXT);
+      bool e_open = H[j] + GAP_OPEN + GAP_EXT >= E[j] + GAP_EXT;
+      E[j] = e_open ? H[j] + GAP_OPEN + GAP_EXT : E[j] + GAP_EXT;
+      bool f_open = H[j - 1] + GAP_OPEN + GAP_EXT >= f_here + GAP_EXT;
+      f_here = f_open ? H[j - 1] + GAP_OPEN + GAP_EXT : f_here + GAP_EXT;
       int hd = diag + SUB[a[i - 1] < 4 ? a[i - 1] : 4][b[j - 1] < 4 ? b[j - 1] : 4];
       int best = hd; uint8_t d = 0;
       if (E[j] > best) { best = E[j]; d = 1; }   // up: gap in B
       if (f_here > best) { best = f_here; d = 2; }  // left: gap in A
       diag = H[j];
       H[j] = best;
-      tb[(size_t)i * (n + 1) + j] = d;
+      tb[(size_t)i * (n + 1) + j] =
+          d | (uint8_t)(e_open << 2) | (uint8_t)(f_open << 3);
     }
   }
-  // traceback (costs the cache-unfriendly walk the reference also pays)
+  // affine-state traceback (follows gap runs through the open bits, so the
+  // emitted path realizes the optimal score exactly like the TPU kernel)
   i64 i = m, j = n, cols = 0;
+  int mode = 0;  // 0 = H, 1 = E (up run), 2 = F (left run)
   while (i > 0 || j > 0) {
-    uint8_t d = (i > 0 && j > 0) ? tb[(size_t)i * (n + 1) + j] : (i > 0 ? 1 : 2);
-    if (d == 0) { i--; j--; }
-    else if (d == 1) { i--; }
-    else { j--; }
+    uint8_t byte = (i > 0 && j > 0) ? tb[(size_t)i * (n + 1) + j] : 0;
+    int c = mode ? mode : (i == 0 ? 2 : (j == 0 ? 1 : (byte & 3)));
+    if (c == 0) {
+      i--; j--; mode = 0;
+      if (ops_out) ops_out->push_back('D');
+    } else if (c == 1) {
+      mode = ((byte >> 2) & 1) ? 0 : 1;
+      i--;
+      if (ops_out) ops_out->push_back('U');
+    } else {
+      mode = ((byte >> 3) & 1) ? 0 : 2;
+      j--;
+      if (ops_out) ops_out->push_back('L');
+    }
     cols++;
   }
+  if (ops_out) std::reverse(ops_out->begin(), ops_out->end());
   return cols;
 }
 
@@ -284,11 +452,19 @@ int main(int argc, char** argv) {
     return dp_child(argv[2], argv[3]);
   if (argc < 4) {
     fprintf(stderr,
-            "usage: %s <pattern> <codesA.raw> <codesB.raw> [--fork-closure]\n",
+            "usage: %s <pattern> <codesA.raw> <codesB.raw> "
+            "[--fork-closure] [--emit-aln <path>]\n",
             argv[0]);
     return 2;
   }
   bool fork_closure = argc > 4 && strcmp(argv[4], "--fork-closure") == 0;
+  // column-identity oracle mode: write the chained alignment's exact column
+  // structure (anchor rows + per-gap op strings) for the golden diff
+  // against the TPU pipeline's XMFA (writer semantics it must match:
+  // /root/reference/src/mauveAligner.cpp:702,750)
+  const char* emit_path = nullptr;
+  for (int k = 4; k + 1 < argc; k++)
+    if (strcmp(argv[k], "--emit-aln") == 0) emit_path = argv[k + 1];
   std::string pattern = argv[1];
   std::vector<int> offs;
   for (size_t k = 0; k < pattern.size(); k++)
@@ -304,16 +480,26 @@ int main(int argc, char** argv) {
   auto t1 = std::chrono::steady_clock::now();
 
   std::vector<Match> ms;
-  find_mums(A, B, sa, sb, L, ms);
+  find_mums(A, B, sa, sb, L, ms, /*extend_all=*/emit_path != nullptr);
   auto t2 = std::chrono::steady_clock::now();
 
-  chain(ms);
+  if (emit_path) {  // oracle mode: the pipeline's exact chaining semantics
+    eliminate_overlaps_v2(ms);
+    collinear_eliminate(ms);
+  } else {
+    chain(ms);
+  }
   auto t3 = std::chrono::steady_clock::now();
 
   // gapped closure of every inter-anchor gap (cap 4096 per side, the
   // --max-gapped-aligner-length default, src/mauveAligner.cpp:675-676)
   std::vector<uint8_t> tb; std::vector<int> H, E, F;
+  FILE* emit = emit_path ? fopen(emit_path, "w") : nullptr;
+  if (emit && !ms.empty())
+    fprintf(emit, "A %lld %lld %lld\n", (long long)ms[0].a_left0,
+            (long long)ms[0].b_left0, (long long)ms[0].len);
   i64 cells = 0, aligned_cols = 0, n_gaps = 0;
+  std::string ops;
   for (size_t k = 1; k < ms.size(); k++) {
     i64 ga0 = ms[k - 1].a_left0 + ms[k - 1].len;
     i64 ga1 = ms[k].a_left0;
@@ -321,17 +507,42 @@ int main(int argc, char** argv) {
     i64 gb1 = ms[k].b_left0;
     i64 la = ga1 - ga0, lb = gb1 - gb0;
     if (la < 0 || lb < 0) continue;
-    if (la > 4096) la = 4096;  // cap like the reference
-    if (lb > 4096) lb = 4096;
-    if (la == 0 && lb == 0) continue;
+    i64 full_la = la, full_lb = lb;
+    if (!emit) {  // measurement mode caps like the reference
+      if (la > 4096) la = 4096;
+      if (lb > 4096) lb = 4096;
+    }
+    if (la == 0 && lb == 0) {
+      if (emit)
+        fprintf(emit, "A %lld %lld %lld\n", (long long)ms[k].a_left0,
+                (long long)ms[k].b_left0, (long long)ms[k].len);
+      continue;
+    }
     n_gaps++;
+    if (emit && (full_la > 4096 || full_lb > 4096)) {
+      // over the --max-gapped-aligner-length cap: both pipelines emit the
+      // regions unaligned (A block then B block)
+      fprintf(emit, "S %lld %lld\n", (long long)full_la, (long long)full_lb);
+      fprintf(emit, "A %lld %lld %lld\n", (long long)ms[k].a_left0,
+              (long long)ms[k].b_left0, (long long)ms[k].len);
+      continue;
+    }
     cells += la * lb;
     if (fork_closure)  // the CHILD performs the DP, as the reference does
       aligned_cols += fork_closure_gap(argv[0], A.data() + ga0, la,
                                        B.data() + gb0, lb);
-    else
-      aligned_cols += gotoh(A.data() + ga0, la, B.data() + gb0, lb, tb, H, E, F);
+    else {
+      ops.clear();
+      aligned_cols += gotoh(A.data() + ga0, la, B.data() + gb0, lb, tb, H, E,
+                            F, emit ? &ops : nullptr);
+      if (emit) {
+        fprintf(emit, "G %s\n", ops.c_str());
+        fprintf(emit, "A %lld %lld %lld\n", (long long)ms[k].a_left0,
+                (long long)ms[k].b_left0, (long long)ms[k].len);
+      }
+    }
   }
+  if (emit) fclose(emit);
   for (const Match& m : ms) aligned_cols += m.len;
   auto t4 = std::chrono::steady_clock::now();
 
