@@ -357,12 +357,20 @@ class Repeatoire:
             padded = [
                 list(j[3]) + [empty] * (arity - len(j[3])) for j in jobs
             ]
+            import time as _time
+
+            from mauvealigner_tpu.utils import timing as _timing
+
+            _timing.GLOBAL.add("rp_ext_waves", 1.0)
+            _timing.GLOBAL.add("rp_ext_jobs", float(len(jobs)))
+            _t0 = _time.perf_counter()
             got = closure.align_region_groups(
                 padded,
                 gap_open=o.gap_open,
                 gap_extend=o.gap_extend,
                 max_len=4096,
             )
+            _timing.GLOBAL.add("rp_ext_dp_s", _time.perf_counter() - _t0)
             alns = [aln[: len(j[3])] for j, aln in zip(jobs, got)]
             homs = self._homology_columns_batch(
                 genome, [j[3] for j in jobs], alns
@@ -501,6 +509,10 @@ class Repeatoire:
         shared bucketed kernel driver (ops/hmm.bucketed_decode)."""
         from mauvealigner_tpu.ops import hmm as hmm_ops
 
+        import time as _time
+
+        from mauvealigner_tpu.utils import timing as _timing
+
         params = self._hmm_params(genome)
         streams: List[np.ndarray] = []
         shapes: List[Tuple[int, int]] = []
@@ -508,6 +520,7 @@ class Repeatoire:
             shapes.append(syms.shape)
             for c in range(syms.shape[0]):
                 streams.append(syms[c])
+        _t0 = _time.perf_counter()
         decoded = hmm_ops.bucketed_decode(
             streams,
             params.log_trans(),
@@ -516,6 +529,7 @@ class Repeatoire:
             threshold=self.options.posterior_threshold,
             emit_table=params.log_emit_table(),
         )
+        _timing.GLOBAL.add("rp_ext_hmm_s", _time.perf_counter() - _t0)
         out: List[np.ndarray] = []
         pos = 0
         for k, T in shapes:
@@ -910,7 +924,12 @@ class Repeatoire:
         precomputed (chained) match list + per-match seed counts so callers
         that already ran the seed phase (e.g. the CLI's --seeds output) do
         not pay for it twice."""
+        import time as _time
+
+        from mauvealigner_tpu.utils import timing as _timing
+
         o = self.options
+        _t0 = _time.perf_counter()
         if matches is not None:
             ml, seed_counts = matches
         else:
@@ -918,12 +937,19 @@ class Repeatoire:
             seed_counts = None
             if o.chain:
                 ml, seed_counts = self.chain_seed_matches(ml, genome)
+        _timing.GLOBAL.add("rp_seed_chain_s", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         fams = self.build_families(genome, ml, seed_counts)
+        _timing.GLOBAL.add("rp_build_s", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         if fams:
             for f, sc in zip(fams, self._sp_score_batch(genome, fams)):
                 f.score = float(sc)
+        _timing.GLOBAL.add("rp_score_s", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         if not o.allow_redundant:
             fams = self._remove_redundancy(genome, fams)
+        _timing.GLOBAL.add("rp_redundancy_s", _time.perf_counter() - _t0)
         # final filter chain (src/repeatoire.cpp:2636-2653): min length,
         # --onlyextended, SP score strictly above --sp, tandem filter
         out = []

@@ -19,8 +19,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def production_batch(M: int, budget: int = 1 << 29) -> int:
-    per_elt = (2 * M + 1) * (M + 1) + 4 * M * M
+def production_batch(M: int, budget: int = 3 << 29) -> int:
+    # keep in sync with dp.align_sequence_pairs' peak-honest estimate
+    per_elt = (2 * M + 1) * (M + 1) + 12 * M * M
     return max(1, min(4096, budget // per_elt))
 
 
