@@ -180,7 +180,6 @@ class ProgressiveMauve:
             ]
             return matchops.find_multi_mums(genomes, smls)
         # device-resident path: SML arrays never cross the tunnel
-        smls_dev = [build_mer_list_device(g, seed) for g in genomes]
         from mauvealigner_tpu.parallel import context as par_ctx
 
         mesh = par_ctx.active_mesh()
@@ -190,9 +189,11 @@ class ProgressiveMauve:
             # subsample is already cheap and shards poorly)
             from mauvealigner_tpu.parallel import find_multi_mums_sharded
 
+            smls_dev = [build_mer_list_device(g, seed) for g in genomes]
             return find_multi_mums_sharded(
                 genomes, smls_dev, mesh, seed_length=seed.length
             )
+        smls_dev = [build_mer_list_device(g, seed) for g in genomes]
         return matchops.find_multi_mums_device(
             genomes, smls_dev, seed_length=seed.length, sketch_mod=sketch_mod
         )
@@ -441,7 +442,6 @@ class ProgressiveMauve:
         see the true sequences, so node-level anchors survive what majority
         -consensus collapse erases (ref: per-node profile anchoring + match
         cache-db, src/progressiveMauve.cpp:575-710,643-646)."""
-        from mauvealigner_tpu.core.sml import build_mer_list_device
         from mauvealigner_tpu.models import tree_progressive as tp
         from mauvealigner_tpu.seeds import default_mer_size, get_seed
 
@@ -454,6 +454,8 @@ class ProgressiveMauve:
                     int(np.mean([len(genomes[am]), len(genomes[bm])]))
                 )
                 seed = get_seed(w, 0)
+                from mauvealigner_tpu.core.sml import build_mer_list_device
+
                 smls = [
                     build_mer_list_device(genomes[g], seed) for g in (am, bm)
                 ]

@@ -373,6 +373,7 @@ def align_profiles_batch(
     B, M, _ = profiles_a.shape
     N = profiles_b.shape[1]
     timing.GLOBAL.add("dp_cells", float(B) * M * N)
+    timing.GLOBAL.add("dp_calls", 1.0)
     mA = jnp.asarray(lens_a, dtype=jnp.int32)
     mB = jnp.asarray(lens_b, dtype=jnp.int32)
 
@@ -469,6 +470,7 @@ def align_code_pairs_batch(
     B, M = codes_a.shape
     N = codes_b.shape[1]
     timing.GLOBAL.add("dp_cells", float(B) * M * N)
+    timing.GLOBAL.add("dp_calls", 1.0)
     mA = jnp.asarray(lens_a, dtype=jnp.int32)
     mB = jnp.asarray(lens_b, dtype=jnp.int32)
     # codes one-hot on device, so only the substitution values gate bf16

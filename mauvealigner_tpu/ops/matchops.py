@@ -495,18 +495,29 @@ def find_multi_mums_device(
     return ml
 
 
+def _head_rows(N: int, cap: int, n_seqs: int) -> int:
+    """Initial download size for a candidate table: genome-scale inputs
+    produce run counts ~N/27 (measured 77k runs at N=2M pairwise), so a
+    head sized at N>>4 rows (capped at ~2 MB of wire) usually covers the
+    whole result in ONE transfer — the old fixed 4k-row head paid a second
+    fetch + round trip on every real-scale search."""
+    target = max(1 + (1 << 12), (N >> 4) + 1)
+    by_bytes = (2 << 20) // (4 * (n_seqs + 2)) + 1
+    return min(cap + 1, target, by_bytes)
+
+
 def _candidates_with_retry(
     keys, seq_ids, pos, mask, n_seqs, cap, min_multi, pack_ok, seed_length
 ) -> MatchList:
     """Run device_mum_candidates, auto-doubling cap on overflow, and decode."""
+    N = int(keys.shape[0])
     while True:
         packed_tab = device_mum_candidates(
             keys, seq_ids, pos, jnp.asarray(mask), n_seqs, cap, min_multi,
             pack_sort=pack_ok,
         )
-        # single fixed-size download covers the run count AND the common case
-        # of few runs; only large results need a second (row 0 holds n_runs)
-        first = min(1 + (1 << 12), cap + 1)
+        # sized so the common case needs no second fetch (row 0 holds n_runs)
+        first = _head_rows(N, cap, n_seqs)
         head = np.asarray(packed_tab[:first])
         n_runs = int(head[0, 0])
         if n_runs <= cap:
