@@ -400,6 +400,9 @@ def detect_backbone(
         posts = pairwise_homology_posteriors(
             ivs, params, threshold=posterior_threshold
         )
+    from mauvealigner_tpu.utils import timing
+
+    _t0 = time.perf_counter()
     segments: List[BackboneColumnSegment] = []
     for k, iv in enumerate(ivs.intervals):
         present = [s for s in range(iv.n_seqs) if iv.starts[s] != 0]
@@ -434,6 +437,7 @@ def detect_backbone(
             seqs = [present[x] for x in range(len(present)) if sig[a, x]]
             if len(seqs) >= 2:
                 segments.append(BackboneColumnSegment(k, int(a), int(b), seqs))
+    timing.GLOBAL.add("bb_detect_s", time.perf_counter() - _t0)
     return segments
 
 
@@ -744,6 +748,9 @@ def apply_backbone(
     boundaries so every emitted interval has a constant homologous sequence
     set; bases outside any backbone segment become unaligned single-seq
     intervals."""
+    from mauvealigner_tpu.utils import timing
+
+    _t0 = time.perf_counter()
     merged = merge_adjacent_segments(segments)
     pos_cache: Dict[Tuple[int, int], np.ndarray] = {}
     coords = _segment_seq_coordinates(ivs, merged, pos_cache)
@@ -806,6 +813,7 @@ def apply_backbone(
                 aln1 = np.zeros((iv.n_seqs, int(absp[b] - absp[a] + 1)), bool)
                 aln1[s] = True
                 new_intervals.append(Interval(st, aln1))
+    timing.GLOBAL.add("bb_apply_s", time.perf_counter() - _t0)
     return IntervalList(
         genomes=ivs.genomes,
         intervals=new_intervals,

@@ -439,6 +439,11 @@ class MauveAligner:
         timer = timing.GLOBAL
         with timer.phase("anchoring"):
             ml = self.find_mums(genomes)
+            if callable(extra_matches):
+                # deferred producer: sees the found anchors first, so it can
+                # gate on their coverage (translated extant anchors engage
+                # only where rep-rep anchoring is weak)
+                extra_matches = extra_matches(ml)
             if extra_matches is not None and len(extra_matches):
                 ml = ml.concat(extra_matches).dedup()
         if self.options.debug:

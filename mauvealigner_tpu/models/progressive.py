@@ -112,7 +112,13 @@ class ProgressiveOptions:
     # seeds that majority-consensus collapse erases at high divergence
     # (src/progressiveMauve.cpp:575-710,643-646)
     translated_anchors: bool = True
-    translated_anchor_pairs: int = 3  # cross-clade pairs consulted per node
+    translated_anchor_pairs: int = 2  # cross-clade pairs consulted per node
+    # rep-rep anchor coverage (sum of match lengths / mean rep length) below
+    # which a node merge adds translated extant anchors; above it the merge
+    # is already well-anchored and the extant searches are skipped (cost
+    # control: an un-gated pass added ~36 s at 9 x 1 Mbp for accuracy the
+    # well-anchored merges didn't need)
+    translated_anchor_coverage: float = 0.5
     # run the WHOLE pipeline over a jax.sharding.Mesh: the N-way anchor
     # search routes through parallel.find_multi_mums_sharded, and every
     # batched kernel underneath (node-merge anchoring, closure/refinement
@@ -427,10 +433,13 @@ class ProgressiveMauve:
                     go_unrelated=o.hmm_p_go_unrelated,
                 )
                 segments = bb.detect_backbone(ivl, params, o.island_gap_size)
+                import time as _time
+                _t0 = _time.perf_counter()
                 rows = bb.backbone_seq_coordinates(ivl, segments)
                 rows = bb.merge_coordinate_rows(rows)
                 rows = bb.add_unique_segments(rows, ivl, [len(g) for g in genomes])
                 backbone_rows = rows
+                timer.add("bb_rows_s", _time.perf_counter() - _t0)
                 ivl = bb.apply_backbone(ivl, segments)
         return ProgressiveResult(ivl, lcbs, ml, tree, backbone_rows, segments)
 
@@ -464,9 +473,20 @@ class ProgressiveMauve:
                 )
             return cache[(am, bm)]
 
-        def fn(a, b):
+        cov_thr = self.options.translated_anchor_coverage
+
+        def fn(a, b, found_ml=None):
             if len(a.members) == 1 and len(b.members) == 1:
                 return None  # a leaf-leaf merge IS an extant pairwise search
+            if found_ml is not None:
+                # engage only where rep-rep anchoring is WEAK: when found
+                # anchors already cover the reps, consensus collapse isn't
+                # hurting this merge and the extant searches are pure cost
+                cov = float(found_ml.lengths.sum()) / max(
+                    float(np.mean([len(a.rep), len(b.rep)])), 1.0
+                )
+                if cov >= cov_thr:
+                    return None
             ranked = sorted(
                 (float(dist[x, y]), x, y)
                 for x in a.members
@@ -565,10 +585,13 @@ class ProgressiveMauve:
                     go_unrelated=o.hmm_p_go_unrelated,
                 )
                 segments = bb.detect_backbone(ivl, params, o.island_gap_size)
+                import time as _time
+                _t0 = _time.perf_counter()
                 rows = bb.backbone_seq_coordinates(ivl, segments)
                 rows = bb.merge_coordinate_rows(rows)
                 rows = bb.add_unique_segments(rows, ivl, [len(g) for g in genomes])
                 backbone_rows = rows
+                timer.add("bb_rows_s", _time.perf_counter() - _t0)
                 ivl = bb.apply_backbone(ivl, segments)
         return ProgressiveResult(ivl, lcbs, ml, tree, backbone_rows, segments)
 

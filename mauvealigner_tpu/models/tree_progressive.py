@@ -210,10 +210,18 @@ def merge_profiles(
     from mauvealigner_tpu.utils import timing
 
     t0 = time.perf_counter()
-    extra = translated_fn(a, b) if translated_fn is not None else None
-    timing.GLOBAL.add("tp_translate_s", time.perf_counter() - t0)
-    t0 = time.perf_counter()
     aligner = aligner_factory()
+    if translated_fn is None:
+        extra = None
+    else:
+        # deferred: the aligner calls this AFTER its own anchor search, so
+        # the translated pass can gate on the found coverage
+        def extra(found_ml, _a=a, _b=b):
+            t1 = time.perf_counter()
+            got = translated_fn(_a, _b, found_ml)
+            timing.GLOBAL.add("tp_translate_s", time.perf_counter() - t1)
+            return got
+
     res = aligner.align([a.rep, b.rep], extra_matches=extra)
     timing.GLOBAL.add("tp_pair_align_s", time.perf_counter() - t0)
     t0 = time.perf_counter()
@@ -351,10 +359,12 @@ def tree_progressive_align(
 
     Independent merges (sibling subtrees whose children are both ready) run
     CONCURRENTLY on a thread pool: each merge is a pure function of its two
-    child profiles, so results are identical to the serial post-order — but
-    the per-launch tunnel latency and the host-side compose/consensus work
-    of one merge overlap another merge's device time.  max_workers=1 forces
-    the serial order (default: MAUVE_TP_WORKERS env var, else 4)."""
+    child profiles, so results are identical to the serial post-order.
+    Measured on the axon TPU at 9 x 1 Mbp, 4 workers gave ZERO overlap
+    (the per-merge host passes hold the GIL and the single chip serializes
+    device work, while interleaved queues add stalls), so the default is
+    the serial order; MAUVE_TP_WORKERS opts into the pool on backends with
+    local dispatch or multiple chips."""
     import os
     import time
 
@@ -362,7 +372,7 @@ def tree_progressive_align(
 
     tasks, root_ref = merge_plan(genomes, tree)
     if max_workers is None:
-        max_workers = int(os.environ.get("MAUVE_TP_WORKERS", "4"))
+        max_workers = int(os.environ.get("MAUVE_TP_WORKERS", "1"))
     profiles: Dict[object, NodeProfile] = {}
     for name, l, r in tasks:
         for ref in (l, r):
