@@ -434,9 +434,12 @@ class MauveAligner:
     def _align_impl(
         self, genomes: Sequence[Genome], extra_matches: Optional[MatchList] = None
     ) -> AlignmentResult:
+        import time as _time
+
         from mauvealigner_tpu.utils import timing
 
         timer = timing.GLOBAL
+        _t = _time.perf_counter()
         with timer.phase("anchoring"):
             ml = self.find_mums(genomes)
             if callable(extra_matches):
@@ -446,20 +449,29 @@ class MauveAligner:
                 extra_matches = extra_matches(ml)
             if extra_matches is not None and len(extra_matches):
                 ml = ml.concat(extra_matches).dedup()
+        timer.add("aln_anchor_s", _time.perf_counter() - _t)
         if self.options.debug:
             from mauvealigner_tpu.core.validate import validate_match_list
 
             validate_match_list(ml, genomes)
+        _t = _time.perf_counter()
         with timer.phase("lcb_determination"):
             ml, lcbs = self.determine_lcbs(genomes, ml)
+        timer.add("aln_lcb_s", _time.perf_counter() - _t)
+        _t = _time.perf_counter()
         if self.options.lcb_extension:
             with timer.phase("lcb_extension"):
                 ml, lcbs = self.extend_lcbs(genomes, ml, lcbs)
+        timer.add("aln_extension_s", _time.perf_counter() - _t)
+        _t = _time.perf_counter()
         if self.options.recursive:
             with timer.phase("recursive_anchoring"):
                 ml, lcbs = self.recursive_anchor(genomes, ml, lcbs)
+        timer.add("aln_recursion_s", _time.perf_counter() - _t)
+        _t = _time.perf_counter()
         with timer.phase("gapped_closure"):
             ivs = self.build_intervals(genomes, ml, lcbs)
+        timer.add("aln_closure_s", _time.perf_counter() - _t)
         if self.options.debug:
             from mauvealigner_tpu.core.validate import validate_interval_list
 

@@ -227,6 +227,8 @@ def merge_profiles(
     t0 = time.perf_counter()
     ivl = res.interval_list
     ivl.add_unaligned_intervals()
+    timing.GLOBAL.add("tp_unaligned_s", time.perf_counter() - t0)
+    t0 = time.perf_counter()
     pos_a, pos_b = _node_alignment_columns(ivl)
     colmaps: Dict[int, np.ndarray] = {}
     for m in a.members:
