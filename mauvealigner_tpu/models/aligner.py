@@ -63,6 +63,66 @@ class AlignerOptions:
     anchor_weight_fn: Optional[object] = None
 
 
+def assemble_lcb_intervals(
+    per_lcb_matches: List[MatchList],
+    gap_table: dict,
+    n: int,
+) -> List[Interval]:
+    """Interleave anchor blocks and gap alignments into per-LCB Intervals.
+
+    gap_table[(li, a)] is the [n, w] boolean gap alignment between anchors
+    a and a+1 of LCB li.  Anchor presence fills VECTORIZED per genome with
+    a range-difference array (the per-anchor block-alloc + 17k-piece
+    np.concatenate this replaces owned the closure phase's host time at
+    genome scale); gap blocks copy in directly."""
+    intervals: List[Interval] = []
+    for li, sub in enumerate(per_lcb_matches):
+        m = len(sub)
+        if m == 0:
+            continue
+        anchor_w = sub.lengths.astype(np.int64)
+        gap_w = np.array(
+            [gap_table[(li, a)].shape[1] for a in range(m - 1)] + [0],
+            np.int64,
+        )
+        # column offset of anchor a = sum of preceding anchor + gap widths
+        anchor_c0 = np.zeros(m, np.int64)
+        if m > 1:
+            anchor_c0[1:] = np.cumsum(anchor_w[:-1] + gap_w[:-1])
+        total = int(anchor_c0[-1] + anchor_w[-1])
+        aln_full = np.zeros((n, total), bool)
+        pres = sub.starts != NO_MATCH  # [m, n]
+        delta = np.zeros(total + 1, np.int8)
+        for g in range(n):
+            sel = pres[:, g]
+            if not sel.any():
+                continue
+            delta[:] = 0
+            s = anchor_c0[sel]
+            # starts and ends are each unique; a slot shared by anchor a's
+            # end and anchor a+1's start (empty gap) nets 0 after the
+            # subtraction, which cumsum reads as a seamless continuation
+            delta[s] = 1
+            delta[s + anchor_w[sel]] -= 1
+            aln_full[g] = np.cumsum(delta[:-1]) > 0
+        for a in range(m - 1):
+            ga = gap_table[(li, a)]
+            w = ga.shape[1]
+            if w:
+                c0 = int(anchor_c0[a] + anchor_w[a])
+                aln_full[:, c0 : c0 + w] = ga
+        starts = np.zeros(n, np.int64)
+        for g in range(n):
+            comps = sub.starts[:, g]
+            present = comps != NO_MATCH
+            if not present.any():
+                continue
+            strand = 1 if comps[present][0] > 0 else -1
+            starts[g] = strand * int(np.abs(comps[present]).min())
+        intervals.append(Interval(starts, aln_full))
+    return intervals
+
+
 @dataclasses.dataclass
 class AlignmentResult:
     interval_list: IntervalList
@@ -353,8 +413,13 @@ class MauveAligner:
     def build_intervals(
         self, genomes: Sequence[Genome], ml: MatchList, lcbs: List[LCB]
     ) -> IntervalList:
+        import time as _time
+
+        from mauvealigner_tpu.utils import timing as _timing
+
         o = self.options
         n = len(genomes)
+        _t = _time.perf_counter()
         # collect all gap groups over all LCBs for one batched closure pass
         gap_groups: List[List[np.ndarray]] = []
         gap_ref: List[Tuple[int, int]] = []  # (lcb index, position between a,a+1)
@@ -374,6 +439,7 @@ class MauveAligner:
                 ]
                 gap_groups.append(regions)
                 gap_ref.append((li, a))
+        _timing.GLOBAL.add("cl_regions_s", _time.perf_counter() - _t)
         if o.gapped and gap_groups:
             gap_alns = closure.align_region_groups(
                 gap_groups,
@@ -386,34 +452,9 @@ class MauveAligner:
             gap_alns = [closure._unaligned_blocks(g) for g in gap_groups]
         gap_table = {ref: aln for ref, aln in zip(gap_ref, gap_alns)}
 
-        intervals: List[Interval] = []
-        for li, lcb in enumerate(lcbs):
-            sub = per_lcb_matches[li]
-            if len(sub) == 0:
-                continue
-            blocks: List[np.ndarray] = []
-
-            def anchor_block(a: int) -> np.ndarray:
-                block = np.zeros((n, int(sub.lengths[a])), dtype=bool)
-                block[sub.starts[a] != NO_MATCH] = True
-                return block
-
-            blocks.append(anchor_block(0))
-            for a in range(len(sub) - 1):
-                aln = gap_table[(li, a)]
-                if aln.shape[1]:
-                    blocks.append(aln)
-                blocks.append(anchor_block(a + 1))
-            aln_full = np.concatenate(blocks, axis=1)
-            starts = np.zeros(n, np.int64)
-            for g in range(n):
-                comps = sub.starts[:, g]
-                present = comps != NO_MATCH
-                if not present.any():
-                    continue
-                strand = 1 if comps[present][0] > 0 else -1
-                starts[g] = strand * int(np.abs(comps[present]).min())
-            intervals.append(Interval(starts, aln_full))
+        _t = _time.perf_counter()
+        intervals = assemble_lcb_intervals(per_lcb_matches, gap_table, n)
+        _timing.GLOBAL.add("cl_assemble_s", _time.perf_counter() - _t)
         return IntervalList(genomes=list(genomes), intervals=intervals)
 
     # -- full pipeline ------------------------------------------------------

@@ -631,33 +631,9 @@ class ProgressiveMauve:
         else:
             gap_alns = [closure._unaligned_blocks(g) for g in gap_groups]
         gap_table = dict(zip(gap_ref, gap_alns))
-        intervals = []
-        for li, lcb in enumerate(lcbs):
-            sub = per_lcb[li]
-            if len(sub) == 0:
-                continue
+        from mauvealigner_tpu.models.aligner import assemble_lcb_intervals
 
-            def anchor_block(a: int) -> np.ndarray:
-                block = np.zeros((n, int(sub.lengths[a])), dtype=bool)
-                block[sub.starts[a] != 0] = True
-                return block
-
-            blocks = [anchor_block(0)]
-            for a in range(len(sub) - 1):
-                aln = gap_table[(li, a)]
-                if aln.shape[1]:
-                    blocks.append(aln)
-                blocks.append(anchor_block(a + 1))
-            aln_full = np.concatenate(blocks, axis=1)
-            starts = np.zeros(n, np.int64)
-            for g in range(n):
-                comps = sub.starts[:, g]
-                present = comps != 0
-                if not present.any():
-                    continue
-                strand = 1 if comps[present][0] > 0 else -1
-                starts[g] = strand * int(np.abs(comps[present]).min())
-            intervals.append(Interval(starts, aln_full))
+        intervals = assemble_lcb_intervals(per_lcb, gap_table, n)
         return IntervalList(genomes=list(genomes), intervals=intervals)
 
     def write_outputs(self, result: ProgressiveResult, output_prefix: str) -> None:
