@@ -411,7 +411,11 @@ class MauveAligner:
         return sub.select(keep)
 
     def build_intervals(
-        self, genomes: Sequence[Genome], ml: MatchList, lcbs: List[LCB]
+        self,
+        genomes: Sequence[Genome],
+        ml: MatchList,
+        lcbs: List[LCB],
+        seq_profiles: Optional[List[np.ndarray]] = None,
     ) -> IntervalList:
         import time as _time
 
@@ -419,6 +423,10 @@ class MauveAligner:
 
         o = self.options
         n = len(genomes)
+        if seq_profiles is not None and n == 2 and o.gapped:
+            return self._build_intervals_profiles(
+                genomes, ml, lcbs, seq_profiles
+            )
         _t = _time.perf_counter()
         # collect all gap groups over all LCBs for one batched closure pass
         gap_groups: List[List[np.ndarray]] = []
@@ -457,23 +465,114 @@ class MauveAligner:
         _timing.GLOBAL.add("cl_assemble_s", _time.perf_counter() - _t)
         return IntervalList(genomes=list(genomes), intervals=intervals)
 
+    @staticmethod
+    def _extract_profile(
+        prof: np.ndarray, left: int, right: int, strand: int
+    ) -> np.ndarray:
+        """Signed-region slice of a [L, 5] count profile: reverse-strand
+        regions reverse the rows and complement the base lanes (A<->T,
+        C<->G; the ambiguity lane stays)."""
+        if right < left:
+            return np.zeros((0, 5), prof.dtype)
+        chunk = prof[left - 1 : right]
+        if strand >= 0:
+            return chunk
+        return chunk[::-1, [3, 2, 1, 0, 4]]
+
+    def _build_intervals_profiles(
+        self,
+        genomes: Sequence[Genome],
+        ml: MatchList,
+        lcbs: List[LCB],
+        seq_profiles: List[np.ndarray],
+    ) -> IntervalList:
+        """Pairwise build_intervals whose gapped closure aligns TRUE column
+        count profiles with mean-of-pairs scoring (the reference's
+        PSP-style profile alignment, src/progressiveMauve.cpp:575-710) —
+        majority-consensus codes still drive anchoring, but gap placement
+        sees the full clade composition."""
+        import time as _time
+
+        from mauvealigner_tpu.utils import timing as _timing
+
+        o = self.options
+        n = 2
+        _t = _time.perf_counter()
+        prof_pairs = []   # (profA, lenA, profB, lenB)
+        pair_ref: List[Tuple[int, int]] = []
+        gap_table: dict = {}
+        per_lcb_matches: List[MatchList] = []
+        for li, lcb in enumerate(lcbs):
+            sub = self.make_collinear_nonoverlapping(ml.select(lcb.match_indices))
+            per_lcb_matches.append(sub)
+            if len(sub) < 2:
+                continue
+            left, right, strand = self._gap_region_table(sub)
+            for a in range(len(sub) - 1):
+                regs = [
+                    self._extract_profile(
+                        seq_profiles[g], int(left[a, g]), int(right[a, g]),
+                        int(strand[a, g]),
+                    )
+                    for g in range(n)
+                ]
+                la, lb = len(regs[0]), len(regs[1])
+                if la == 0 and lb == 0:
+                    gap_table[(li, a)] = np.zeros((n, 0), bool)
+                elif la == 0 or lb == 0 or max(la, lb) > o.max_gapped_len:
+                    # degenerate or over the cap: unaligned block emission
+                    aln = np.zeros((n, la + lb), bool)
+                    aln[0, :la] = True
+                    aln[1, la:] = True
+                    gap_table[(li, a)] = aln
+                else:
+                    prof_pairs.append((regs[0], la, regs[1], lb))
+                    pair_ref.append((li, a))
+        _timing.GLOBAL.add("cl_regions_s", _time.perf_counter() - _t)
+        if prof_pairs:
+            ops_list = closure._batched_profile_pair_align(
+                prof_pairs,
+                o.subst if o.subst is not None else dp.HOXD70,
+                o.gap_open,
+                o.gap_extend,
+                normalize=True,
+            )
+            for (li, a), ops in zip(pair_ref, ops_list):
+                ra, rb = dp.ops_to_gap_rows(ops)
+                gap_table[(li, a)] = np.stack([ra, rb])
+        _t = _time.perf_counter()
+        intervals = assemble_lcb_intervals(per_lcb_matches, gap_table, n)
+        _timing.GLOBAL.add("cl_assemble_s", _time.perf_counter() - _t)
+        return IntervalList(genomes=list(genomes), intervals=intervals)
+
     # -- full pipeline ------------------------------------------------------
     def align(
-        self, genomes: Sequence[Genome], extra_matches: Optional[MatchList] = None
+        self,
+        genomes: Sequence[Genome],
+        extra_matches: Optional[MatchList] = None,
+        seq_profiles: Optional[List[np.ndarray]] = None,
     ) -> AlignmentResult:
         """extra_matches: additional anchors unioned with the MUM search
         result before LCB determination (the progressive aligner's
-        translated extant anchors, models/tree_progressive.py)."""
+        translated extant anchors, models/tree_progressive.py).
+
+        seq_profiles: per-input uint8 [len, 5] column count profiles; when
+        given (pairwise only), the gapped closure aligns TRUE column
+        profiles (mean-of-pairs scoring) instead of the sequences' codes —
+        the progressive ladder's profile-aware node merge."""
         from mauvealigner_tpu.parallel import context as par_ctx
 
         # ambient mesh: every batched kernel below (closure/extension DP)
         # batch-shards over it; the anchor search routes explicitly through
         # find_multi_mums_sharded in find_mums
         with par_ctx.use_mesh(self.options.mesh):
-            return self._align_impl(genomes, extra_matches)
+            return self._align_impl(genomes, extra_matches, seq_profiles)
 
     def _align_impl(
-        self, genomes: Sequence[Genome], extra_matches: Optional[MatchList] = None
+        self,
+        genomes: Sequence[Genome],
+        extra_matches: Optional[MatchList] = None,
+        seq_profiles: Optional[List[np.ndarray]] = None,
     ) -> AlignmentResult:
         import time as _time
 
@@ -511,7 +610,7 @@ class MauveAligner:
         timer.add("aln_recursion_s", _time.perf_counter() - _t)
         _t = _time.perf_counter()
         with timer.phase("gapped_closure"):
-            ivs = self.build_intervals(genomes, ml, lcbs)
+            ivs = self.build_intervals(genomes, ml, lcbs, seq_profiles)
         timer.add("aln_closure_s", _time.perf_counter() - _t)
         if self.options.debug:
             from mauvealigner_tpu.core.validate import validate_interval_list

@@ -294,8 +294,12 @@ def _batched_profile_pair_align(
     gap_open: float,
     gap_extend: float,
     memory_budget_bytes: int = 3 << 29,
+    normalize: bool = False,
 ) -> List[np.ndarray]:
-    """Bucket (profileA, profileB) pairs and run batched Gotoh."""
+    """Bucket (profileA, profileB) pairs and run batched Gotoh.
+
+    normalize=True scores mean pairwise substitution (profile-aware node
+    merges; see dp.align_profiles_batch)."""
     results: List[Optional[np.ndarray]] = [None] * len(pairs)
     buckets: dict = {}
     for i, (_, la, _, lb) in enumerate(pairs):
@@ -333,7 +337,9 @@ def _batched_profile_pair_align(
                 pa[j, :len_a] = prof_a[:len_a]
                 pb[j, :len_b] = prof_b[:len_b]
                 la[j], lb[j] = len_a, len_b
-            ops_list, _ = dp.align_profiles_batch(pa, pb, la, lb, subst, gap_open, gap_extend)
+            ops_list, _ = dp.align_profiles_batch(
+                pa, pb, la, lb, subst, gap_open, gap_extend, normalize=normalize
+            )
             for j, i in enumerate(chunk):
                 results[i] = ops_list[j]
     return results  # type: ignore[return-value]

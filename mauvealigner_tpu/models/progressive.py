@@ -119,6 +119,17 @@ class ProgressiveOptions:
     # control: an un-gated pass added ~36 s at 9 x 1 Mbp for accuracy the
     # well-anchored merges didn't need)
     translated_anchor_coverage: float = 0.5
+    # profile-aware node-merge closure: gap placement scores TRUE clade
+    # column profiles (mean-of-pairs over count profiles, device-normalized
+    # uint8 counts) instead of the majority-consensus codes — the
+    # reference's PSP-style profile alignment
+    # (src/progressiveMauve.cpp:575-710).  Anchoring stays on consensus
+    # codes (seeds need discrete symbols).  Measured accuracy-neutral on
+    # the divergence sweep (BENCH_NOTES round 4: the tail is set by the
+    # LCA rep-rep DP placement, which profile scoring barely moves) at a
+    # 5x gap-upload cost, so default OFF; the option is the parity analog
+    # of the reference's profile scoring.
+    profile_closure: bool = False
     # run the WHOLE pipeline over a jax.sharding.Mesh: the N-way anchor
     # search routes through parallel.find_multi_mums_sharded, and every
     # batched kernel underneath (node-merge anchoring, closure/refinement
@@ -561,7 +572,8 @@ class ProgressiveMauve:
         )
         with timer.phase("tree_progressive"), timer.suspend():
             ivl, lcbs = tree_progressive_align(
-                genomes, tree, factory, translated_fn=translated
+                genomes, tree, factory, translated_fn=translated,
+                profile_closure=o.profile_closure,
             )
         plan = closure_mod.tree_plan(tree)
         if o.refine and o.gapped:

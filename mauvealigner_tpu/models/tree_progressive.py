@@ -41,19 +41,28 @@ from mauvealigner_tpu.models.lcb import LCB
 
 
 class NodeProfile:
-    """A clade's consensus representative + signed member column maps."""
+    """A clade's consensus representative + signed member column maps.
 
-    __slots__ = ("members", "rep", "colmaps")
+    counts: uint8 [len(rep), 5] per-column base counts over the clade
+    members (lane 4 = ambiguous bases; absent members contribute nothing)
+    — the TRUE column profile the profile-aware node-merge DP scores
+    against, where the rep codes only carry the majority."""
 
-    def __init__(self, members, rep, colmaps):
+    __slots__ = ("members", "rep", "colmaps", "counts")
+
+    def __init__(self, members, rep, colmaps, counts=None):
         self.members: List[int] = members
         self.rep: Genome = rep
         self.colmaps: Dict[int, np.ndarray] = colmaps  # int64 [len(rep)]
+        self.counts: Optional[np.ndarray] = counts
 
 
 def leaf_profile(index: int, genome: Genome) -> NodeProfile:
     colmap = np.arange(1, len(genome) + 1, dtype=np.int64)
-    return NodeProfile([index], genome, {index: colmap})
+    codes = np.minimum(genome.codes, 4).astype(np.int64)
+    counts = np.zeros((len(genome), 5), np.uint8)
+    counts[np.arange(len(genome)), codes] = 1
+    return NodeProfile([index], genome, {index: colmap}, counts)
 
 
 def _member_bases(
@@ -72,21 +81,32 @@ def _member_bases(
     return out
 
 
-def consensus_codes(genomes: Sequence[Genome], prof: NodeProfile) -> np.ndarray:
+def consensus_codes(
+    genomes: Sequence[Genome], prof: NodeProfile, with_counts: bool = False
+):
     """Majority base per rep column over the clade members (ties resolved
     toward the lowest code — deterministic); columns where no member has an
-    unambiguous base become N."""
+    unambiguous base become N.
+
+    with_counts=True also returns the uint8 [L, 5] column count profile
+    (lanes 0-3 = A/C/G/T votes, lane 4 = ambiguous bases; clipped at 255)."""
     L = len(prof.colmaps[prof.members[0]])
     votes = np.zeros((4, L), np.int32)
+    n_amb = np.zeros(L, np.int32)
     for m in prof.members:
         b = _member_bases(genomes, prof.colmaps[m], m)
         ok = b < 4
         for c in range(4):
             votes[c] += (b == c) & ok
+        if with_counts:
+            n_amb += (b == CODE_N) & (prof.colmaps[m] != 0)
     best = votes.argmax(axis=0).astype(np.uint8)
     none = votes.sum(axis=0) == 0
     best[none] = CODE_N
-    return best
+    if not with_counts:
+        return best
+    counts = np.concatenate([votes.T, n_amb[:, None]], axis=1)
+    return best, np.minimum(counts, 255).astype(np.uint8)
 
 
 def _node_alignment_columns(ivl: IntervalList) -> Tuple[np.ndarray, np.ndarray]:
@@ -196,6 +216,7 @@ def merge_profiles(
     aligner_factory,
     node_name: str,
     translated_fn=None,
+    profile_closure: bool = True,
 ) -> NodeProfile:
     """Align the two children's representatives with the full pairwise
     pipeline and compose the column maps.  Unaligned regions ride along as
@@ -222,7 +243,11 @@ def merge_profiles(
             timing.GLOBAL.add("tp_translate_s", time.perf_counter() - t1)
             return got
 
-    res = aligner.align([a.rep, b.rep], extra_matches=extra)
+    res = aligner.align(
+        [a.rep, b.rep],
+        extra_matches=extra,
+        seq_profiles=[a.counts, b.counts] if profile_closure else None,
+    )
     timing.GLOBAL.add("tp_pair_align_s", time.perf_counter() - t0)
     t0 = time.perf_counter()
     ivl = res.interval_list
@@ -238,8 +263,9 @@ def merge_profiles(
     prof = NodeProfile(a.members + b.members, None, colmaps)
     timing.GLOBAL.add("tp_compose_s", time.perf_counter() - t0)
     t0 = time.perf_counter()
-    rep_codes = consensus_codes(genomes, prof)
+    rep_codes, counts = consensus_codes(genomes, prof, with_counts=True)
     prof.rep = Genome.from_codes(rep_codes.astype(np.int64), name=node_name)
+    prof.counts = counts
     timing.GLOBAL.add("tp_consensus_s", time.perf_counter() - t0)
     return prof
 
@@ -352,6 +378,7 @@ def tree_progressive_align(
     aligner_factory,
     max_workers: Optional[int] = None,
     translated_fn=None,
+    profile_closure: bool = True,
 ) -> Tuple[IntervalList, List[LCB]]:
     """Consensus-ladder alignment up the guide tree; returns
     (intervals, blocks).
@@ -387,7 +414,7 @@ def tree_progressive_align(
         for t, (name, l, r) in enumerate(tasks):
             profiles[("task", t)] = merge_profiles(
                 genomes, profiles[l], profiles[r], aligner_factory, name,
-                translated_fn,
+                translated_fn, profile_closure,
             )
     else:
         import concurrent.futures as cf
@@ -404,7 +431,7 @@ def tree_progressive_align(
                         fut = ex.submit(
                             merge_profiles, genomes,
                             profiles[l], profiles[r], aligner_factory, name,
-                            translated_fn,
+                            translated_fn, profile_closure,
                         )
                         pending[fut] = t
                 if not pending:  # malformed DAG (cannot happen from a tree)

@@ -128,7 +128,7 @@ def one_hot_profile(codes: np.ndarray, length: int) -> np.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("M", "N"))
+@partial(jax.jit, static_argnames=("M", "N", "normalize"))
 def gotoh_forward_scored(
     pA: jnp.ndarray,  # [B, M, 5] profiles (rows beyond mA are zero)
     pB: jnp.ndarray,  # [B, N, 5]
@@ -139,13 +139,22 @@ def gotoh_forward_scored(
     gap_extend: jnp.ndarray,  # scalar f32 (negative)
     M: int,
     N: int,
+    normalize: bool = False,
 ):
     """Like gotoh_forward but extracts each element's final score
     H[mA, mB] inside the scan instead of materializing every H row —
     halves device memory, doubling feasible batch sizes.
 
+    normalize=True divides each profile column by its count total on
+    device (uint8 counts ship over the tunnel; the DP then scores the
+    MEAN pairwise substitution — profile-aware alignment whose score scale
+    matches code-vs-code, so the affine gap penalties keep their meaning).
+
     Returns (scores [B] f32, dec [B, n_diags, M+1] uint8).
     """
+    if normalize:
+        pA = pA / jnp.maximum(jnp.sum(pA, axis=-1, keepdims=True), 1.0)
+        pB = pB / jnp.maximum(jnp.sum(pB, axis=-1, keepdims=True), 1.0)
     return _gotoh_core(
         pA, pB, subst, gap_open, gap_extend, M, N, lens_a, lens_b, keep_H=False
     )
@@ -362,11 +371,15 @@ def align_profiles_batch(
     subst: np.ndarray = HOXD70,
     gap_open: float = DEFAULT_GAP_OPEN,
     gap_extend: float = DEFAULT_GAP_EXTEND,
+    normalize: bool = False,
 ) -> Tuple[List[np.ndarray], np.ndarray]:
     """Align a batch of profile pairs; returns (list of op arrays in
     start-to-end order, scores [B]).
 
     Integer-count profiles are shipped uint8 and widened on device.
+    normalize=True scores MEAN pairwise substitution (device-side division
+    by each column's count total) — the profile-aware mode whose score
+    scale matches plain code alignment.
     """
     from mauvealigner_tpu.utils import timing
 
@@ -384,12 +397,16 @@ def align_profiles_batch(
             return jnp.asarray(p.astype(np.uint8)).astype(jnp.float32)
         return jnp.asarray(p)
 
-    if _pallas_ok(M, N) and _bf16_exact_scores(profiles_a, profiles_b, subst):
+    if (
+        not normalize
+        and _pallas_ok(M, N)
+        and _bf16_exact_scores(profiles_a, profiles_b, subst)
+    ):
         from mauvealigner_tpu.ops.dp_pallas import gotoh_forward_pallas
 
         forward = partial(gotoh_forward_pallas, M=M, N=N)
     else:
-        forward = partial(gotoh_forward_scored, M=M, N=N)
+        forward = partial(gotoh_forward_scored, M=M, N=N, normalize=normalize)
 
     def _packed(pa, pb, la, lb, sub):
         scores_dev, dec = forward(

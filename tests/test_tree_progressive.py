@@ -121,3 +121,30 @@ def test_tree_progressive_handles_ambiguity_runs(rng):
                            skip_backbone=True, refine=False)
     ).align([g0, d1, d2])
     validate_interval_list(res.interval_list, [g0, d1, d2])
+
+
+def test_profile_closure_mode(rng):
+    """profile_closure=True (PSP-style profile-aware node-merge gap DP)
+    runs the full ladder and produces a structurally valid alignment."""
+    from mauvealigner_tpu.core.validate import validate_interval_list
+    from mauvealigner_tpu.models.progressive import (
+        ProgressiveMauve,
+        ProgressiveOptions,
+    )
+    from mauvealigner_tpu.utils import simulate
+
+    anc = simulate.random_genome(rng, 20_000)
+    genomes = []
+    for i in range(3):
+        g, _ = simulate.evolve(anc, rng, sub_rate=0.06, ins_rate=0.002,
+                               del_rate=0.002)
+        g.name = f"g{i}"
+        genomes.append(g)
+    res = ProgressiveMauve(ProgressiveOptions(
+        tree_progressive=True, profile_closure=True, use_sml_cache=False
+    )).align(genomes)
+    ivl = res.interval_list
+    ivl.add_unaligned_intervals()
+    validate_interval_list(ivl, genomes)
+    aligned = sum(iv.n_cols for iv in ivl.intervals if iv.multiplicity() >= 2)
+    assert aligned > 15_000
