@@ -179,126 +179,7 @@ def _kernel(gaps_ref, ma_ref, mb_ref, sskew_ref, dec_ref, score_ref,
         )
 
 
-def _kernel_unroll2(gaps_ref, ma_ref, mb_ref, sskew_ref, dec_ref, score_ref,
-                    h_ref, h2_ref, e_ref, f_ref, cap_ref):
-    """_kernel with TWO diagonals per loop iteration (round-4 designed
-    attempt at the ~370 ns/diagonal serial-chain bound, pre-registered
-    accept criterion >1.5x on-chip GCUPS at bucket 512).
-
-    Why unrolling can beat the chain: diagonal d+1's diagonal-move input
-    hd_{d+1} = shift(H_{d-1}) + S_{d+1} depends only on PREVIOUS-iteration
-    state, not on H_d — so its ops overlap the d-half's critical path, and
-    the state loads/stores + loop overhead amortize over two diagonals.
-    Results are bit-identical to _kernel (same op order per cell, same tie
-    rules); the d0 == 0 init diagonal is neutralized by scalar-predicate
-    selects instead of loop peeling (peeling would break pair alignment).
-    """
-    sp = h_ref.shape[1]
-    ch = sskew_ref.shape[1]
-    c = pl.program_id(1)
-    n_chunks = pl.num_programs(1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, sp), 1)
-    is_lane0 = lane == 0
-    lane_ge1 = lane >= 1
-    ma128 = ma_ref[0]
-    d_final128 = ma128 + mb_ref[0]
-    ma_sp = jnp.broadcast_to(ma128[:, :1], (GROUP, sp))
-    dfin_sp = ma_sp + jnp.broadcast_to(mb_ref[0][:, :1], (GROUP, sp))
-    target_d = jnp.where(lane == ma_sp, dfin_sp, jnp.int32(-1))
-
-    go_ge = gaps_ref[0]
-    ge = gaps_ref[1]
-
-    @pl.when(c == jnp.int32(0))
-    def _init():
-        h_ref[:, :] = jnp.where(is_lane0, F0, NEG)
-        h2_ref[:, :] = jnp.full((GROUP, sp), NEG)
-        e_ref[:, :] = jnp.full((GROUP, sp), NEG)
-        f_ref[:, :] = jnp.full((GROUP, sp), NEG)
-        cap_ref[:, :] = jnp.zeros((GROUP, sp), jnp.float32)
-        dec_ref[0, jnp.int32(0)] = jnp.zeros((GROUP, sp), jnp.uint8)
-
-    def shift_down(x):
-        rolled = pltpu.roll(x, shift=jnp.int32(1), axis=1)
-        return jnp.where(is_lane0, NEG, rolled)
-
-    def step(h_prev, h_prev2, e_prev, f_prev, j, sdiag):
-        """One diagonal's cell math; returns (best, e, f, dec_i32)."""
-        e_from_h = h_prev + go_ge
-        e_from_e = e_prev + ge
-        e_open = e_from_h >= e_from_e
-        e_val = jnp.where(j >= 1, jnp.maximum(e_from_h, e_from_e), NEG)
-        hp1 = shift_down(h_prev)
-        fp1 = shift_down(f_prev)
-        f_from_h = hp1 + go_ge
-        f_from_f = fp1 + ge
-        f_open = f_from_h >= f_from_f
-        f_val = jnp.where(lane_ge1, jnp.maximum(f_from_h, f_from_f), NEG)
-        hd = shift_down(h_prev2) + sdiag
-        best = hd
-        choice = jnp.zeros((GROUP, sp), jnp.int32)
-        better_f = f_val > best
-        best = jnp.where(better_f, f_val, best)
-        choice = jnp.where(better_f, jnp.int32(1), choice)
-        better_e = e_val > best
-        best = jnp.where(better_e, e_val, best)
-        choice = jnp.where(better_e, jnp.int32(2), choice)
-        zero = jnp.int32(0)
-        dec = (
-            choice
-            | jnp.where(e_open, jnp.int32(4), zero)
-            | jnp.where(f_open, jnp.int32(8), zero)
-        )
-        return best, e_val, f_val, dec
-
-    def body2(i, carry):
-        dl0 = i * jnp.int32(2)
-        dl1 = dl0 + jnp.int32(1)
-        d0 = c * jnp.int32(ch) + dl0
-        h_prev = h_ref[:, :]
-        h_prev2 = h2_ref[:, :]
-        e_prev = e_ref[:, :]
-        f_prev = f_ref[:, :]
-        j0 = d0 - lane
-
-        sd0 = sskew_ref[0, dl0].astype(jnp.float32)
-        best0, e0, f0, dec0 = step(h_prev, h_prev2, e_prev, f_prev, j0, sd0)
-        live0 = d0 > jnp.int32(0)  # diagonal 0 is pure init
-
-        @pl.when(live0)
-        def _store0():
-            dec_ref[0, dl0] = dec0.astype(jnp.uint8)
-
-        h0 = jnp.where(live0, best0, h_prev)
-        e0s = jnp.where(live0, e0, e_prev)
-        f0s = jnp.where(live0, f0, f_prev)
-        h2_0 = jnp.where(live0, h_prev, h_prev2)
-
-        sd1 = sskew_ref[0, dl1].astype(jnp.float32)
-        best1, e1, f1, dec1 = step(h0, h2_0, e0s, f0s, j0 + jnp.int32(1), sd1)
-        dec_ref[0, dl1] = dec1.astype(jnp.uint8)
-        h2_ref[:, :] = h0
-        h_ref[:, :] = best1
-        e_ref[:, :] = e1
-        f_ref[:, :] = f1
-        cap_ref[:, :] = jnp.where(
-            d0 + jnp.int32(1) == target_d,
-            best1,
-            jnp.where(d0 == target_d, best0, cap_ref[:, :]),
-        )
-        return carry
-
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(ch // 2), body2, jnp.int32(0))
-
-    @pl.when(c == n_chunks - jnp.int32(1))
-    def _emit_scores():
-        pick = jnp.sum(cap_ref[:, :], axis=1, keepdims=True)  # (8, 1)
-        score_ref[0] = jnp.where(
-            d_final128 == 0, F0, jnp.broadcast_to(pick, (GROUP, 128))
-        )
-
-
-@partial(jax.jit, static_argnames=("M", "N", "interpret", "unroll"))
+@partial(jax.jit, static_argnames=("M", "N", "interpret"))
 def gotoh_forward_pallas(
     pA: jnp.ndarray,      # [B, M, 5] f32
     pB: jnp.ndarray,      # [B, N, 5] f32
@@ -310,7 +191,6 @@ def gotoh_forward_pallas(
     M: int,
     N: int,
     interpret: bool = False,
-    unroll: int = 1,      # 2 = paired-diagonal body (_kernel_unroll2)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (scores [B] f32, dec [B, n_diags, M+1] uint8) — drop-in for
     dp.gotoh_forward_scored on square buckets with M == N <= PALLAS_MAX_S."""
@@ -387,7 +267,7 @@ def gotoh_forward_pallas(
     )
 
     dec, scores = pl.pallas_call(
-        _kernel_unroll2 if unroll == 2 else _kernel,
+        _kernel,
         out_shape=(
             jax.ShapeDtypeStruct((G, nd_p, GROUP, sp), jnp.uint8),
             jax.ShapeDtypeStruct((G, GROUP, 128), jnp.float32),
