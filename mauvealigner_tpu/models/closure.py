@@ -44,6 +44,30 @@ def chain_plan(n_seqs: int) -> List[Tuple[NodeId, NodeId, NodeId]]:
     return steps
 
 
+def balanced_plan(n_seqs: int) -> List[Tuple[NodeId, NodeId, NodeId]]:
+    """Balanced binary merge plan: ceil(log2 n) ROUNDS of pairwise merges
+    instead of the star chain's n-1 sequential rounds.  Each round of a
+    hierarchical closure is one batched device pass, so on the
+    launch-latency-bound tunnel a mult-10 repeat family's extension wave
+    drops from 9 sequential DP calls to 4 (repeatoire's ExtendMatch flank
+    alignment; the reference's MUSCLE call builds its own guide tree, so
+    neither order is more reference-faithful than the other)."""
+    steps: List[Tuple[NodeId, NodeId, NodeId]] = []
+    layer: List[NodeId] = list(range(n_seqs))
+    c = 0
+    while len(layer) > 1:
+        nxt: List[NodeId] = []
+        for i in range(0, len(layer) - 1, 2):
+            c += 1
+            nid = f"n{c}"
+            steps.append((nid, layer[i], layer[i + 1]))
+            nxt.append(nid)
+        if len(layer) % 2:
+            nxt.append(layer[-1])
+        layer = nxt
+    return steps
+
+
 def tree_plan(tree) -> List[Tuple[NodeId, NodeId, NodeId]]:
     """Postorder merge plan from a guide tree whose leaf names are sequence
     indices (as str or int)."""

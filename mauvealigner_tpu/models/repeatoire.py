@@ -364,8 +364,11 @@ class Repeatoire:
             _timing.GLOBAL.add("rp_ext_waves", 1.0)
             _timing.GLOBAL.add("rp_ext_jobs", float(len(jobs)))
             _t0 = _time.perf_counter()
-            got = closure.align_region_groups(
+            # balanced merge tree: ceil(log2 arity) batched rounds per wave
+            # instead of arity-1 (each round is a full tunnel round trip)
+            got = closure.hierarchical_align_region_groups(
                 padded,
+                closure.balanced_plan(arity),
                 gap_open=o.gap_open,
                 gap_extend=o.gap_extend,
                 max_len=4096,
