@@ -345,21 +345,37 @@ def gotoh_traceback_packed(
     M: int,
     N: int,
 ):
-    """gotoh_traceback with scores/counts bitcast into the ops byte matrix:
-    ONE device->host transfer returns everything (each blocking np.asarray
-    costs a full tunnel round trip, and three per DP call dominated the
-    closure phase)."""
+    """gotoh_traceback with the op string PACKED 2 bits/op on device and
+    scores/counts bitcast into the same byte matrix: ONE device->host
+    transfer a quarter the op-matrix size returns everything (each blocking
+    np.asarray costs a full tunnel round trip, and the ops download is the
+    dominant transfer of every DP call)."""
     ops, counts = gotoh_traceback(dec, mA, mB, M, N)
     b = ops.shape[0]
+    L = ops.shape[1]
+    Lp = -(-L // 4) * 4
+    if Lp != L:
+        ops = jnp.concatenate(
+            [ops, jnp.zeros((b, Lp - L), jnp.uint8)], axis=1
+        )
+    quads = ops.reshape(b, Lp // 4, 4).astype(jnp.uint8)
+    w = (jnp.uint8(1) << (jnp.arange(4, dtype=jnp.uint8) * 2))[None, None, :]
+    packed = jnp.sum(quads * w, axis=-1, dtype=jnp.uint8)
     sb = jax.lax.bitcast_convert_type(scores.astype(jnp.float32), jnp.uint8).reshape(b, 4)
     cb = jax.lax.bitcast_convert_type(counts.astype(jnp.int32), jnp.uint8).reshape(b, 4)
-    return jnp.concatenate([ops, sb, cb], axis=1)
+    return jnp.concatenate([packed, sb, cb], axis=1)
 
 
 def _unpack_results(buf: np.ndarray, L: int):
-    ops = buf[:, :L]
-    scores = buf[:, L : L + 4].copy().view(np.float32).reshape(-1)
-    counts = buf[:, L + 4 : L + 8].copy().view(np.int32).reshape(-1)
+    """Inverse of gotoh_traceback_packed's wire layout."""
+    Lp4 = -(-L // 4)
+    arr = buf[:, :Lp4]
+    ops = np.empty((buf.shape[0], Lp4 * 4), np.uint8)
+    for k in range(4):
+        ops[:, k::4] = (arr >> (2 * k)) & 3
+    ops = ops[:, :L]
+    scores = buf[:, Lp4 : Lp4 + 4].copy().view(np.float32).reshape(-1)
+    counts = buf[:, Lp4 + 4 : Lp4 + 8].copy().view(np.int32).reshape(-1)
     return scores, ops, counts
 
 
