@@ -656,19 +656,26 @@ def add_unique_segments(
     rows: List[np.ndarray], ivs: IntervalList, seq_lengths: Sequence[int]
 ) -> List[np.ndarray]:
     """Append per-genome segments covered by no backbone row
-    (addUniqueSegments equivalent): regions unique to one genome."""
+    (addUniqueSegments equivalent): regions unique to one genome.
+
+    Coverage fills with a range-difference array per genome — the
+    per-row python slice loop was ~7M iterations at the headline scale."""
     n = ivs.n_seqs
     out = list(rows)
+    R = np.abs(np.stack(rows).astype(np.int64)) if rows else None
     for s in range(n):
         glen = seq_lengths[s]
         if glen == 0:
             continue
-        covered = np.zeros(glen + 2, bool)
-        for r in rows:
-            l, rr = abs(int(r[2 * s])), abs(int(r[2 * s + 1]))
-            if l > 0:
-                covered[l : rr + 1] = True
-        free = ~covered[1 : glen + 1]
+        if R is not None:
+            l, rr = R[:, 2 * s], R[:, 2 * s + 1]
+            sel = l > 0
+            delta = np.zeros(glen + 2, np.int32)
+            np.add.at(delta, l[sel], 1)
+            np.add.at(delta, np.minimum(rr[sel] + 1, glen + 1), -1)
+            free = ~(np.cumsum(delta[: glen + 1])[1:] > 0)
+        else:
+            free = np.ones(glen, bool)
         d = np.diff(np.concatenate([[0], free.view(np.int8), [0]]))
         starts = np.nonzero(d == 1)[0] + 1
         ends = np.nonzero(d == -1)[0]

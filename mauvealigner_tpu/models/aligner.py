@@ -210,7 +210,10 @@ class MauveAligner:
         if right < left:
             return np.zeros(0, np.int64)
         length = right - left + 1
-        return genome.sub_codes_signed(strand * left, length).astype(np.int64)
+        # forward regions stay VIEWS of the genome's code array (every
+        # consumer converts while staging); the astype copy here cost ~8 s
+        # of pure allocation per headline run across ~1M gap extractions
+        return genome.sub_codes_signed(strand * left, length)
 
     def recursive_anchor(
         self, genomes: Sequence[Genome], ml: MatchList, lcbs: List[LCB]

@@ -133,6 +133,22 @@ def _compose(colmap: np.ndarray, node_pos: np.ndarray) -> np.ndarray:
     return out
 
 
+def _compose_counts(counts: np.ndarray, node_pos: np.ndarray) -> np.ndarray:
+    """Gather a child's [L, 5] column counts through the node's signed
+    child-rep positions (reverse-strand columns complement the base lanes).
+    Counts are ADDITIVE over members, so a merged node's profile is the sum
+    of its two children's composed counts — one gather + add instead of
+    re-deriving votes from every member (the per-member loop was 12 s of
+    the 4.6 Mbp headline)."""
+    out = np.zeros((len(node_pos), 5), np.int32)
+    nz = node_pos != 0
+    idx = np.abs(node_pos[nz]) - 1
+    vals = counts[idx].astype(np.int32)
+    neg = node_pos[nz] < 0
+    out[nz] = np.where(neg[:, None], vals[:, [3, 2, 1, 0, 4]], vals)
+    return out
+
+
 def inverse_colmap(colmap: np.ndarray, genome_len: int) -> np.ndarray:
     """Signed genome-position -> rep-position map (int64 [genome_len]):
     inv[p-1] = +c when forward-strand genome position p sits at 1-based rep
@@ -263,9 +279,14 @@ def merge_profiles(
     prof = NodeProfile(a.members + b.members, None, colmaps)
     timing.GLOBAL.add("tp_compose_s", time.perf_counter() - t0)
     t0 = time.perf_counter()
-    rep_codes, counts = consensus_codes(genomes, prof, with_counts=True)
+    # additive count composition: votes identical to re-deriving from every
+    # member (one-hot sums), argmax ties resolve toward the lowest code
+    counts = _compose_counts(a.counts, pos_a) + _compose_counts(b.counts, pos_b)
+    votes = counts[:, :4]
+    rep_codes = votes.argmax(axis=1).astype(np.uint8)
+    rep_codes[votes.sum(axis=1) == 0] = CODE_N
     prof.rep = Genome.from_codes(rep_codes.astype(np.int64), name=node_name)
-    prof.counts = counts
+    prof.counts = np.minimum(counts, 255).astype(np.uint8)
     timing.GLOBAL.add("tp_consensus_s", time.perf_counter() - t0)
     return prof
 
