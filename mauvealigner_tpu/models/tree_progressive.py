@@ -129,7 +129,8 @@ def _compose(colmap: np.ndarray, node_pos: np.ndarray) -> np.ndarray:
     idx = np.abs(node_pos[nz]) - 1
     vals = colmap[idx]
     neg = node_pos[nz] < 0
-    out[nz] = np.where(neg, -vals, vals)
+    np.negative(vals, where=neg, out=vals)
+    out[nz] = vals
     return out
 
 
@@ -140,12 +141,18 @@ def _compose_counts(counts: np.ndarray, node_pos: np.ndarray) -> np.ndarray:
     of its two children's composed counts — one gather + add instead of
     re-deriving votes from every member (the per-member loop was 12 s of
     the 4.6 Mbp headline)."""
-    out = np.zeros((len(node_pos), 5), np.int32)
+    out = np.zeros((len(node_pos), 5), np.uint16)
     nz = node_pos != 0
     idx = np.abs(node_pos[nz]) - 1
-    vals = counts[idx].astype(np.int32)
+    vals = counts[idx]  # uint8 gather; stay narrow until the add
     neg = node_pos[nz] < 0
-    out[nz] = np.where(neg[:, None], vals[:, [3, 2, 1, 0, 4]], vals)
+    if neg.any():
+        # complement base lanes only on the reverse-strand rows (a full-array
+        # fancy reorder + where copied [nnz,5] twice: 2.4 s/call at 9M cols)
+        sel = vals[neg]
+        sel[:, :4] = sel[:, 3::-1]
+        vals[neg] = sel
+    out[nz] = vals
     return out
 
 
