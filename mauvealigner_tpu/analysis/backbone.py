@@ -522,23 +522,78 @@ def detect_backbone_big_gaps(
     return segments
 
 
-def merge_adjacent_segments(segments: List[BackboneColumnSegment]) -> List[BackboneColumnSegment]:
+def _segment_arrays(
+    segments: List[BackboneColumnSegment], n_seqs: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(iv_idx[S], col_start[S], col_end[S], member[S, n_seqs]) bulk arrays."""
+    S = len(segments)
+    iv_idx = np.fromiter(
+        (s.interval_index for s in segments), np.int64, count=S
+    )
+    a = np.fromiter((s.col_start for s in segments), np.int64, count=S)
+    b = np.fromiter((s.col_end for s in segments), np.int64, count=S)
+    member = np.zeros((S, n_seqs), bool)
+    counts = np.fromiter((len(s.seqs) for s in segments), np.int64, count=S)
+    total = int(counts.sum())
+    if total:
+        from itertools import chain
+
+        flat_rows = np.repeat(np.arange(S), counts)
+        flat_cols = np.fromiter(
+            chain.from_iterable(s.seqs for s in segments),
+            np.int64,
+            count=total,
+        )
+        member[flat_rows, flat_cols] = True
+    return iv_idx, a, b, member
+
+
+def _merge_adjacent_arrays(
+    iv_idx: np.ndarray, a: np.ndarray, b: np.ndarray, member: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Array core of merge_adjacent_segments: returns the merged
+    (iv_idx, col_start, col_end, member) sorted by (interval, col_start).
+
+    A chain merge only ever extends the growing segment's col_end to the
+    newest member's, so whether sorted segment i joins segment i-1's chain
+    depends only on the ORIGINAL i-1 and i — the pass vectorizes as a
+    pairwise joinability test + grouped first/last gather (the per-segment
+    python loop was part of the 17 s bb_apply floor at 830k headline rows).
+    """
+    order = np.lexsort((a, iv_idx))
+    iv_s, a_s, b_s, mem_s = iv_idx[order], a[order], b[order], member[order]
+    joinable = np.zeros(len(order), bool)
+    if len(order) > 1:
+        joinable[1:] = (
+            (iv_s[1:] == iv_s[:-1])
+            & (a_s[1:] == b_s[:-1])
+            & (mem_s[1:] == mem_s[:-1]).all(axis=1)
+        )
+    firsts = np.nonzero(~joinable)[0]
+    lasts = np.append(firsts[1:] - 1, len(order) - 1)
+    return (
+        iv_s[firsts], a_s[firsts], b_s[lasts], mem_s[firsts], order[firsts]
+    )
+
+
+def merge_adjacent_segments(
+    segments: List[BackboneColumnSegment], n_seqs: Optional[int] = None
+) -> List[BackboneColumnSegment]:
     """Merge column-adjacent segments with the same sequence set
     (mergeAdjacentSegments equivalent)."""
-    out: List[BackboneColumnSegment] = []
-    for seg in sorted(segments, key=lambda s: (s.interval_index, s.col_start)):
-        if (
-            out
-            and out[-1].interval_index == seg.interval_index
-            and out[-1].col_end == seg.col_start
-            and out[-1].seqs == seg.seqs
-        ):
-            out[-1] = BackboneColumnSegment(
-                seg.interval_index, out[-1].col_start, seg.col_end, seg.seqs
-            )
-        else:
-            out.append(seg)
-    return out
+    if not segments:
+        return []
+    if n_seqs is None:
+        n_seqs = 1 + max((max(s.seqs) if s.seqs else 0) for s in segments)
+    iv2, a2, b2, _, first_orig = _merge_adjacent_arrays(
+        *_segment_arrays(segments, n_seqs)
+    )
+    return [
+        BackboneColumnSegment(int(k), int(x), int(y), segments[f].seqs)
+        for k, x, y, f in zip(
+            iv2.tolist(), a2.tolist(), b2.tolist(), first_orig.tolist()
+        )
+    ]
 
 
 def merge_coordinate_rows(rows: List[np.ndarray]) -> List[np.ndarray]:
@@ -549,10 +604,19 @@ def merge_coordinate_rows(rows: List[np.ndarray]) -> List[np.ndarray]:
     Chain merges only ever replace the growing row's RIGHT ends with the
     newest row's, so whether sorted row i joins row i-1's chain depends only
     on the ORIGINAL rows i and i-1 — the whole pass vectorizes as a pairwise
-    joinability test + grouped first/last gather."""
-    if not rows:
+    joinability test + grouped first/last gather.
+
+    Accepts a [R, 2n] matrix OR a list of rows and returns the same kind
+    (np.stack over ~580k row views cost 1.2 s at headline scale — the
+    progressive pipeline keeps the matrix form end-to-end)."""
+    as_matrix = isinstance(rows, np.ndarray)
+    if len(rows) == 0:
         return rows
-    R = np.stack(rows).astype(np.int64, copy=False)
+    R = (
+        rows.astype(np.int64, copy=False)
+        if as_matrix
+        else np.stack(rows).astype(np.int64, copy=False)
+    )
     n2 = R.shape[1]
     absent = R[:, ::2] == 0
     key2 = np.abs(R[:, 2]) if n2 > 2 else np.zeros(len(R), np.int64)
@@ -563,7 +627,7 @@ def merge_coordinate_rows(rows: List[np.ndarray]) -> List[np.ndarray]:
     S = R[order]
     mem = ~absent[order]
     if len(S) == 1:
-        return [S[0].copy()]
+        return S.copy() if as_matrix else [S[0].copy()]
     A, P = S[1:], S[:-1]
     same_mem = (mem[1:] == mem[:-1]).all(axis=1)
     al, pl, pr = A[:, ::2], P[:, ::2], P[:, 1::2]
@@ -576,7 +640,7 @@ def merge_coordinate_rows(rows: List[np.ndarray]) -> List[np.ndarray]:
     lasts = np.append(firsts[1:] - 1, len(S) - 1)
     out = S[firsts].copy()
     out[:, 1::2] = S[lasts][:, 1::2]
-    return list(out)
+    return out if as_matrix else list(out)
 
 
 def _segment_seq_coordinates(
@@ -592,40 +656,42 @@ def _segment_seq_coordinates(
     |position| over a column range are at the first/last nonzero column —
     O(1) lookups from cumulative first/last-nonzero scans per (interval, seq).
     """
-    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+    return _segment_seq_coordinates_arrays(
+        ivs, *_segment_arrays(segments, ivs.n_seqs)
+    )
 
+
+def _segment_seq_coordinates_arrays(
+    ivs: IntervalList,
+    iv_idx: np.ndarray,
+    a_all: np.ndarray,
+    b_all: np.ndarray,
+    member_all: np.ndarray,
+) -> np.ndarray:
     n = ivs.n_seqs
-    coords = np.zeros((len(segments), 2 * n), np.int64)
-    by_iv: Dict[int, List[int]] = {}
-    for i, seg in enumerate(segments):
-        by_iv.setdefault(seg.interval_index, []).append(i)
-    for k, sidx in by_iv.items():
-        iv = ivs.intervals[k]
+    coords = np.zeros((len(iv_idx), 2 * n), np.int64)
+    for k in np.unique(iv_idx):
+        iv = ivs.intervals[int(k)]
+        sidx = np.nonzero(iv_idx == k)[0]
         n_cols = iv.n_cols
-        a = np.array([segments[i].col_start for i in sidx], np.int64)
-        b1 = np.array([segments[i].col_end for i in sidx], np.int64) - 1
-        counts = [len(segments[i].seqs) for i in sidx]
-        member = np.zeros((len(sidx), n), bool)
-        if sum(counts):
-            flat_rows = np.repeat(np.arange(len(sidx)), counts)
-            flat_cols = np.concatenate([segments[i].seqs for i in sidx]).astype(np.int64)
-            member[flat_rows, flat_cols] = True
-        arange = np.arange(n_cols, dtype=np.int64)
+        a = a_all[sidx]
+        b1 = b_all[sidx] - 1
+        member = member_all[sidx]
+        arange = np.arange(n_cols, dtype=np.int32)
         for s in range(n):
             sel = member[:, s]
             if not sel.any() or int(iv.starts[s]) == 0:
                 continue
-            if pos_cache is not None:
-                if (k, s) not in pos_cache:
-                    pos_cache[(k, s)] = _interval_positions(iv, s)
-                pos = pos_cache[(k, s)]
-            else:
-                pos = _interval_positions(iv, s)
-            nz = pos != 0
-            if not nz.any():
+            row = iv.aln[s]
+            rank = np.cumsum(row, dtype=np.int32)  # base count per column
+            length = int(rank[-1])
+            if length == 0:
                 continue
-            last_nz = np.maximum.accumulate(np.where(nz, arange, np.int64(-1)))
-            first_nz = np.minimum.accumulate(np.where(nz, arange, np.int64(n_cols))[::-1])[::-1]
+            nz = row
+            left = abs(int(iv.starts[s]))
+            fwd = int(iv.starts[s]) > 0
+            last_nz = np.maximum.accumulate(np.where(nz, arange, np.int32(-1)))
+            first_nz = np.minimum.accumulate(np.where(nz, arange, np.int32(n_cols))[::-1])[::-1]
             # python slicing clamps out-of-range column windows; mirror that
             aa = np.clip(a[sel], 0, n_cols - 1)
             bb = np.clip(b1[sel], 0, n_cols - 1)
@@ -633,23 +699,36 @@ def _segment_seq_coordinates(
             valid = (a[sel] < n_cols) & (b1[sel] >= 0) & (f <= bb)
             fc = np.where(valid, f, 0)
             lc = np.where(valid, last_nz[bb], 0)
-            pf, pl = pos[fc], pos[lc]
-            absf, absl = np.abs(pf), np.abs(pl)
-            sign = np.sign(pf)
-            lo = sign * np.minimum(absf, absl)
-            hi = sign * np.maximum(absf, absl)
-            rows = np.asarray(sidx, np.int64)[sel]
+            # signed position at a present column c: forward strand
+            # left+rank[c]-1, reverse -(left+length-rank[c]) — |pos| is
+            # monotone over present columns, so lo/hi come from fc/lc
+            # (fc <= lc, so |pos[fc]| <= |pos[lc]| forward and the reverse
+            # strand flips the extremes)
+            rf = rank[fc].astype(np.int64)
+            rl = rank[lc].astype(np.int64)
+            rows = sidx[sel]
+            if fwd:
+                lo = left + rf - 1
+                hi = left + rl - 1
+            else:
+                lo = -(left + length - rl)
+                hi = -(left + length - rf)
             coords[rows, 2 * s] = np.where(valid, lo, 0)
             coords[rows, 2 * s + 1] = np.where(valid, hi, 0)
     return coords
 
 
 def backbone_seq_coordinates(
-    ivs: IntervalList, segments: List[BackboneColumnSegment]
+    ivs: IntervalList,
+    segments: List[BackboneColumnSegment],
+    as_matrix: bool = False,
 ) -> List[np.ndarray]:
     """Per segment: signed per-seq [left, right] coordinate pairs
-    (writeBackboneSeqCoordinates equivalent)."""
-    return list(_segment_seq_coordinates(ivs, segments))
+    (writeBackboneSeqCoordinates equivalent).  as_matrix=True returns the
+    [n_segments, 2*n_seqs] matrix itself (the fast bulk form the
+    progressive pipeline threads through merge/add_unique/write)."""
+    coords = _segment_seq_coordinates(ivs, segments)
+    return coords if as_matrix else list(coords)
 
 
 def add_unique_segments(
@@ -661,29 +740,62 @@ def add_unique_segments(
     Coverage fills with a range-difference array per genome — the
     per-row python slice loop was ~7M iterations at the headline scale."""
     n = ivs.n_seqs
-    out = list(rows)
-    R = np.abs(np.stack(rows).astype(np.int64)) if rows else None
+    as_matrix = isinstance(rows, np.ndarray)
+    if as_matrix:
+        R = np.abs(rows.astype(np.int64, copy=False)) if len(rows) else None
+    else:
+        R = np.abs(np.stack(rows).astype(np.int64)) if rows else None
+    out = None if as_matrix else list(rows)
+    runs = []  # (seq, starts[], ends[]) — bulk row build below
     for s in range(n):
         glen = seq_lengths[s]
         if glen == 0:
             continue
+        # uncovered runs via an interval-union sweep over the row extents —
+        # O(rows log rows) instead of the O(genome) delta/cumsum fill
+        # (which allocated + touched ~3 genome-length arrays per seq)
         if R is not None:
             l, rr = R[:, 2 * s], R[:, 2 * s + 1]
             sel = l > 0
-            delta = np.zeros(glen + 2, np.int32)
-            np.add.at(delta, l[sel], 1)
-            np.add.at(delta, np.minimum(rr[sel] + 1, glen + 1), -1)
-            free = ~(np.cumsum(delta[: glen + 1])[1:] > 0)
+            l, rr = l[sel], np.minimum(rr[sel], glen)
         else:
-            free = np.ones(glen, bool)
-        d = np.diff(np.concatenate([[0], free.view(np.int8), [0]]))
-        starts = np.nonzero(d == 1)[0] + 1
-        ends = np.nonzero(d == -1)[0]
-        for a, b in zip(starts, ends):
-            row = np.zeros(2 * n, np.int64)
-            row[2 * s] = a
-            row[2 * s + 1] = b
-            out.append(row)
+            l = np.zeros(0, np.int64)
+        if not len(l):
+            runs.append((s, np.array([1], np.int64), np.array([glen], np.int64)))
+            continue
+        order = np.argsort(l, kind="stable")
+        ls, rs = l[order], rr[order]
+        cm = np.maximum.accumulate(rs)  # covered through cm[i] after row i
+        # free gap before row i+1 when its left starts past the running max
+        gs = cm[:-1] + 1
+        ge = ls[1:] - 1
+        good = ge >= gs
+        starts = gs[good]
+        ends = ge[good]
+        head_s, head_e = (np.int64(1), ls[0] - 1) if ls[0] > 1 else (None, None)
+        tail_s, tail_e = (cm[-1] + 1, np.int64(glen)) if cm[-1] < glen else (None, None)
+        if head_s is not None:
+            starts = np.concatenate([[head_s], starts])
+            ends = np.concatenate([[head_e], ends])
+        if tail_s is not None:
+            starts = np.concatenate([starts, [tail_s]])
+            ends = np.concatenate([ends, [tail_e]])
+        if len(starts):
+            runs.append((s, starts, ends))
+    total = sum(len(st) for (_, st, _) in runs)
+    M = np.zeros((total, 2 * n), np.int64)
+    r0 = 0
+    # one bulk matrix instead of ~total tiny row allocations (the
+    # per-run loop was ~1.6 s of bb_rows at headline scale)
+    for s, starts, ends in runs:
+        M[r0 : r0 + len(starts), 2 * s] = starts
+        M[r0 : r0 + len(starts), 2 * s + 1] = ends
+        r0 += len(starts)
+    if as_matrix:
+        base = rows if len(rows) else np.zeros((0, 2 * n), np.int64)
+        return np.concatenate([base, M]) if total else rows
+    if total:
+        out.extend(M)
     return out
 
 
@@ -695,8 +807,12 @@ def write_backbone_seq_file(rows: List[np.ndarray], out: Union[str, TextIO], n_s
             return
     fh = out
     fh.write("\t".join(f"seq{i}_leftend\tseq{i}_rightend" for i in range(n_seqs)) + "\n")
-    for r in rows:
-        fh.write("\t".join(str(int(v)) for v in r) + "\n")
+    if len(rows) == 0:
+        return
+    M = rows if isinstance(rows, np.ndarray) else np.stack(rows)
+    # bulk tolist + join: ~5x the per-row generator at headline row counts
+    fh.write("\n".join("\t".join(map(str, r)) for r in M.tolist()))
+    fh.write("\n")
 
 
 def read_backbone_seq_file(src: Union[str, TextIO]) -> List[np.ndarray]:
@@ -748,78 +864,235 @@ def read_backbone_cols_file(src: Union[str, TextIO]) -> List[BackboneColumnSegme
     return out
 
 
+def _segments_from_member_arrays(
+    iv_idx: np.ndarray, a: np.ndarray, b: np.ndarray, member: np.ndarray
+) -> List[BackboneColumnSegment]:
+    return [
+        BackboneColumnSegment(
+            int(k), int(x), int(y), np.nonzero(m)[0].tolist()
+        )
+        for k, x, y, m in zip(iv_idx.tolist(), a.tolist(), b.tolist(), member)
+    ]
+
+
+def _apply_backbone_interval_loop(
+    iv: Interval,
+    merged: List[BackboneColumnSegment],
+    sidx: List[int],
+    coords: np.ndarray,
+    new_intervals: List[Interval],
+) -> None:
+    """Per-segment loop path for one interval — handles OVERLAPPING segment
+    column ranges (possible only for externally supplied .bbcols input; the
+    detector's segments tile disjoint ranges).  Kept as the semantic
+    reference for the vectorized bulk path below."""
+    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+
+    pos = {
+        s: _interval_positions(iv, s)
+        for s in range(iv.n_seqs)
+        if iv.starts[s] != 0
+    }
+    # consumed[s] = union of segment column ranges where s is a valid
+    # member (coords nonzero <=> the reference's nz.any() gate)
+    delta = {s: np.zeros(iv.n_cols + 1, np.int32) for s in pos}
+    for i in sidx:
+        seg = merged[i]
+        for s in seg.seqs:
+            if coords[i, 2 * s] != 0:
+                delta[s][seg.col_start] += 1
+                delta[s][seg.col_end] -= 1
+    consumed = {s: np.cumsum(d[:-1]) > 0 for s, d in delta.items()}
+    for i in sidx:
+        seg = merged[i]
+        starts = coords[i, ::2].copy()
+        member_valid = starts != 0
+        if not member_valid.any():
+            continue
+        aln = iv.aln[:, seg.col_start : seg.col_end] & member_valid[:, None]
+        keep = aln.any(axis=0)
+        if keep.all():
+            new_intervals.append(Interval(starts, aln))
+        elif keep.any():
+            new_intervals.append(Interval(starts, aln[:, keep]))
+    # leftover bases per sequence -> unaligned single-seq intervals
+    for s in pos:
+        rest = iv.aln[s] & ~consumed[s]
+        if not rest.any():
+            continue
+        p = pos[s][rest]
+        p = p[p != 0]
+        if not len(p):
+            continue
+        absp = np.sort(np.abs(p))
+        # contiguous runs of positions
+        breaks = np.nonzero(np.diff(absp) != 1)[0]
+        run_starts = np.concatenate([[0], breaks + 1])
+        run_ends = np.concatenate([breaks, [len(absp) - 1]])
+        for a, b in zip(run_starts, run_ends):
+            st = np.zeros(iv.n_seqs, np.int64)
+            st[s] = int(absp[a])
+            aln1 = np.zeros((iv.n_seqs, int(absp[b] - absp[a] + 1)), bool)
+            aln1[s] = True
+            new_intervals.append(Interval(st, aln1))
+
+
+def _apply_backbone_interval_bulk(
+    iv: Interval,
+    a_arr: np.ndarray,
+    b_arr: np.ndarray,
+    starts_mat: np.ndarray,
+    new_intervals: List[Interval],
+) -> None:
+    """Vectorized apply for one interval whose (column-sorted) segments are
+    DISJOINT: one bulk member mask + one fancy-index copy replace the
+    per-segment python slicing (bb_apply was 17 s of the round-4 headline).
+    Byte-identical to _apply_backbone_interval_loop (pinned by
+    tests/test_analysis.py::test_apply_backbone_bulk_equivalence)."""
+    n, T = iv.aln.shape
+    S = len(a_arr)
+    valid = starts_mat != 0  # [S, n]
+    any_valid = valid.any(axis=1)
+    # per-column membership mask (disjoint ranges: one segment per column)
+    seg_f, seq_f = np.nonzero(valid)
+    d = np.zeros((n, T + 1), np.int8)
+    np.add.at(d, (seq_f, a_arr[seg_f]), 1)
+    np.add.at(d, (seq_f, b_arr[seg_f]), -1)
+    # 1-D int8 cumsum: every row nets to zero (disjoint ranges close within
+    # the row), so the running value stays in {0, 1} across rows; the 2-D
+    # int64 cumsum allocated 8x the memory and page-faulted ~1 s/interval
+    mask = (
+        np.cumsum(d.ravel(), dtype=np.int8)
+        .reshape(n, T + 1)[:, :-1]
+        .astype(bool)
+    )  # == consumed[s]
+    aln_masked = iv.aln & mask
+    keep_col = aln_masked.any(axis=0)
+    keep_cols = np.nonzero(keep_col)[0]
+    # kept-column count per segment via searchsorted over the kept indices
+    o0 = np.searchsorted(keep_cols, a_arr)
+    o1 = np.searchsorted(keep_cols, b_arr)
+    A = np.ascontiguousarray(aln_masked[:, keep_cols])
+    # zero-width segments emit like the loop path (empty keep -> all())
+    emit = np.nonzero(any_valid & ((o1 > o0) | (b_arr == a_arr)))[0]
+    starts_rows = np.ascontiguousarray(starts_mat[emit])
+    oo0, oo1 = o0[emit].tolist(), o1[emit].tolist()
+    mk = Interval._unchecked
+    append = new_intervals.append
+    for i in range(len(emit)):
+        append(mk(starts_rows[i], A[:, oo0[i] : oo1[i]]))
+    # leftover bases per sequence -> unaligned single-seq intervals
+    for s in range(n):
+        st_s = int(iv.starts[s])
+        if st_s == 0:
+            continue
+        rest = iv.aln[s] & ~mask[s]
+        if not rest.any():
+            continue
+        # |positions| of the leftover bases, ascending: forward strand maps
+        # columns to ascending positions, reverse to descending
+        row = iv.aln[s]
+        rank = np.cumsum(row, dtype=np.int32)
+        length = int(rank[-1])
+        left = abs(st_s)
+        r = rank[rest].astype(np.int64)
+        absp = (left + r - 1) if st_s > 0 else (left + length - r)[::-1]
+        breaks = np.nonzero(np.diff(absp) != 1)[0]
+        run_starts = np.concatenate([[0], breaks + 1])
+        run_ends = np.concatenate([breaks, [len(absp) - 1]])
+        # bulk buffers for the single-seq leftovers: starts as matrix rows,
+        # aln as slices of one all-True row embedded in an all-False block
+        widths = (absp[run_ends] - absp[run_starts] + 1).astype(np.int64)
+        n_runs = len(run_starts)
+        st_mat = np.zeros((n_runs, n), np.int64)
+        st_mat[:, s] = absp[run_starts]
+        wmax = int(widths.max())
+        block = np.zeros((n, wmax), bool)
+        block[s] = True
+        mk = Interval._unchecked
+        append = new_intervals.append
+        for i, w in enumerate(widths.tolist()):
+            append(mk(st_mat[i], block[:, :w]))
+
+
 def apply_backbone(
-    ivs: IntervalList, segments: List[BackboneColumnSegment]
+    ivs: IntervalList,
+    segments: List[BackboneColumnSegment],
+    raw_coords: Optional[np.ndarray] = None,
 ) -> IntervalList:
     """detectAndApplyBackbone's 'apply' step: split intervals at backbone
     boundaries so every emitted interval has a constant homologous sequence
     set; bases outside any backbone segment become unaligned single-seq
-    intervals."""
+    intervals.
+
+    raw_coords: the backbone_seq_coordinates(ivs, segments, as_matrix=True)
+    matrix when the caller already computed it (the progressive pipeline
+    does, for the .backbone rows) — the merged segments' coordinates then
+    come from a grouped |coord| min/max reduction instead of a second full
+    column scan of every interval (segments tile disjoint ranges, so a
+    merged group's extreme positions are the extremes of its members')."""
     from mauvealigner_tpu.utils import timing
 
     _t0 = time.perf_counter()
-    merged = merge_adjacent_segments(segments)
-    pos_cache: Dict[Tuple[int, int], np.ndarray] = {}
-    coords = _segment_seq_coordinates(ivs, merged, pos_cache)
-    segs_by_iv: Dict[int, List[int]] = {}
-    for i, seg in enumerate(merged):
-        segs_by_iv.setdefault(seg.interval_index, []).append(i)
+    if segments:
+        iv_r, a_r, b_r, mem_r = _segment_arrays(segments, ivs.n_seqs)
+        order = np.lexsort((a_r, iv_r))
+        iv_s, a_s, b_s = iv_r[order], a_r[order], b_r[order]
+        mem_s = mem_r[order]
+        joinable = np.zeros(len(order), bool)
+        if len(order) > 1:
+            joinable[1:] = (
+                (iv_s[1:] == iv_s[:-1])
+                & (a_s[1:] == b_s[:-1])
+                & (mem_s[1:] == mem_s[:-1]).all(axis=1)
+            )
+        firsts = np.nonzero(~joinable)[0]
+        lasts = np.append(firsts[1:] - 1, len(order) - 1)
+        iv2, a2, b2 = iv_s[firsts], a_s[firsts], b_s[lasts]
+        mem2 = mem_s[firsts]
+    else:
+        iv2 = a2 = b2 = np.zeros(0, np.int64)
+        mem2 = np.zeros((0, ivs.n_seqs), bool)
+    if (
+        raw_coords is not None
+        and len(segments)
+        and len(raw_coords) == len(segments)
+    ):
+        cs = raw_coords[order]
+        lo_abs = np.abs(cs[:, ::2])
+        hi_abs = np.abs(cs[:, 1::2])
+        sentinel = np.int64(1) << 62
+        lo_abs = np.where(lo_abs == 0, sentinel, lo_abs)
+        lo_min = np.minimum.reduceat(lo_abs, firsts, axis=0)
+        hi_max = np.maximum.reduceat(hi_abs, firsts, axis=0)
+        sign = np.sign(np.add.reduceat(np.sign(cs[:, ::2]), firsts, axis=0))
+        coords = np.zeros((len(firsts), 2 * ivs.n_seqs), np.int64)
+        present = lo_min != sentinel
+        coords[:, ::2] = np.where(present, sign * lo_min, 0)
+        coords[:, 1::2] = np.where(present, sign * hi_max, 0)
+    else:
+        coords = _segment_seq_coordinates_arrays(ivs, iv2, a2, b2, mem2)
+    # merged output is sorted by (interval, col_start): contiguous runs
+    bounds = np.searchsorted(iv2, np.arange(len(ivs.intervals) + 1))
     new_intervals: List[Interval] = []
     for k, iv in enumerate(ivs.intervals):
-        sidx = sorted(segs_by_iv.get(k, []), key=lambda i: merged[i].col_start)
-        if not sidx:
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        if lo == hi:
             new_intervals.append(iv)
             continue
-        from mauvealigner_tpu.analysis.score_alignment import _interval_positions
-
-        pos = {
-            s: pos_cache.get((k, s)) if pos_cache.get((k, s)) is not None
-            else _interval_positions(iv, s)
-            for s in range(iv.n_seqs)
-            if iv.starts[s] != 0
-        }
-        # consumed[s] = union of segment column ranges where s is a valid
-        # member (coords nonzero <=> the reference's nz.any() gate)
-        delta = {s: np.zeros(iv.n_cols + 1, np.int32) for s in pos}
-        for i in sidx:
-            seg = merged[i]
-            for s in seg.seqs:
-                if coords[i, 2 * s] != 0:
-                    delta[s][seg.col_start] += 1
-                    delta[s][seg.col_end] -= 1
-        consumed = {s: np.cumsum(d[:-1]) > 0 for s, d in delta.items()}
-        for i in sidx:
-            seg = merged[i]
-            starts = coords[i, ::2].copy()
-            member_valid = starts != 0
-            if not member_valid.any():
-                continue
-            aln = iv.aln[:, seg.col_start : seg.col_end] & member_valid[:, None]
-            keep = aln.any(axis=0)
-            if keep.all():
-                new_intervals.append(Interval(starts, aln))
-            elif keep.any():
-                new_intervals.append(Interval(starts, aln[:, keep]))
-        # leftover bases per sequence -> unaligned single-seq intervals
-        for s in pos:
-            rest = iv.aln[s] & ~consumed[s]
-            if not rest.any():
-                continue
-            p = pos[s][rest]
-            p = p[p != 0]
-            if not len(p):
-                continue
-            absp = np.sort(np.abs(p))
-            # contiguous runs of positions
-            breaks = np.nonzero(np.diff(absp) != 1)[0]
-            run_starts = np.concatenate([[0], breaks + 1])
-            run_ends = np.concatenate([breaks, [len(absp) - 1]])
-            for a, b in zip(run_starts, run_ends):
-                st = np.zeros(iv.n_seqs, np.int64)
-                st[s] = int(absp[a])
-                aln1 = np.zeros((iv.n_seqs, int(absp[b] - absp[a] + 1)), bool)
-                aln1[s] = True
-                new_intervals.append(Interval(st, aln1))
+        a_arr, b_arr = a2[lo:hi], b2[lo:hi]
+        if hi - lo > 1 and (b_arr[:-1] > a_arr[1:]).any():
+            # overlapping column ranges (external .bbcols only): loop path
+            merged_k = _segments_from_member_arrays(
+                iv2[lo:hi], a_arr, b_arr, mem2[lo:hi]
+            )
+            _apply_backbone_interval_loop(
+                iv, merged_k, list(range(hi - lo)), coords[lo:hi], new_intervals
+            )
+        else:
+            _apply_backbone_interval_bulk(
+                iv, a_arr, b_arr, coords[lo:hi][:, ::2], new_intervals
+            )
     timing.GLOBAL.add("bb_apply_s", time.perf_counter() - _t0)
     return IntervalList(
         genomes=ivs.genomes,

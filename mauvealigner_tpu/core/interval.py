@@ -33,6 +33,17 @@ class Interval:
         self.starts = np.asarray(self.starts, dtype=np.int64)
         self.aln = np.asarray(self.aln, dtype=bool)
 
+    @classmethod
+    def _unchecked(cls, starts: np.ndarray, aln: np.ndarray) -> "Interval":
+        """Construct without the __post_init__ dtype coercion — for bulk
+        emitters that already guarantee int64 starts / bool aln (the two
+        asarray calls cost ~1 s over the headline's ~600k backbone
+        intervals)."""
+        iv = cls.__new__(cls)
+        iv.starts = starts
+        iv.aln = aln
+        return iv
+
     @property
     def n_seqs(self) -> int:
         return len(self.starts)

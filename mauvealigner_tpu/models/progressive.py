@@ -151,7 +151,7 @@ class ProgressiveResult:
     lcbs: List[LCB]
     mums: MatchList
     guide_tree: TreeNode
-    backbone_rows: List[np.ndarray]
+    backbone_rows: np.ndarray  # [n_rows, 2*n_seqs] signed coordinate rows
     backbone_segments: List
 
 
@@ -432,7 +432,7 @@ class ProgressiveMauve:
                 )
         ivl.add_unaligned_intervals()
 
-        backbone_rows: List[np.ndarray] = []
+        backbone_rows = np.zeros((0, 2 * len(genomes)), np.int64)
         segments: List = []
         if not o.skip_backbone and len(genomes) >= 2:
             with timer.phase("homology_backbone"):
@@ -446,12 +446,12 @@ class ProgressiveMauve:
                 segments = bb.detect_backbone(ivl, params, o.island_gap_size)
                 import time as _time
                 _t0 = _time.perf_counter()
-                rows = bb.backbone_seq_coordinates(ivl, segments)
-                rows = bb.merge_coordinate_rows(rows)
+                raw = bb.backbone_seq_coordinates(ivl, segments, as_matrix=True)
+                rows = bb.merge_coordinate_rows(raw)
                 rows = bb.add_unique_segments(rows, ivl, [len(g) for g in genomes])
                 backbone_rows = rows
                 timer.add("bb_rows_s", _time.perf_counter() - _t0)
-                ivl = bb.apply_backbone(ivl, segments)
+                ivl = bb.apply_backbone(ivl, segments, raw_coords=raw)
         return ProgressiveResult(ivl, lcbs, ml, tree, backbone_rows, segments)
 
     def _translated_anchor_fn(self, genomes, dist):
@@ -585,7 +585,7 @@ class ProgressiveMauve:
                     mode=o.refine_mode, subst=o.subst,
                 )
         ivl.add_unaligned_intervals()
-        backbone_rows: List[np.ndarray] = []
+        backbone_rows = np.zeros((0, 2 * len(genomes)), np.int64)
         segments: List = []
         if not o.skip_backbone and len(genomes) >= 2:
             with timer.phase("homology_backbone"):
@@ -599,12 +599,12 @@ class ProgressiveMauve:
                 segments = bb.detect_backbone(ivl, params, o.island_gap_size)
                 import time as _time
                 _t0 = _time.perf_counter()
-                rows = bb.backbone_seq_coordinates(ivl, segments)
-                rows = bb.merge_coordinate_rows(rows)
+                raw = bb.backbone_seq_coordinates(ivl, segments, as_matrix=True)
+                rows = bb.merge_coordinate_rows(raw)
                 rows = bb.add_unique_segments(rows, ivl, [len(g) for g in genomes])
                 backbone_rows = rows
                 timer.add("bb_rows_s", _time.perf_counter() - _t0)
-                ivl = bb.apply_backbone(ivl, segments)
+                ivl = bb.apply_backbone(ivl, segments, raw_coords=raw)
         return ProgressiveResult(ivl, lcbs, ml, tree, backbone_rows, segments)
 
     def _build_intervals_with_plan(self, inner, genomes, ml, lcbs, plan) -> IntervalList:
@@ -652,7 +652,7 @@ class ProgressiveMauve:
         """XMFA + .backbone + .bbcols (src/progressiveMauve.cpp:245-259,722)."""
         bb_name = output_prefix + ".backbone"
         cols_name = output_prefix + ".bbcols"
-        if result.backbone_rows:
+        if len(result.backbone_rows):
             bb.write_backbone_seq_file(
                 result.backbone_rows, bb_name, result.interval_list.n_seqs
             )

@@ -577,7 +577,7 @@ def progressive_mauve_cli(argv: List[str]) -> int:
 
     bb_name = a.backbone_output or (a.output + ".backbone")
     cols_name = a.bbcols_output or (a.output + ".bbcols")
-    if res.backbone_rows:
+    if len(res.backbone_rows):
         bbmod.write_backbone_seq_file(res.backbone_rows, bb_name, len(genomes))
         bbmod.write_backbone_cols_file(res.backbone_segments, cols_name)
         res.interval_list.backbone_filename = cols_name

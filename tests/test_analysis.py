@@ -280,3 +280,103 @@ def test_detect_backbone_big_gaps_splits_on_long_gap():
     segs_cut = bb.detect_backbone_big_gaps(ivl, 20, bounds)
     rows_cut = bb.backbone_seq_coordinates(ivl, segs_cut)
     assert not gene_boundary_violations(rows_cut, bounds)
+
+
+def _random_apply_case(rng, n_seqs, n_ivs, n_cols):
+    """Randomized IntervalList + segments exercising strands, absent seqs,
+    all-gap ranges, memberships that include base-free seqs, and adjacent
+    same-membership segments (the merge path)."""
+    intervals = []
+    next_left = np.ones(n_seqs, np.int64)
+    segments = []
+    for k in range(n_ivs):
+        aln = rng.random((n_seqs, n_cols)) < 0.8
+        starts = np.zeros(n_seqs, np.int64)
+        for s in range(n_seqs):
+            if rng.random() < 0.2:
+                aln[s] = False
+                continue
+            if not aln[s].any():
+                aln[s, rng.integers(0, n_cols)] = True
+            sign = -1 if rng.random() < 0.5 else 1
+            starts[s] = sign * next_left[s]
+            next_left[s] += int(aln[s].sum())
+        # drop all-gap columns to satisfy the interval invariant
+        keep = aln.any(axis=0)
+        aln = aln[:, keep]
+        if not aln.shape[1]:
+            continue
+        intervals.append(Interval(starts, aln))
+        c = 0
+        ki = len(intervals) - 1
+        while c < aln.shape[1]:
+            w = int(rng.integers(1, 9))
+            b = min(c + w, aln.shape[1])
+            mem = np.nonzero(rng.random(n_seqs) < 0.7)[0]
+            if len(mem) >= 2 and rng.random() < 0.9:
+                segments.append(
+                    bb.BackboneColumnSegment(ki, c, b, mem.tolist())
+                )
+            c = b
+    genomes = [
+        Genome.from_codes(
+            rng.integers(0, 4, int(next_left[s]) + 1).astype(np.int64),
+            name=f"g{s}",
+        )
+        for s in range(n_seqs)
+    ]
+    return IntervalList(genomes=genomes, intervals=intervals), segments
+
+
+def test_apply_backbone_bulk_equivalence(rng):
+    """The vectorized bulk apply path (and the raw_coords grouped-reduction
+    variant) must match the per-segment loop reference byte for byte."""
+    for trial in range(6):
+        n_seqs = int(rng.integers(2, 6))
+        ivl, segs = _random_apply_case(
+            rng, n_seqs, n_ivs=int(rng.integers(1, 4)), n_cols=120
+        )
+        if not segs:
+            continue
+        got = bb.apply_backbone(ivl, segs)
+        raw = bb.backbone_seq_coordinates(ivl, segs, as_matrix=True)
+        got_raw = bb.apply_backbone(ivl, segs, raw_coords=raw)
+        # loop reference over the same merged segments
+        merged = bb.merge_adjacent_segments(segs, ivl.n_seqs)
+        coords = bb._segment_seq_coordinates(ivl, merged)
+        by_iv = {}
+        for i, seg in enumerate(merged):
+            by_iv.setdefault(seg.interval_index, []).append(i)
+        want = []
+        for k, iv in enumerate(ivl.intervals):
+            sidx = sorted(by_iv.get(k, []), key=lambda i: merged[i].col_start)
+            if not sidx:
+                want.append(iv)
+                continue
+            bb._apply_backbone_interval_loop(iv, merged, sidx, coords, want)
+        for out in (got, got_raw):
+            assert len(out.intervals) == len(want), (trial, len(out.intervals), len(want))
+            for x, y in zip(out.intervals, want):
+                assert np.array_equal(x.starts, y.starts)
+                assert np.array_equal(x.aln, y.aln)
+
+
+def test_add_unique_segments_matrix_matches_list(rng):
+    ivl, segs = _random_apply_case(rng, 3, 2, 150)
+    rows_list = bb.backbone_seq_coordinates(ivl, segs)
+    rows_mat = bb.backbone_seq_coordinates(ivl, segs, as_matrix=True)
+    lens = [len(g) for g in ivl.genomes]
+    out_list = bb.add_unique_segments(
+        bb.merge_coordinate_rows(rows_list), ivl, lens
+    )
+    out_mat = bb.add_unique_segments(
+        bb.merge_coordinate_rows(rows_mat), ivl, lens
+    )
+    assert isinstance(out_mat, np.ndarray)
+    assert len(out_list) == len(out_mat)
+    for r1, r2 in zip(out_list, out_mat):
+        assert np.array_equal(r1, r2)
+    buf1, buf2 = io.StringIO(), io.StringIO()
+    bb.write_backbone_seq_file(out_list, buf1, ivl.n_seqs)
+    bb.write_backbone_seq_file(out_mat, buf2, ivl.n_seqs)
+    assert buf1.getvalue() == buf2.getvalue()

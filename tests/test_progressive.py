@@ -31,7 +31,7 @@ def test_progressive_three_way_with_backbone(rng, tmp_path):
     prefix = str(tmp_path / "out.xmfa")
     pm.write_outputs(res, prefix)
     assert os.path.exists(prefix)
-    if res.backbone_rows:
+    if len(res.backbone_rows):
         assert os.path.exists(prefix + ".backbone")
         assert os.path.exists(prefix + ".bbcols")
     # every genome base is accounted for in the final alignment
