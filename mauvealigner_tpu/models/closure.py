@@ -287,6 +287,9 @@ def _batched_code_pair_align(
     for i, (a, b) in enumerate(pairs):
         side = _bucket_of(max(len(a), len(b)))
         buckets.setdefault(side, []).append(i)
+    pending = []  # (chunk, fetch) — dispatch ALL launches, then download:
+    # each blocking download is a full tunnel round trip, so k bucket
+    # launches pipelined pay one fill latency instead of k round trips
     for side, idxs in buckets.items():
         M = N = side
         # true peak: dec bytes + ~3x the f32 score matrix (sheared copies)
@@ -304,11 +307,13 @@ def _batched_code_pair_align(
                 ca[j, : len(a)] = np.minimum(a, 4)
                 cb[j, : len(b)] = np.minimum(b, 4)
                 la[j], lb[j] = len(a), len(b)
-            ops_list, _ = dp.align_code_pairs_batch(
+            pending.append((chunk, dp.align_code_pairs_batch_async(
                 ca, cb, la, lb, subst, gap_open, gap_extend
-            )
-            for j, i in enumerate(chunk):
-                results[i] = ops_list[j]
+            )))
+    for chunk, fetch in pending:
+        ops_list, _ = fetch()
+        for j, i in enumerate(chunk):
+            results[i] = ops_list[j]
     return results  # type: ignore[return-value]
 
 
@@ -329,6 +334,7 @@ def _batched_profile_pair_align(
     for i, (_, la, _, lb) in enumerate(pairs):
         side = _bucket_of(max(la, lb))
         buckets.setdefault(side, []).append(i)
+    pending = []  # (chunk, fetch): dispatch all, then download (see above)
     for side, idxs in buckets.items():
         M = N = side
         # true peak: dec bytes + ~3x the f32 score matrix (sheared copies)
@@ -361,11 +367,13 @@ def _batched_profile_pair_align(
                 pa[j, :len_a] = prof_a[:len_a]
                 pb[j, :len_b] = prof_b[:len_b]
                 la[j], lb[j] = len_a, len_b
-            ops_list, _ = dp.align_profiles_batch(
+            pending.append((chunk, dp.align_profiles_batch_async(
                 pa, pb, la, lb, subst, gap_open, gap_extend, normalize=normalize
-            )
-            for j, i in enumerate(chunk):
-                results[i] = ops_list[j]
+            )))
+    for chunk, fetch in pending:
+        ops_list, _ = fetch()
+        for j, i in enumerate(chunk):
+            results[i] = ops_list[j]
     return results  # type: ignore[return-value]
 
 

@@ -379,7 +379,7 @@ def _unpack_results(buf: np.ndarray, L: int):
     return scores, ops, counts
 
 
-def align_profiles_batch(
+def align_profiles_batch_async(
     profiles_a: np.ndarray,
     profiles_b: np.ndarray,
     lens_a: np.ndarray,
@@ -388,9 +388,13 @@ def align_profiles_batch(
     gap_open: float = DEFAULT_GAP_OPEN,
     gap_extend: float = DEFAULT_GAP_EXTEND,
     normalize: bool = False,
-) -> Tuple[List[np.ndarray], np.ndarray]:
-    """Align a batch of profile pairs; returns (list of op arrays in
-    start-to-end order, scores [B]).
+):
+    """Dispatch a batched profile-pair alignment; returns a zero-arg
+    `fetch()` -> (list of op arrays in start-to-end order, scores [B]).
+
+    Dispatch is async, the download blocks — drivers with several bucket
+    launches dispatch all of them before fetching any (each blocking
+    download costs a full tunnel round trip on the axon backend).
 
     Integer-count profiles are shipped uint8 and widened on device.
     normalize=True scores MEAN pairwise substitution (device-side division
@@ -433,14 +437,35 @@ def align_profiles_batch(
     from mauvealigner_tpu.parallel import context as par_ctx
 
     # batch-sharded under an ambient mesh (per-element kernel, bit-identical)
-    buf = par_ctx.shard_batched_call(
+    fetch_buf = par_ctx.shard_batched_call_async(
         _packed,
         [ship(profiles_a), ship(profiles_b), mA, mB],
         replicated_args=(jnp.asarray(subst, dtype=jnp.float32),),
     )
-    scores, ops_rev, counts = _unpack_results(buf, M + N)
-    out = [ops_rev[b, : counts[b]][::-1].copy() for b in range(B)]
-    return out, scores
+
+    def fetch():
+        scores, ops_rev, counts = _unpack_results(fetch_buf(), M + N)
+        out = [ops_rev[b, : counts[b]][::-1].copy() for b in range(B)]
+        return out, scores
+
+    return fetch
+
+
+def align_profiles_batch(
+    profiles_a: np.ndarray,
+    profiles_b: np.ndarray,
+    lens_a: np.ndarray,
+    lens_b: np.ndarray,
+    subst: np.ndarray = HOXD70,
+    gap_open: float = DEFAULT_GAP_OPEN,
+    gap_extend: float = DEFAULT_GAP_EXTEND,
+    normalize: bool = False,
+) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Blocking align_profiles_batch_async."""
+    return align_profiles_batch_async(
+        profiles_a, profiles_b, lens_a, lens_b, subst, gap_open, gap_extend,
+        normalize,
+    )()
 
 
 @partial(jax.jit, static_argnames=("M", "N"))
@@ -488,7 +513,7 @@ def _gotoh_codes_pallas(
     )
 
 
-def align_code_pairs_batch(
+def align_code_pairs_batch_async(
     codes_a: np.ndarray,  # uint8 [B, M], pad with 255
     codes_b: np.ndarray,
     lens_a: np.ndarray,
@@ -496,8 +521,9 @@ def align_code_pairs_batch(
     subst: np.ndarray = HOXD70,
     gap_open: float = DEFAULT_GAP_OPEN,
     gap_extend: float = DEFAULT_GAP_EXTEND,
-) -> Tuple[List[np.ndarray], np.ndarray]:
-    """Sequence-pair variant of align_profiles_batch (uint8 codes upload)."""
+):
+    """Sequence-pair variant of align_profiles_batch_async (uint8 codes
+    upload); returns a zero-arg fetch() -> (ops list, scores)."""
     from mauvealigner_tpu.utils import timing
 
     B, M = codes_a.shape
@@ -524,14 +550,33 @@ def align_code_pairs_batch(
     from mauvealigner_tpu.parallel import context as par_ctx
 
     # batch-sharded under an ambient mesh (per-element kernel, bit-identical)
-    buf = par_ctx.shard_batched_call(
+    fetch_buf = par_ctx.shard_batched_call_async(
         _packed,
         [jnp.asarray(codes_a), jnp.asarray(codes_b), mA, mB],
         replicated_args=(jnp.asarray(subst, dtype=jnp.float32),),
     )
-    scores, ops_rev, counts = _unpack_results(buf, M + N)
-    out = [ops_rev[b, : counts[b]][::-1].copy() for b in range(B)]
-    return out, scores
+
+    def fetch():
+        scores, ops_rev, counts = _unpack_results(fetch_buf(), M + N)
+        out = [ops_rev[b, : counts[b]][::-1].copy() for b in range(B)]
+        return out, scores
+
+    return fetch
+
+
+def align_code_pairs_batch(
+    codes_a: np.ndarray,  # uint8 [B, M], pad with 255
+    codes_b: np.ndarray,
+    lens_a: np.ndarray,
+    lens_b: np.ndarray,
+    subst: np.ndarray = HOXD70,
+    gap_open: float = DEFAULT_GAP_OPEN,
+    gap_extend: float = DEFAULT_GAP_EXTEND,
+) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Blocking align_code_pairs_batch_async."""
+    return align_code_pairs_batch_async(
+        codes_a, codes_b, lens_a, lens_b, subst, gap_open, gap_extend
+    )()
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -585,6 +630,7 @@ def align_sequence_pairs(
         # the TPU tunnel dominates; wasted pad FLOPs are cheaper)
         side = _bucket(max(len(a), len(b)), buckets)
         groups.setdefault((side, side), []).append(idx)
+    pending = []  # (chunk, fetch): dispatch every launch, then download
     for (M, N), idxs in groups.items():
         # per-element device PEAK footprint: dec u8 ((M+N+1)*(M+1)) plus the
         # score matrix S f32 (4*M*N) and its transient sheared copies
@@ -606,9 +652,13 @@ def align_sequence_pairs(
                 ca[k, : len(a)] = np.minimum(a, 4)
                 cb[k, : len(b)] = np.minimum(b, 4)
                 la[k], lb[k] = len(a), len(b)
-            ops_list, _ = align_code_pairs_batch(ca, cb, la, lb, subst, gap_open, gap_extend)
-            for k, idx in enumerate(chunk):
-                results[idx] = ops_list[k]
+            pending.append((chunk, align_code_pairs_batch_async(
+                ca, cb, la, lb, subst, gap_open, gap_extend
+            )))
+    for chunk, fetch in pending:
+        ops_list, _ = fetch()
+        for k, idx in enumerate(chunk):
+            results[idx] = ops_list[k]
     return results
 
 

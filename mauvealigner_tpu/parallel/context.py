@@ -41,11 +41,17 @@ def use_mesh(mesh: Optional[object]):
         _state.mesh = prev
 
 
-def shard_batched_call(kernel, batch_arrays, replicated_args=(), mesh=None):
-    """Run `kernel(*batch_arrays, *replicated_args)` -> [B, ...] under the
-    active mesh (batch axis sharded, replicated_args broadcast), padding the
-    batch to a multiple of the mesh size with zero rows; without a mesh,
-    call the kernel directly.  Returns a host np.ndarray trimmed to B.
+def shard_batched_call_async(kernel, batch_arrays, replicated_args=(), mesh=None):
+    """Dispatch `kernel(*batch_arrays, *replicated_args)` -> [B, ...] under
+    the active mesh (batch axis sharded, replicated_args broadcast), padding
+    the batch to a multiple of the mesh size with zero rows; without a mesh,
+    call the kernel directly.  Returns a zero-arg `fetch()` closure that
+    downloads and trims to B.
+
+    Dispatch is asynchronous on every backend here, but a download
+    (np.asarray) BLOCKS for a full tunnel round trip — so drivers with many
+    bucket launches dispatch them all first and fetch afterwards, paying one
+    pipeline-fill latency instead of one round trip per launch.
 
     The kernel must be per-batch-element independent and treat zero-padded
     rows as inert (our DP/HMM kernels gate on per-element lengths, and a
@@ -63,7 +69,8 @@ def shard_batched_call(kernel, batch_arrays, replicated_args=(), mesh=None):
         mesh = active_mesh()
     B = int(batch_arrays[0].shape[0])
     if mesh is None:
-        return np.asarray(kernel(*batch_arrays, *replicated_args))
+        out = kernel(*batch_arrays, *replicated_args)
+        return lambda: np.asarray(out)
     D = int(mesh.devices.size)
     pad = (-B) % D
     if pad:
@@ -82,4 +89,9 @@ def shard_batched_call(kernel, batch_arrays, replicated_args=(), mesh=None):
         out_specs=P(AXIS),
         check_vma=False,
     )(*batch_arrays, *replicated_args)
-    return np.asarray(out)[:B]
+    return lambda: np.asarray(out)[:B]
+
+
+def shard_batched_call(kernel, batch_arrays, replicated_args=(), mesh=None):
+    """Blocking shard_batched_call_async: returns the host np.ndarray."""
+    return shard_batched_call_async(kernel, batch_arrays, replicated_args, mesh)()

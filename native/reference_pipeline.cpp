@@ -447,9 +447,149 @@ static i64 fork_closure_gap(const char* self, const uint8_t* a, i64 la,
   return la + lb;  // column count is recomputed by the parent's bookkeeping
 }
 
+// ---------------------------------------------------------------------------
+// --nway: progressive-class N-way measurement mode (the headline config's
+// reference-architecture denominator).  Mirrors progressiveMauve's
+// per-node profile alignment structure (/root/reference/src/
+// progressiveMauve.cpp:575-710) at the algorithmic level, conservatively:
+//   1. per-genome SMLs (LoadSMLs analog)
+//   2. pairwise mer-sharing distances (MuscleInterface::CreateTree input)
+//   3. UPGMA guide tree
+//   4. per internal node: pairwise anchor search between the clade
+//      representatives + collinear chaining + gapped closure of every
+//      inter-anchor gap (in-process Gotoh, or one fork/exec'd DP child per
+//      gap with --fork-closure — the reference's MUSCLE-subprocess closure
+//      architecture)
+// Conservative omissions (all of which ADD reference work): profile/
+// consensus construction and per-node SML rebuilds (each node reuses one
+// member's SML), recursive re-anchoring, iterative refinement, and the
+// HomologyHMM backbone decode over every pairwise projection.
+// ---------------------------------------------------------------------------
+static int nway_main(int argc, char** argv) {
+  bool fork_closure = false;
+  std::vector<const char*> files;
+  std::string pattern = argv[2];
+  for (int k = 3; k < argc; k++) {
+    if (strcmp(argv[k], "--fork-closure") == 0) fork_closure = true;
+    else files.push_back(argv[k]);
+  }
+  int K = (int)files.size();
+  if (K < 2) { fprintf(stderr, "--nway needs >= 2 genomes\n"); return 2; }
+  std::vector<int> offs;
+  for (size_t k = 0; k < pattern.size(); k++)
+    if (pattern[k] == '1') offs.push_back((int)k);
+  int L = (int)pattern.size();
+
+  std::vector<std::vector<uint8_t>> G(K);
+  for (int g = 0; g < K; g++) G[g] = read_file(files[g]);
+
+  auto t0 = std::chrono::steady_clock::now();
+  std::vector<std::vector<Entry>> sml(K);
+  for (int g = 0; g < K; g++) build_sml(G[g], offs, L, sml[g]);
+  auto t1 = std::chrono::steady_clock::now();
+
+  // pairwise distance = 1 - shared unique mers / min(unique counts)
+  std::vector<std::vector<double>> dist(K, std::vector<double>(K, 0.0));
+  for (int a = 0; a < K; a++) {
+    for (int b = a + 1; b < K; b++) {
+      const auto& sa = sml[a]; const auto& sb = sml[b];
+      size_t i = 0, j = 0; i64 shared = 0, ua = 0, ub = 0;
+      while (i < sa.size() && j < sb.size()) {
+        u64 ma = sa[i].key >> 1, mb = sb[j].key >> 1;
+        size_t i2 = i, j2 = j;
+        if (ma <= mb) { while (i2 < sa.size() && (sa[i2].key >> 1) == ma) i2++; }
+        if (mb <= ma) { while (j2 < sb.size() && (sb[j2].key >> 1) == mb) j2++; }
+        if (ma == mb) {
+          if (i2 - i == 1) ua++;
+          if (j2 - j == 1) ub++;
+          if (i2 - i == 1 && j2 - j == 1) shared++;
+          i = i2; j = j2;
+        } else if (ma < mb) { if (i2 - i == 1) ua++; i = i2; }
+        else { if (j2 - j == 1) ub++; j = j2; }
+      }
+      i64 mn = ua < ub ? ua : ub;
+      dist[a][b] = dist[b][a] = 1.0 - (mn > 0 ? (double)shared / mn : 0.0);
+    }
+  }
+  auto t2 = std::chrono::steady_clock::now();
+
+  // UPGMA join order; each cluster keeps a representative genome index
+  struct Cl { std::vector<int> members; int rep; };
+  std::vector<Cl> active;
+  for (int g = 0; g < K; g++) active.push_back({{g}, g});
+  std::vector<std::vector<double>> D = dist;
+  std::vector<std::pair<int,int>> joins;  // representative pairs, in order
+  std::vector<int> alive(K, 1);
+  std::vector<int> idx(K);
+  for (int g = 0; g < K; g++) idx[g] = g;
+  int n_alive = K;
+  while (n_alive > 1) {
+    double best = 1e18; int ba = -1, bb = -1;
+    for (int a = 0; a < K; a++) if (alive[a])
+      for (int b = a + 1; b < K; b++) if (alive[b])
+        if (D[a][b] < best) { best = D[a][b]; ba = a; bb = b; }
+    joins.push_back({active[ba].rep, active[bb].rep});
+    // UPGMA average-link update into slot ba
+    int sa2 = (int)active[ba].members.size(), sb2 = (int)active[bb].members.size();
+    for (int c = 0; c < K; c++) if (alive[c] && c != ba && c != bb)
+      D[ba][c] = D[c][ba] =
+          (D[ba][c] * sa2 + D[bb][c] * sb2) / (double)(sa2 + sb2);
+    for (int m : active[bb].members) active[ba].members.push_back(m);
+    // representative: the lower-index member (deterministic)
+    if (active[bb].rep < active[ba].rep) active[ba].rep = active[bb].rep;
+    alive[bb] = 0; n_alive--;
+  }
+  auto t3 = std::chrono::steady_clock::now();
+
+  // per-node pairwise anchor + chain + closure between representatives
+  double match_s = 0, chain_s = 0, closure_s = 0;
+  i64 cells = 0, aligned_cols = 0, n_gaps = 0, n_anchors = 0;
+  std::vector<uint8_t> tb; std::vector<int> H, E, F;
+  for (auto [ra, rb] : joins) {
+    auto m0 = std::chrono::steady_clock::now();
+    std::vector<Match> ms;
+    find_mums(G[ra], G[rb], sml[ra], sml[rb], L, ms);
+    auto m1 = std::chrono::steady_clock::now();
+    chain(ms);
+    auto m2 = std::chrono::steady_clock::now();
+    n_anchors += (i64)ms.size();
+    for (size_t k = 1; k < ms.size(); k++) {
+      i64 ga0 = ms[k - 1].a_left0 + ms[k - 1].len;
+      i64 gb0 = ms[k - 1].b_left0 + ms[k - 1].len;
+      i64 la = ms[k].a_left0 - ga0, lb = ms[k].b_left0 - gb0;
+      if (la < 0 || lb < 0) continue;
+      if (la > 4096) la = 4096;
+      if (lb > 4096) lb = 4096;
+      if (la == 0 && lb == 0) continue;
+      n_gaps++; cells += la * lb;
+      if (fork_closure)
+        aligned_cols += fork_closure_gap(argv[0], G[ra].data() + ga0, la,
+                                         G[rb].data() + gb0, lb);
+      else
+        aligned_cols += gotoh(G[ra].data() + ga0, la, G[rb].data() + gb0, lb,
+                              tb, H, E, F);
+    }
+    for (const Match& m : ms) aligned_cols += m.len;
+    auto m3 = std::chrono::steady_clock::now();
+    match_s += secs(m0, m1); chain_s += secs(m1, m2); closure_s += secs(m2, m3);
+  }
+  auto t4 = std::chrono::steady_clock::now();
+  printf("{\"sml_s\": %.3f, \"dist_s\": %.3f, \"tree_s\": %.3f, "
+         "\"match_s\": %.3f, \"chain_s\": %.3f, \"closure_s\": %.3f, "
+         "\"total_s\": %.3f, \"n_genomes\": %d, \"n_merges\": %zu, "
+         "\"n_anchors\": %lld, \"n_gaps\": %lld, \"dp_cells\": %lld, "
+         "\"aligned_cols\": %lld}\n",
+         secs(t0, t1), secs(t1, t2), secs(t2, t3), match_s, chain_s,
+         closure_s, secs(t0, t4), K, joins.size(), (long long)n_anchors,
+         (long long)n_gaps, (long long)cells, (long long)aligned_cols);
+  return 0;
+}
+
 int main(int argc, char** argv) {
   if (argc >= 4 && strcmp(argv[1], "--dp-child") == 0)
     return dp_child(argv[2], argv[3]);
+  if (argc >= 5 && strcmp(argv[1], "--nway") == 0)
+    return nway_main(argc, argv);
   if (argc < 4) {
     fprintf(stderr,
             "usage: %s <pattern> <codesA.raw> <codesB.raw> "

@@ -142,10 +142,21 @@ def main(size: int, k: int, repeats: int, max_rate: float = 0.08):
         acc.append({"pair": f"0-{i}", "sn": round(sn, 4), "ppv": round(ppv, 4)})
     score_s = time.time() - t0
 
+    # measurement protocol (round-4 lesson: 36% same-session spread made
+    # round-over-round deltas uninterpretable): the headline is the MEDIAN
+    # of the in-process warm reps (run 0 is the cold rep), with the spread
+    # recorded; claim deltas only beyond the spread.
+    warm = sorted(times[1:]) if len(times) > 1 else times
+    median = warm[len(warm) // 2] if len(warm) % 2 else (
+        warm[len(warm) // 2 - 1] + warm[len(warm) // 2]
+    ) / 2
+    spread = (max(warm) - min(warm)) / median if median else 0.0
     out = {
         "config": f"progressive_{k}way_{size//1000}kbp"
         + (f"_rate{max_rate}" if max_rate != 0.08 else ""),
-        "wallclock_warm_s": round(min(times), 2),
+        "wallclock_warm_s": round(median, 2),
+        "warm_reps_s": [round(t, 2) for t in times[1:]],
+        "warm_spread_frac": round(spread, 3),
         "wallclock_cold_s": round(times[0], 2),
         "phases": {p: round(t, 2) for p, t in timing.GLOBAL.phases.items()},
         "n_lcbs": len(res.lcbs),

@@ -1,0 +1,104 @@
+"""Measure the CPU reference-class N-WAY baseline (the headline config's
+denominator).
+
+Runs native/reference_pipeline.cpp --nway on the EXACT genomes
+scripts/bench_enterobacteria.py uses (seed 37, cached in .bench_logs), in
+both in-process-DP (lower bound) and fork-per-gap (the reference's
+MUSCLE-subprocess closure architecture) modes, and writes
+BASELINE_NWAY_MEASURED.json; bench_enterobacteria.py reads it for its
+vs_baseline line.
+
+Conservative: the C++ pipeline omits per-node consensus/SML rebuilds,
+recursion, refinement, and the HomologyHMM backbone decode — all work the
+reference performs on top (see native/reference_pipeline.cpp --nway header).
+
+Usage: python scripts/measure_baseline_nway.py [genome_size] [k] [repeats]
+Defaults: 4_600_000 9 1 (the fork-closure run is minutes at full scale).
+"""
+
+import json
+import os
+import platform
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def measure(size: int, k: int, repeats: int) -> dict:
+    from scripts.bench_enterobacteria import build_genomes
+    from scripts.measure_baseline import build
+    from mauvealigner_tpu.seeds import default_seed_weight, get_seed
+
+    genomes, _ = build_genomes(size, k)
+    seed = get_seed(default_seed_weight(size), 0)
+    binary = build()
+
+    def run_mode(extra, reps):
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = subprocess.run(
+                [binary, "--nway", seed.pattern] + files + extra,
+                check=True, capture_output=True, text=True,
+            )
+            rec = json.loads(out.stdout)
+            rec["wallclock_s"] = round(time.time() - t0, 3)
+            runs.append(rec)
+        return min(runs, key=lambda r: r["total_s"]), runs
+
+    with tempfile.TemporaryDirectory() as td:
+        files = []
+        for i, g in enumerate(genomes):
+            p = os.path.join(td, f"g{i}.raw")
+            g.codes.astype(np.uint8).tofile(p)
+            files.append(p)
+        lower, lower_runs = run_mode([], repeats)
+        arch, arch_runs = run_mode(["--fork-closure"], repeats)
+    return {
+        "metric": f"progressive_{k}way_{size // 1000}kbp_cpu_reference_class",
+        "value": round(arch["total_s"], 3),
+        "unit": "s",
+        "lower_bound_s": round(lower["total_s"], 3),
+        "architecture_s": round(arch["total_s"], 3),
+        "genome_size": size,
+        "n_genomes": k,
+        "seed_pattern": seed.pattern,
+        "detail_lower_bound": lower,
+        "detail_architecture": arch,
+        "all_lower_bound_totals_s": [round(r["total_s"], 3) for r in lower_runs],
+        "all_architecture_totals_s": [round(r["total_s"], 3) for r in arch_runs],
+        "host": platform.processor() or platform.machine(),
+        "hostname": platform.node(),
+        "note": (
+            "single-threaded C++ -O3 reference-class N-way progressive "
+            "pipeline (native/reference_pipeline.cpp --nway) on the exact "
+            "bench_enterobacteria genomes: per-genome SMLs, pairwise mer "
+            "distances, UPGMA guide tree, per-node pairwise anchoring + "
+            "chaining + gapped closure between clade representatives.  "
+            "lower_bound_s runs the gap DP in-process; architecture_s "
+            "fork/execs a DP child per gap (the reference's MUSCLE-"
+            "subprocess closure).  Omits per-node consensus construction + "
+            "SML rebuilds, recursion, refinement, and the HomologyHMM "
+            "backbone decode — all additional reference work, so both "
+            "numbers are conservative lower bounds."
+        ),
+    }
+
+
+if __name__ == "__main__":
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 4_600_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 9
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    rec = measure(size, k, reps)
+    out_path = os.path.join(ROOT, "BASELINE_NWAY_MEASURED.json")
+    with open(out_path, "w") as fh:
+        json.dump(rec, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(rec))
