@@ -61,6 +61,13 @@ class AlignerOptions:
     # (progressive sum-of-pairs schemes, models/anchor_score.py); lcb_weight
     # must then be in the same units
     anchor_weight_fn: Optional[object] = None
+    # alternate genomes (same coordinates/lengths as the inputs) whose codes
+    # the GAPPED CLOSURE scores instead of the inputs' — the progressive
+    # ladder's member-aware LCA scoring (closest cross-clade extant pair
+    # backed by consensus; ref: per-node profile alignment,
+    # src/progressiveMauve.cpp:575-710).  Anchoring/recursion/extension
+    # still see the input genomes.
+    closure_genomes: Optional[List] = None
 
 
 def assemble_lcb_intervals(
@@ -431,6 +438,8 @@ class MauveAligner:
                 genomes, ml, lcbs, seq_profiles
             )
         _t = _time.perf_counter()
+        # closure scoring source: the inputs, or the member-aware stand-ins
+        closure_src = o.closure_genomes or genomes
         # collect all gap groups over all LCBs for one batched closure pass
         gap_groups: List[List[np.ndarray]] = []
         gap_ref: List[Tuple[int, int]] = []  # (lcb index, position between a,a+1)
@@ -444,7 +453,7 @@ class MauveAligner:
             for a in range(len(sub) - 1):
                 regions = [
                     self._extract_region(
-                        genomes[g], int(left[a, g]), int(right[a, g]), int(strand[a, g])
+                        closure_src[g], int(left[a, g]), int(right[a, g]), int(strand[a, g])
                     )
                     for g in range(n)
                 ]

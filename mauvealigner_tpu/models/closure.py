@@ -152,12 +152,17 @@ def hierarchical_align_region_groups(
     unaligned block emission (--max-gapped-aligner-length semantics,
     src/mauveAligner.cpp:675-676).
     """
+    import time as _time
+
+    from mauvealigner_tpu.utils import timing as _timing
+
     n_groups = len(groups)
     if n_groups == 0:
         return []
     n_seqs = len(groups[0])
     if plan is None:
         plan = chain_plan(n_seqs)
+    _t0 = _time.perf_counter()
     results: List[Optional[np.ndarray]] = [None] * n_groups
     state: List[Dict[NodeId, State]] = []
     for k, regs in enumerate(groups):
@@ -171,6 +176,7 @@ def hierarchical_align_region_groups(
         state.append(st)
         if regs and max(map(len, regs)) > max_len:
             results[k] = _unaligned_blocks(regs)
+    _timing.GLOBAL.add("cl_hier_setup_s", _time.perf_counter() - _t0)
 
     for node, left, right in plan:
         jobs = []  # (k, (idsA, ccA), (idsB, ccB))
@@ -220,6 +226,7 @@ def hierarchical_align_region_groups(
             got = _batched_profile_pair_align(prof_pairs, subst, gap_open, gap_extend)
             for i, ops in zip(prof_idx, got):
                 ops_all[i] = ops
+        _t0 = _time.perf_counter()
         for (k, A, B), ops in zip(jobs, ops_all):
             consumes_a = (ops == dp.OP_DIAG) | (ops == dp.OP_UP)
             consumes_b = (ops == dp.OP_DIAG) | (ops == dp.OP_LEFT)
@@ -228,6 +235,7 @@ def hierarchical_align_region_groups(
             merged[:kA, consumes_a] = A[1]
             merged[kA:, consumes_b] = B[1]
             state[k][node] = (np.concatenate([A[0], B[0]]), merged)
+        _timing.GLOBAL.add("cl_hier_merge_s", _time.perf_counter() - _t0)
 
     for k in range(n_groups):
         if results[k] is not None:
@@ -290,6 +298,11 @@ def _batched_code_pair_align(
     pending = []  # (chunk, fetch) — dispatch ALL launches, then download:
     # each blocking download is a full tunnel round trip, so k bucket
     # launches pipelined pay one fill latency instead of k round trips
+    import time as _time
+
+    from mauvealigner_tpu.utils import timing as _timing
+
+    _t0 = _time.perf_counter()
     for side, idxs in buckets.items():
         M = N = side
         # true peak: dec bytes + ~3x the f32 score matrix (sheared copies)
@@ -310,10 +323,13 @@ def _batched_code_pair_align(
             pending.append((chunk, dp.align_code_pairs_batch_async(
                 ca, cb, la, lb, subst, gap_open, gap_extend
             )))
+    _timing.GLOBAL.add("cl_dp_stage_s", _time.perf_counter() - _t0)
+    _t0 = _time.perf_counter()
     for chunk, fetch in pending:
         ops_list, _ = fetch()
         for j, i in enumerate(chunk):
             results[i] = ops_list[j]
+    _timing.GLOBAL.add("cl_dp_fetch_s", _time.perf_counter() - _t0)
     return results  # type: ignore[return-value]
 
 
@@ -370,10 +386,16 @@ def _batched_profile_pair_align(
             pending.append((chunk, dp.align_profiles_batch_async(
                 pa, pb, la, lb, subst, gap_open, gap_extend, normalize=normalize
             )))
+    import time as _time
+
+    from mauvealigner_tpu.utils import timing as _timing
+
+    _t0 = _time.perf_counter()
     for chunk, fetch in pending:
         ops_list, _ = fetch()
         for j, i in enumerate(chunk):
             results[i] = ops_list[j]
+    _timing.GLOBAL.add("cl_dp_fetch_s", _time.perf_counter() - _t0)
     return results  # type: ignore[return-value]
 
 

@@ -130,6 +130,27 @@ class ProgressiveOptions:
     # 5x gap-upload cost, so default OFF; the option is the parity analog
     # of the reference's profile scoring.
     profile_closure: bool = False
+    # member-aware LCA closure scoring (the divergence-tail fix, round-5):
+    # at each node merge the gapped CLOSURE scores the codes of the CLOSEST
+    # cross-clade extant member pair (lifted through the column maps,
+    # consensus-backed where that member is absent) instead of the
+    # majority-consensus reps.  Anchoring still sees the consensus reps
+    # (divergence amplification), but gap/indel placement — which decides a
+    # pair's columns at its LCA — follows true extant evidence, so the
+    # 1-2 bp double-gap holes consensus mismatch noise creates around
+    # indels resolve the way a direct extant alignment does.  Ref: per-node
+    # profile alignment + cache-db, src/progressiveMauve.cpp:575-710,643-646.
+    lca_member_scoring: bool = False
+    # prune SHORT occupancy<=1 column runs from internal node profiles
+    # (>= 3 members): private-insertion columns fragment the consensus rep
+    # and distort later node DPs (models/tree_progressive.
+    # _private_column_keep_mask); runs longer than tree_prune_max_run are
+    # kept (clade-specific island ride-along).  Measured on the 9-way
+    # 120 kbp sweeps: min pair sn 0.914 -> 0.964 at ~24% pairwise and
+    # 0.953 -> 0.983 at ~16%, ppv up everywhere — the round-5
+    # divergence-tail fix, default ON.
+    tree_prune_private: bool = True
+    tree_prune_max_run: int = 20
     # run the WHOLE pipeline over a jax.sharding.Mesh: the N-way anchor
     # search routes through parallel.find_multi_mums_sharded, and every
     # batched kernel underneath (node-merge anchoring, closure/refinement
@@ -532,6 +553,43 @@ class ProgressiveMauve:
 
         return fn
 
+    def _member_scoring_fn(self, genomes, dist):
+        """Member-aware LCA closure scoring (lca_member_scoring): per node
+        merge, the gapped closure scores the CLOSEST cross-clade extant
+        pair's codes lifted through the column maps (consensus-backed where
+        that member is absent) instead of the consensus reps.
+
+        Mechanism (round-4 tail anatomy, BENCH_NOTES): a pair's columns are
+        decided at its LCA's rep-rep DP; consensus mismatch noise around
+        indels flips DIAGs into double-gaps (match +91 vs 2x gap-extend
+        -60), leaving 1-2 bp UNALIGNED holes a direct extant alignment does
+        not have.  Scoring the closest extant pair restores those DIAGs
+        while anchoring keeps the consensus divergence amplification.
+        Ref: src/progressiveMauve.cpp:575-710 (profile alignment up the
+        guide tree)."""
+        from mauvealigner_tpu.models import tree_progressive as tp
+
+        def backed(prof, m):
+            bases = tp._member_bases(genomes, prof.colmaps[m], m)
+            rep = prof.rep.codes
+            out = np.where(bases < 4, bases, np.minimum(rep, 4)).astype(
+                np.int64
+            )
+            return Genome.from_codes(out, name=f"score_{m}")
+
+        def fn(a, b):
+            if len(a.members) == 1 and len(b.members) == 1:
+                return None  # leaf-leaf closure already scores extant codes
+            best = min(
+                (float(dist[x, y]), x, y)
+                for x in a.members
+                for y in b.members
+            )
+            _, ma, mb = best
+            return backed(a, ma), backed(b, mb)
+
+        return fn
+
     def _align_tree_progressive(
         self, genomes, ml, tree, timer, dist=None
     ) -> "ProgressiveResult":
@@ -570,10 +628,17 @@ class ProgressiveMauve:
             if o.translated_anchors and dist is not None
             else None
         )
+        scoring = (
+            self._member_scoring_fn(genomes, dist)
+            if o.lca_member_scoring and dist is not None
+            else None
+        )
         with timer.phase("tree_progressive"), timer.suspend():
             ivl, lcbs = tree_progressive_align(
                 genomes, tree, factory, translated_fn=translated,
-                profile_closure=o.profile_closure,
+                profile_closure=o.profile_closure, scoring_fn=scoring,
+                prune_private=o.tree_prune_private,
+                prune_private_max_run=o.tree_prune_max_run,
             )
         plan = closure_mod.tree_plan(tree)
         if o.refine and o.gapped:

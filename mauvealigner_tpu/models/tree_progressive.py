@@ -240,6 +240,9 @@ def merge_profiles(
     node_name: str,
     translated_fn=None,
     profile_closure: bool = True,
+    scoring_fn=None,
+    prune_private: bool = False,
+    prune_private_max_run: int = 20,
 ) -> NodeProfile:
     """Align the two children's representatives with the full pairwise
     pipeline and compose the column maps.  Unaligned regions ride along as
@@ -248,13 +251,24 @@ def merge_profiles(
 
     translated_fn(a, b) -> extra rep-space MatchList (or None): translated
     extant anchors unioned into the node's anchor set before LCB
-    determination (profile-aware anchoring for the divergence tail)."""
+    determination (profile-aware anchoring for the divergence tail).
+
+    scoring_fn(a, b) -> Optional[(Genome, Genome)]: member-aware stand-in
+    genomes (rep coordinates) that the gapped CLOSURE scores instead of the
+    consensus reps — the LCA member-aware re-scoring for the divergence
+    tail; anchoring still sees the consensus reps."""
     import time
 
     from mauvealigner_tpu.utils import timing
 
     t0 = time.perf_counter()
     aligner = aligner_factory()
+    if scoring_fn is not None:
+        t1 = time.perf_counter()
+        stand_ins = scoring_fn(a, b)
+        if stand_ins is not None:
+            aligner.options.closure_genomes = list(stand_ins)
+        timing.GLOBAL.add("tp_scoring_rep_s", time.perf_counter() - t1)
     if translated_fn is None:
         extra = None
     else:
@@ -289,6 +303,13 @@ def merge_profiles(
     # additive count composition: votes identical to re-deriving from every
     # member (one-hot sums), argmax ties resolve toward the lowest code
     counts = _compose_counts(a.counts, pos_a) + _compose_counts(b.counts, pos_b)
+    if prune_private and len(prof.members) >= 3:
+        keep = _private_column_keep_mask(counts, prune_private_max_run)
+        if not keep.all():
+            kc = np.nonzero(keep)[0]
+            for m in prof.members:
+                colmaps[m] = colmaps[m][kc]
+            counts = counts[kc]
     votes = counts[:, :4]
     rep_codes = votes.argmax(axis=1).astype(np.uint8)
     rep_codes[votes.sum(axis=1) == 0] = CODE_N
@@ -296,6 +317,37 @@ def merge_profiles(
     prof.counts = np.minimum(counts, 255).astype(np.uint8)
     timing.GLOBAL.add("tp_consensus_s", time.perf_counter() - t0)
     return prof
+
+
+def _private_column_keep_mask(counts: np.ndarray, max_run: int = 20) -> np.ndarray:
+    """False where a SHORT run of occupancy<=1 columns should be pruned from
+    an internal node profile (>= 3 members).
+
+    Private-insertion columns (exactly one member present) litter the
+    consensus rep — at the divergence-tail LCA ~4% of columns — fragmenting
+    anchor runs and distorting the node DP's gap placement relative to a
+    direct extant alignment (measured: pipeline sn 0.914 vs direct 0.972 on
+    the worst sweep pair).  An occupancy-1 column can pair with nothing in a
+    later merge's truth, and runs below seed length cannot anchor, so short
+    runs are dropped; the carried member positions resurface as unaligned
+    single-seq output (IntervalList.add_unaligned_intervals) exactly as the
+    truth has them.  Runs longer than max_run (potential clade-specific
+    islands — the translated-anchor ride-along semantic, ref cache-db
+    src/progressiveMauve.cpp:643-646) are kept.  Occupancy-0 columns are
+    dead weight and always pruned."""
+    occ = counts.sum(axis=1, dtype=np.int32)
+    cand = occ <= 1
+    if not cand.any():
+        return np.ones(len(occ), bool)
+    d = np.diff(np.concatenate([[0], cand.view(np.int8), [0]]))
+    starts = np.nonzero(d == 1)[0]
+    ends = np.nonzero(d == -1)[0]
+    cs = np.concatenate([[0], np.cumsum(occ, dtype=np.int64)])
+    prune_run = ((ends - starts) <= max_run) | (cs[ends] == cs[starts])
+    delta = np.zeros(len(occ) + 1, np.int8)
+    delta[starts[prune_run]] = 1
+    delta[ends[prune_run]] -= 1
+    return np.cumsum(delta[:-1], dtype=np.int32) == 0
 
 
 def emit_intervals(
@@ -407,6 +459,9 @@ def tree_progressive_align(
     max_workers: Optional[int] = None,
     translated_fn=None,
     profile_closure: bool = True,
+    scoring_fn=None,
+    prune_private: bool = False,
+    prune_private_max_run: int = 20,
 ) -> Tuple[IntervalList, List[LCB]]:
     """Consensus-ladder alignment up the guide tree; returns
     (intervals, blocks).
@@ -442,7 +497,8 @@ def tree_progressive_align(
         for t, (name, l, r) in enumerate(tasks):
             profiles[("task", t)] = merge_profiles(
                 genomes, profiles[l], profiles[r], aligner_factory, name,
-                translated_fn, profile_closure,
+                translated_fn, profile_closure, scoring_fn,
+                prune_private, prune_private_max_run,
             )
     else:
         import concurrent.futures as cf
@@ -459,7 +515,8 @@ def tree_progressive_align(
                         fut = ex.submit(
                             merge_profiles, genomes,
                             profiles[l], profiles[r], aligner_factory, name,
-                            translated_fn, profile_closure,
+                            translated_fn, profile_closure, scoring_fn,
+                            prune_private, prune_private_max_run,
                         )
                         pending[fut] = t
                 if not pending:  # malformed DAG (cannot happen from a tree)

@@ -489,7 +489,13 @@ def find_multi_mums_device(
         keys, seq_ids, pos, mask, n_seqs, cap, min_multi, pack_ok, seed_length
     )
     if extend and len(ml):
+        import time as _time
+
+        from mauvealigner_tpu.utils import timing as _timing
+
+        _t0 = _time.perf_counter()
         ml = extend_matches_maximal(ml, [g.codes for g in genomes])
+        _timing.GLOBAL.add("k2_extend_s", _time.perf_counter() - _t0)
     if nway:
         ml = ml.multiplicity_filter(n_seqs)
     return ml
@@ -510,15 +516,23 @@ def _candidates_with_retry(
     keys, seq_ids, pos, mask, n_seqs, cap, min_multi, pack_ok, seed_length
 ) -> MatchList:
     """Run device_mum_candidates, auto-doubling cap on overflow, and decode."""
+    import time as _time
+
+    from mauvealigner_tpu.utils import timing as _timing
+
     N = int(keys.shape[0])
     while True:
+        _t0 = _time.perf_counter()
         packed_tab = device_mum_candidates(
             keys, seq_ids, pos, jnp.asarray(mask), n_seqs, cap, min_multi,
             pack_sort=pack_ok,
         )
+        _timing.GLOBAL.add("k2_dispatch_s", _time.perf_counter() - _t0)
         # sized so the common case needs no second fetch (row 0 holds n_runs)
         first = _head_rows(N, cap, n_seqs)
+        _t0 = _time.perf_counter()
         head = np.asarray(packed_tab[:first])
+        _timing.GLOBAL.add("k2_fetch_s", _time.perf_counter() - _t0)
         n_runs = int(head[0, 0])
         if n_runs <= cap:
             break

@@ -27,10 +27,7 @@ __all__ = [
     "sort_contigs_sharded",
     "make_mesh",
     "sharded_pack_sort",
-    "sharded_gotoh_scores",
-    "sharded_hmm_posteriors",
     "sharded_pair_mum_tables",
-    "multichip_pipeline_step",
     "multihost",
     "context",
     "active_mesh",

@@ -331,7 +331,12 @@ def sharded_gotoh_scores(
     gap_open: float = dp_ops.DEFAULT_GAP_OPEN,
     gap_extend: float = dp_ops.DEFAULT_GAP_EXTEND,
 ):
-    """Batch-sharded Gotoh forward scores (B must divide by mesh size)."""
+    """Batch-sharded Gotoh forward scores (B must divide by mesh size).
+
+    KERNEL-LEVEL HARNESS ONLY: the model path shards DP batches through the
+    ambient-mesh context (parallel.context.shard_batched_call); this exists
+    for the mesh kernel tests (tests/test_parallel.py) and is not exported
+    from the package namespace."""
     if subst is None:
         subst = jnp.asarray(dp_ops.HOXD70)
     M, N = pa.shape[1], pb.shape[1]
@@ -363,8 +368,11 @@ def sharded_hmm_posteriors(
     mesh: Mesh,
 ) -> jnp.ndarray:
     """Batch-sharded K4 forward/backward: each device decodes its slice of
-    the pairwise-projection batch with the log-depth associative scan
-    (homology backbone phase, data-parallel over alignment pairs)."""
+    the pairwise-projection batch with the log-depth associative scan.
+
+    KERNEL-LEVEL HARNESS ONLY: the model path decodes through
+    ops.hmm.bucketed_decode / pair_rows_state0_gt under the ambient-mesh
+    context; kept for the mesh kernel tests (tests/test_parallel.py)."""
     from mauvealigner_tpu.ops import hmm as hmm_ops
 
     def local(le, lens):
@@ -555,7 +563,12 @@ def multichip_pipeline_step(
     dp_la: jnp.ndarray,
     dp_lb: jnp.ndarray,
 ):
-    """One full sharded pipeline step (jit target for the dry run): the REAL
+    """KERNEL-LEVEL HARNESS ONLY (mesh kernel tests): the model path runs
+    the real pipeline over the mesh via the ambient context — see
+    __graft_entry__.dryrun_multichip, which executes the actual
+    tree-progressive flagship.
+
+    One full sharded pipeline step: the REAL
     two-phase N-way anchor candidate search (all-to-all by mer hash, then by
     signature hash), batch-sharded Gotoh forward, and batch-sharded HMM
     posterior decode.

@@ -423,6 +423,20 @@ def progressive_mauve_cli(argv: List[str]) -> int:
     p.add_argument("--refine-mode", choices=("split", "rebuild"),
                    default="split",
                    help="window refinement: one root-edge profile DP per window (split) or full per-window rebuild along the merge plan (rebuild)")
+    p.add_argument("--profile-closure", action="store_true",
+                   help="node-merge gap placement scores TRUE clade count "
+                   "profiles (mean-of-pairs) instead of consensus codes")
+    p.add_argument("--lca-member-scoring", action="store_true",
+                   help="node-merge closure scores the closest cross-clade "
+                   "extant pair's codes (consensus-backed)")
+    p.add_argument("--no-tree-prune", action="store_true",
+                   help="keep short private (occupancy-1) column runs in "
+                   "internal node profiles (default: pruned; the "
+                   "divergence-tail accuracy fix)")
+    p.add_argument("--tree-prune-max-run", type=int, default=20,
+                   help="longest occupancy-1 column run pruned from internal "
+                   "node profiles (longer runs ride along as potential "
+                   "clade-specific islands)")
     p.add_argument("--no-backbone", "--disable-backbone", dest="no_backbone",
                    action="store_true")
     p.add_argument("--backbone-output", default="")
@@ -544,6 +558,10 @@ def progressive_mauve_cli(argv: List[str]) -> int:
         hmm_p_go_unrelated=a.hmm_p_go_unrelated,
         input_guide_tree=a.input_guide_tree or None,
         output_guide_tree=a.output_guide_tree or (a.output + ".guide_tree"),
+        profile_closure=a.profile_closure,
+        lca_member_scoring=a.lca_member_scoring,
+        tree_prune_private=not a.no_tree_prune,
+        tree_prune_max_run=a.tree_prune_max_run,
     )
     if a.mesh_devices > 1:
         from mauvealigner_tpu.parallel import make_mesh

@@ -6,11 +6,10 @@ import pytest
 from mauvealigner_tpu.core.sml import build_sml
 from mauvealigner_tpu.genome.sequence import Genome
 from mauvealigner_tpu.ops import dp, merops
-from mauvealigner_tpu.parallel import (
-    make_mesh,
+from mauvealigner_tpu.parallel import make_mesh, sharded_pack_sort
+from mauvealigner_tpu.parallel.sharded import (
     multichip_pipeline_step,
     sharded_gotoh_scores,
-    sharded_pack_sort,
 )
 from mauvealigner_tpu.seeds import get_seed
 
