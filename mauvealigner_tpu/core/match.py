@@ -136,7 +136,20 @@ class MatchList:
         Iterates per sequence: sorts matches by left coordinate and crops any
         overlap with the previous interval.  Matches cropped to length <=0
         are removed.
+
+        Rows are first put in CANONICAL order (|start| per sequence, then
+        length, then signed starts): the per-sequence stable sorts break
+        |left| ties by row order, so without canonicalization the crop
+        cascade would depend on upstream pipeline ordering — the C++ column
+        oracle (native/reference_pipeline.cpp) sorts identically, making the
+        cascade implementation-independent.
         """
+        if len(self) > 1:
+            keys = [self.starts[:, g] for g in range(self.n_seqs - 1, -1, -1)]
+            keys.insert(0, self.lengths)
+            abs_keys = [np.abs(self.starts[:, g]) for g in range(self.n_seqs - 1, -1, -1)]
+            order = np.lexsort(tuple(keys) + tuple(abs_keys))
+            self = self.select(order)
         # native host runtime fast path (bit-identical; native/mauve_native.cpp)
         from mauvealigner_tpu import native
 

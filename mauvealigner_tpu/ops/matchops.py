@@ -531,9 +531,19 @@ def _candidates_with_retry(
         # sized so the common case needs no second fetch (row 0 holds n_runs)
         first = _head_rows(N, cap, n_seqs)
         _t0 = _time.perf_counter()
-        head = np.asarray(packed_tab[:first])
+        if first * 4 * (n_seqs + 2) > (1 << 20):
+            # genome-scale search: the speculative head would both overshoot
+            # AND still need a second fetch when n_runs exceeds it (measured
+            # at 4.6 Mbp: 2 MB head + 5.5 MB refetch per node merge).  Fetch
+            # the exact count first (one ~30 ms round trip), then exactly
+            # n_runs rows once.
+            n_runs = int(np.asarray(packed_tab[:1])[0, 0])
+            first = min(cap + 1, n_runs + 1)
+            head = np.asarray(packed_tab[:first])
+        else:
+            head = np.asarray(packed_tab[:first])
+            n_runs = int(head[0, 0])
         _timing.GLOBAL.add("k2_fetch_s", _time.perf_counter() - _t0)
-        n_runs = int(head[0, 0])
         if n_runs <= cap:
             break
         # capacity overflow (repeat-dense input): double to the covering

@@ -193,6 +193,22 @@ static void crop_match(Match& m, i64 amt, bool match_left) {
   m.len -= amt;
 }
 
+// Canonical row order shared with the TPU pipeline before overlap
+// elimination (core/match.MatchList.eliminate_overlaps): |A left|, |B left|,
+// signed B start (reverse sorts first), then length — the per-sequence
+// stable sorts inside the cascade break |left| ties by row order, so both
+// implementations must start from the same order to agree bit-for-bit.
+static void canonical_sort(std::vector<Match>& ms) {
+  std::sort(ms.begin(), ms.end(), [](const Match& x, const Match& y) {
+    if (x.a_left0 != y.a_left0) return x.a_left0 < y.a_left0;
+    if (x.b_left0 != y.b_left0) return x.b_left0 < y.b_left0;
+    i64 sx = x.rev ? -(x.b_left0 + 1) : (x.b_left0 + 1);
+    i64 sy = y.rev ? -(y.b_left0 + 1) : (y.b_left0 + 1);
+    if (sx != sy) return sx < sy;
+    return x.len < y.len;
+  });
+}
+
 // EliminateOverlaps_v2 port (core/match.MatchList.eliminate_overlaps): per
 // sequence, sort by genome-left; on overlap crop the shorter match (ties:
 // the later one); victim-cur crops its genome-left edge, victim-prev its
@@ -299,6 +315,87 @@ static void collinear_eliminate(std::vector<Match>& ms) {
     i64 ov = std::max(p.a_left0 + p.len - c.a_left0,
                       p.b_left0 + p.len - c.b_left0);
     if (ov > 0) crop_match(c, std::min(ov, c.len), true);
+  }
+  ms.erase(std::remove_if(ms.begin(), ms.end(),
+                          [](const Match& m) { return m.len <= 0; }),
+           ms.end());
+}
+
+// Pairwise greedy breakpoint elimination (models/lcb.py
+// greedy_breakpoint_elimination port, the reference's Aligner::align LCB
+// loop, /root/reference/src/mauveAligner.cpp:668-698): partition matches
+// into collinear blocks by rank adjacency, drop cohorts of minimum-weight
+// blocks until every block's weight (sum of member lengths) reaches
+// min_weight.  Emits the surviving blocks in seq-A order of their first
+// anchor, each with members in chain order.
+static void pairwise_lcb_eliminate(std::vector<Match>& ms, i64 min_weight,
+                                   std::vector<std::vector<Match>>& out) {
+  for (;;) {
+    std::stable_sort(ms.begin(), ms.end(), [](const Match& x, const Match& y) {
+      if (x.a_left0 != y.a_left0) return x.a_left0 < y.a_left0;
+      return x.b_left0 < y.b_left0;
+    });
+    int n = (int)ms.size();
+    if (n == 0) { out.clear(); return; }
+    // seq-B ranks (stable over the seq-A order)
+    std::vector<int> border(n);
+    for (int i = 0; i < n; i++) border[i] = i;
+    std::stable_sort(border.begin(), border.end(), [&](int x, int y) {
+      return ms[x].b_left0 < ms[y].b_left0;
+    });
+    std::vector<int> rank_b(n);
+    for (int i = 0; i < n; i++) rank_b[border[i]] = i;
+    // block ids: same strand pattern + directly-adjacent B rank
+    std::vector<int> block(n);
+    int nb = 0;
+    for (int i = 0; i < n; i++) {
+      if (i > 0) {
+        int expected = ms[i].rev ? -1 : 1;
+        bool same = (ms[i].rev == ms[i - 1].rev) &&
+                    (rank_b[i] - rank_b[i - 1] == expected);
+        if (!same) nb++;
+      }
+      block[i] = nb;
+    }
+    std::vector<i64> weight(nb + 1, 0);
+    for (int i = 0; i < n; i++) weight[block[i]] += ms[i].len;
+    i64 wmin = *std::min_element(weight.begin(), weight.end());
+    if (wmin >= min_weight) {
+      out.assign(nb + 1, {});
+      for (int i = 0; i < n; i++) out[block[i]].push_back(ms[i]);
+      return;
+    }
+    i64 cutoff = std::min(min_weight, wmin * 2 + 1);
+    std::vector<Match> kept;
+    for (int i = 0; i < n; i++)
+      if (weight[block[i]] >= cutoff) kept.push_back(ms[i]);
+    ms = kept;
+  }
+}
+
+// make_collinear_nonoverlapping port for one block's chain-ordered members
+// (models/aligner.py): crop the later match's match-space left by the max
+// residual overlap over both sequences; zero-length members drop.
+static void make_chain_nonoverlapping(std::vector<Match>& ms) {
+  int prev = -1;
+  for (size_t k = 0; k < ms.size(); k++) {
+    if (prev < 0) {
+      if (ms[k].len > 0) prev = (int)k;
+      continue;
+    }
+    Match& p = ms[prev];
+    Match& c = ms[k];
+    i64 ov = 0;
+    // seq A gap (both forward in A)
+    ov = std::max(ov, p.a_left0 + p.len - c.a_left0);
+    // seq B: forward gap = c.left - (p.left + p.len); reverse gap =
+    // p.left - (c.left + c.len) (chain walks right-to-left in genome B)
+    if (!p.rev)
+      ov = std::max(ov, p.b_left0 + p.len - c.b_left0);
+    else
+      ov = std::max(ov, c.b_left0 + c.len - p.b_left0);
+    if (ov > 0) crop_match(c, std::min(ov, c.len), true);
+    if (c.len > 0) prev = (int)k;
   }
   ms.erase(std::remove_if(ms.begin(), ms.end(),
                           [](const Match& m) { return m.len <= 0; }),
@@ -603,8 +700,11 @@ int main(int argc, char** argv) {
   // against the TPU pipeline's XMFA (writer semantics it must match:
   // /root/reference/src/mauveAligner.cpp:702,750)
   const char* emit_path = nullptr;
-  for (int k = 4; k + 1 < argc; k++)
+  const char* emit_lcbs = nullptr;
+  for (int k = 4; k + 1 < argc; k++) {
     if (strcmp(argv[k], "--emit-aln") == 0) emit_path = argv[k + 1];
+    if (strcmp(argv[k], "--emit-lcbs") == 0) emit_lcbs = argv[k + 1];
+  }
   std::string pattern = argv[1];
   std::vector<int> offs;
   for (size_t k = 0; k < pattern.size(); k++)
@@ -620,10 +720,74 @@ int main(int argc, char** argv) {
   auto t1 = std::chrono::steady_clock::now();
 
   std::vector<Match> ms;
-  find_mums(A, B, sa, sb, L, ms, /*extend_all=*/emit_path != nullptr);
+  find_mums(A, B, sa, sb, L, ms,
+            /*extend_all=*/emit_path != nullptr || emit_lcbs != nullptr);
   auto t2 = std::chrono::steady_clock::now();
 
+  if (emit_lcbs) {
+    // LCB-mode column oracle: overlap elimination + greedy breakpoint
+    // elimination keeping MULTIPLE blocks (the TPU MauveAligner's
+    // determine_lcbs semantics with the default weight threshold
+    // seed_weight*3*n_seqs, /root/reference/src/mauveAligner.cpp:648-656),
+    // then per-LCB chain cropping + gap DP, reverse strand included.
+    canonical_sort(ms);
+    eliminate_overlaps_v2(ms);
+    std::vector<std::vector<Match>> lcbs;
+    pairwise_lcb_eliminate(ms, (i64)offs.size() * 3 * 2, lcbs);
+    std::sort(lcbs.begin(), lcbs.end(),
+              [](const std::vector<Match>& x, const std::vector<Match>& y) {
+                if (x.empty() || y.empty()) return x.size() > y.size();
+                return x[0].a_left0 < y[0].a_left0;
+              });
+    FILE* f = fopen(emit_lcbs, "w");
+    std::vector<uint8_t> tb2; std::vector<int> H2, E2, F2;
+    std::string ops2;
+    for (size_t li = 0; li < lcbs.size(); li++) {
+      auto& blk = lcbs[li];
+      make_chain_nonoverlapping(blk);
+      if (blk.empty()) continue;
+      fprintf(f, "L %zu %d\n", li, blk[0].rev ? 1 : 0);
+      fprintf(f, "A %lld %lld %lld\n", (long long)blk[0].a_left0,
+              (long long)blk[0].b_left0, (long long)blk[0].len);
+      for (size_t k = 1; k < blk.size(); k++) {
+        const Match& p = blk[k - 1];
+        const Match& c = blk[k];
+        i64 ga0 = p.a_left0 + p.len;
+        i64 la = c.a_left0 - ga0;
+        i64 gb0, lb;
+        if (!c.rev) { gb0 = p.b_left0 + p.len; lb = c.b_left0 - gb0; }
+        else { gb0 = c.b_left0 + c.len; lb = p.b_left0 - gb0; }
+        if (la < 0 || lb < 0) { la = la < 0 ? 0 : la; lb = lb < 0 ? 0 : lb; }
+        if (la == 0 && lb == 0) {
+          fprintf(f, "A %lld %lld %lld\n", (long long)c.a_left0,
+                  (long long)c.b_left0, (long long)c.len);
+          continue;
+        }
+        if (la > 4096 || lb > 4096) {
+          fprintf(f, "S %lld %lld\n", (long long)la, (long long)lb);
+        } else {
+          // match-space B codes: forward slice, or revcomp for rev blocks
+          std::vector<uint8_t> breg((size_t)lb);
+          for (i64 i2 = 0; i2 < lb; i2++) {
+            uint8_t cb = B[c.rev ? gb0 + lb - 1 - i2 : gb0 + i2];
+            breg[i2] = (c.rev && cb < 4) ? (uint8_t)(3 - cb) : cb;
+          }
+          ops2.clear();
+          gotoh(A.data() + ga0, la, breg.data(), lb, tb2, H2, E2, F2, &ops2);
+          fprintf(f, "G %s\n", ops2.c_str());
+        }
+        fprintf(f, "A %lld %lld %lld\n", (long long)c.a_left0,
+                (long long)c.b_left0, (long long)c.len);
+      }
+    }
+    fclose(f);
+    printf("{\"mode\": \"emit-lcbs\", \"n_lcbs\": %zu, \"n_matches\": %zu}\n",
+           lcbs.size(), ms.size());
+    return 0;
+  }
+
   if (emit_path) {  // oracle mode: the pipeline's exact chaining semantics
+    canonical_sort(ms);
     eliminate_overlaps_v2(ms);
     collinear_eliminate(ms);
   } else {
