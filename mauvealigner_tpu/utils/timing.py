@@ -88,7 +88,12 @@ class PhaseTimer:
             lines.append(f"{name:<24}{t:>10.3f}{t / total if total else 0:>8.1%}")
         lines.append(f"{'total':<24}{total:>10.3f}")
         for c, v in sorted(self.counters.items()):
-            lines.append(f"{c}: {v:,.0f}")
+            # sub-second timing counters need the decimals (an 8-merge
+            # ladder's per-phase splits truncated to 0s were unreadable)
+            if c.endswith("_s") and v < 100:
+                lines.append(f"{c}: {v:,.2f}")
+            else:
+                lines.append(f"{c}: {v:,.0f}")
         # K1/K2 throughputs: the counters accumulate from EVERY phase that
         # builds mer lists or runs the candidate kernel (initial anchoring,
         # recursion, LCB extension, subset recovery, tree-progressive node
