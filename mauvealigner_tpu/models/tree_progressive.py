@@ -356,7 +356,17 @@ def emit_intervals(
     """Expand the root profile to the final n-way IntervalList, splitting at
     every column where any genome's positions break contiguity (signed
     positions advance by exactly +1 between consecutive present columns on
-    both strands under the signed-leftmost convention)."""
+    both strands under the signed-leftmost convention).
+
+    FORWARD jumps (signed step >= 2 — positions skipped by private-column
+    pruning, models/tree_progressive._private_column_keep_mask) do NOT
+    split: the missing member positions are PATCHED back in as member-only
+    columns right before the jump column.  They pair with nothing (exactly
+    the truth for private insertions) and keep every row contiguous, so the
+    interval structure matches the unpruned pipeline's — without patching,
+    ~40k pruned holes per Mbp each split the whole n-way interval and
+    refinement/backbone cost exploded with interval count.  Only steps <= 0
+    (strand flips / true rearrangements) split."""
     n = len(genomes)
     L = len(root.colmaps[root.members[0]])
     pos = np.zeros((n, L), np.int64)
@@ -365,22 +375,48 @@ def emit_intervals(
     present = pos != 0
     any_present = present.any(axis=0)
     # break BEFORE column c when, for some genome, the previous present
-    # column's position does not precede c's by exactly 1 (or presence
-    # toggles in a way that ends a run: a gap only breaks when the next
-    # present position is discontiguous)
+    # column's position does not precede c's by exactly 1 in a way that
+    # cannot be patched (a gap only breaks when the next present position
+    # is discontiguous)
     breaks = np.zeros(L, bool)
+    # patches[c] -> list of (genome, first_missing_signed, k)
+    patches: Dict[int, List[Tuple[int, int, int]]] = {}
     for g in range(n):
         p = pos[g]
         idx = np.nonzero(p != 0)[0]
         if len(idx) < 2:
             continue
-        bad = p[idx[1:]] != p[idx[:-1]] + 1
+        pv = p[idx]
+        step = pv[1:] - pv[:-1]
+        same_sign = (pv[1:] > 0) == (pv[:-1] > 0)
+        fwd_jump = (step >= 2) & same_sign
+        if fwd_jump.any():
+            # patchable only when the skipped positions exist NOWHERE else
+            # in this genome's colmap (a forward jump across an inversion
+            # would otherwise duplicate content that lives in another
+            # segment — those must split like any rearrangement)
+            absp = np.sort(np.abs(pv))
+            a1 = np.abs(pv[:-1] + 1)
+            a2 = np.abs(pv[1:] - 1)
+            lo_abs = np.minimum(a1, a2)
+            hi_abs = np.maximum(a1, a2)
+            occupied = np.searchsorted(absp, hi_abs, side="right") > np.searchsorted(
+                absp, lo_abs, side="left"
+            )
+            fwd_jump &= ~occupied
+        bad = (step != 1) & ~fwd_jump
         breaks[idx[1:][bad]] = True
+        for t in np.nonzero(fwd_jump)[0]:
+            c = int(idx[1:][t])
+            patches.setdefault(c, []).append(
+                (g, int(pv[t]) + 1, int(step[t]) - 1)
+            )
     # all-gap columns are simply dropped within each segment (via `keep`
     # below); they never violate the contiguity invariant, so no extra
     # breaks are needed around them
     seg_bounds = np.nonzero(breaks)[0]
     edges = np.concatenate([[0], seg_bounds, [L]])
+    patch_cols = np.array(sorted(patches), np.int64)
     intervals: List[Interval] = []
     for s0, s1 in zip(edges[:-1], edges[1:]):
         if s1 <= s0:
@@ -390,7 +426,40 @@ def emit_intervals(
         keep = any_present[cols]
         if not keep.any():
             continue
-        sub = sub[:, keep]
+        # splice pruned-hole patches in BEFORE their jump column (a patch
+        # whose column starts this segment becomes its first columns)
+        lo = np.searchsorted(patch_cols, s0, side="left")
+        hi = np.searchsorted(patch_cols, s1, side="left")
+        if hi > lo:
+            w = s1 - s0
+            pcs = patch_cols[lo:hi]
+            ins_at = pcs - s0  # insert before this local column
+            ks = np.array(
+                [sum(k for (_, _, k) in patches[int(c)]) for c in pcs],
+                np.int64,
+            )
+            new_w = w + int(ks.sum())
+            # local col -> output col offset: +sum of insertions before it
+            shift = np.zeros(w + 1, np.int64)
+            shift[ins_at] += ks
+            shift = np.cumsum(shift)[:w]
+            out = np.zeros((n, new_w), np.int64)
+            out[:, np.arange(w) + shift] = sub
+            okeep = np.zeros(new_w, bool)
+            okeep[np.arange(w) + shift] = keep
+            for ci, c in enumerate(pcs):
+                # insertion block sits right before the jump column's slot
+                base = int(ins_at[ci]) + int(shift[int(ins_at[ci])]) - int(ks[ci])
+                off = 0
+                for (g, first, k) in patches[int(c)]:
+                    out[g, base + off : base + off + k] = np.arange(
+                        first, first + k, dtype=np.int64
+                    )
+                    off += k
+                okeep[base : base + int(ks[ci])] = True
+            sub = out[:, okeep]
+        else:
+            sub = sub[:, keep]
         aln = sub != 0
         starts = np.zeros(n, np.int64)
         for g in range(n):

@@ -42,7 +42,9 @@ def test_consensus_majority_and_revcomp():
     assert cons.tolist() == [0, 1, 2, 3]
 
 
-def test_emit_splits_on_discontinuity():
+def test_emit_patches_pruned_hole():
+    """A forward jump whose skipped positions exist nowhere else (a pruned
+    private-column hole) is PATCHED with member-only columns, not split."""
     g0 = Genome.from_codes(np.arange(10, dtype=np.int64) % 4, name="g0")
     g1 = Genome.from_codes(np.arange(10, dtype=np.int64) % 4, name="g1")
     prof = NodeProfile(
@@ -54,9 +56,38 @@ def test_emit_splits_on_discontinuity():
         },
     )
     ivl = emit_intervals([g0, g1], prof)
-    assert len(ivl.intervals) == 2
-    assert ivl.intervals[0].n_cols == 3 and ivl.intervals[1].n_cols == 2
-    assert ivl.intervals[1].starts.tolist() == [7, 4]
+    assert len(ivl.intervals) == 1
+    iv = ivl.intervals[0]
+    assert iv.n_cols == 8  # 5 original + 3 patched member-0 columns
+    assert iv.starts.tolist() == [1, 1]
+    # member 0 contiguous 1..8; member 1 gapped over the patched columns
+    from mauvealigner_tpu.analysis.score_alignment import _interval_positions
+
+    p0 = _interval_positions(iv, 0)
+    p1 = _interval_positions(iv, 1)
+    assert p0[p0 != 0].tolist() == [1, 2, 3, 4, 5, 6, 7, 8]
+    assert p1[p1 != 0].tolist() == [1, 2, 3, 4, 5]
+    assert (p1[p0 == 4] == 0).all() and (p1[p0 == 6] == 0).all()
+
+
+def test_emit_splits_on_rearrangement_jump():
+    """A forward jump whose skipped positions live in ANOTHER segment (a
+    real rearrangement) must still split, never duplicate content."""
+    g0 = Genome.from_codes(np.arange(12, dtype=np.int64) % 4, name="g0")
+    g1 = Genome.from_codes(np.arange(12, dtype=np.int64) % 4, name="g1")
+    prof = NodeProfile(
+        [0, 1],
+        None,
+        {
+            # 1,2,3 then jump to 7,8, then the skipped 4,5,6 appear later
+            0: np.array([1, 2, 3, 7, 8, 4, 5, 6], np.int64),
+            1: np.array([1, 2, 3, 4, 5, 6, 7, 8], np.int64),
+        },
+    )
+    ivl = emit_intervals([g0, g1], prof)
+    assert len(ivl.intervals) == 3
+    total0 = sum(int(iv.aln[0].sum()) for iv in ivl.intervals)
+    assert total0 == 8  # every genome-0 base exactly once
 
 
 def test_tree_progressive_end_to_end_with_inversion(rng):
