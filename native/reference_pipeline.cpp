@@ -32,6 +32,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <functional>
+#include <cmath>
 #include <vector>
 
 #include <sys/wait.h>
@@ -410,16 +412,48 @@ static void chain(std::vector<Match>& ms) {
   std::sort(fwd.begin(), fwd.end(), [](const Match& x, const Match& y) {
     return x.a_left0 < y.a_left0;
   });
-  // greedy monotone chain: keep matches whose B position advances (the
-  // pairwise near-collinear case; full breakpoint elimination would only
-  // add reference-side work)
+  // weighted LIS over (a, b) maximizing total anchor length (collinear
+  // chaining; a greedy monotone walk was poisoned by the handful of random
+  // cross matches light seeds produce — one early noise match with a large
+  // B position blocked every real anchor after it)
   std::vector<Match> kept;
-  i64 last_a = -1, last_b = -1;
-  for (const Match& m : fwd) {
-    if (m.a_left0 > last_a && m.b_left0 > last_b) {
-      kept.push_back(m);
-      last_a = m.a_left0; last_b = m.b_left0;
+  {
+    int n = (int)fwd.size();
+    // Fenwick over b-rank holding (best chain length-sum, index)
+    std::vector<i64> bs(n);
+    for (int i = 0; i < n; i++) bs[i] = fwd[i].b_left0;
+    std::sort(bs.begin(), bs.end());
+    bs.erase(std::unique(bs.begin(), bs.end()), bs.end());
+    int m = (int)bs.size();
+    std::vector<std::pair<i64,int>> fen(m + 1, {0, -1});
+    auto upd = [&](int r, i64 v, int idx) {
+      for (r++; r <= m; r += r & -r)
+        if (v > fen[r].first) fen[r] = {v, idx};
+    };
+    auto qry = [&](int r) {  // max over ranks < r
+      std::pair<i64,int> best{0, -1};
+      for (; r > 0; r -= r & -r)
+        if (fen[r].first > best.first) best = fen[r];
+      return best;
+    };
+    std::vector<i64> score(n);
+    std::vector<int> prev(n, -1);
+    for (int i = 0; i < n; i++) {  // fwd sorted by a_left0 (strictly inc)
+      int r = (int)(std::lower_bound(bs.begin(), bs.end(), fwd[i].b_left0) -
+                    bs.begin());
+      auto best = qry(r);
+      score[i] = best.first + fwd[i].len;
+      prev[i] = best.second;
+      upd(r, score[i], i);
     }
+    int at = -1;
+    i64 mx = 0;
+    for (int i = 0; i < n; i++)
+      if (score[i] > mx) { mx = score[i]; at = i; }
+    std::vector<int> path;
+    for (; at >= 0; at = prev[at]) path.push_back(at);
+    for (auto it = path.rbegin(); it != path.rend(); ++it)
+      kept.push_back(fwd[*it]);
   }
   // crop overlaps so inter-anchor gaps are non-negative
   for (size_t k = 1; k < kept.size(); k++) {
@@ -566,8 +600,11 @@ static int nway_main(int argc, char** argv) {
   bool fork_closure = false;
   std::vector<const char*> files;
   std::string pattern = argv[2];
+  std::string rec_pattern;  // lighter seed for one gap-recursion round
   for (int k = 3; k < argc; k++) {
     if (strcmp(argv[k], "--fork-closure") == 0) fork_closure = true;
+    else if (strcmp(argv[k], "--recursion-pattern") == 0 && k + 1 < argc)
+      rec_pattern = argv[++k];
     else files.push_back(argv[k]);
   }
   int K = (int)files.size();
@@ -638,10 +675,88 @@ static int nway_main(int argc, char** argv) {
   }
   auto t3 = std::chrono::steady_clock::now();
 
-  // per-node pairwise anchor + chain + closure between representatives
-  double match_s = 0, chain_s = 0, closure_s = 0;
-  i64 cells = 0, aligned_cols = 0, n_gaps = 0, n_anchors = 0;
+  // per-node pairwise anchor + chain + closure between representatives,
+  // with one gap-recursion round at a lighter seed (--recursion-pattern):
+  // the reference re-anchors gaps >= 200 bp with lighter seeds before the
+  // gapped closure (SetMinRecursionGapLength, src/mauveAligner.cpp:899) —
+  // without it the heavy default seed finds almost nothing at >= 10%
+  // divergence and the "baseline" would skip 90% of the alignment work.
+  // rec_pattern is a comma-separated WEIGHT:PATTERN table; per gap the
+  // weight is picked like the TPU recursion (min(log2(avg gap len),
+  // heavy-2), floor 5 — models/aligner.py recursive_anchor)
+  std::vector<std::pair<int, std::string>> rec_seeds;  // (weight, pattern)
+  {
+    size_t p0 = 0;
+    while (p0 < rec_pattern.size()) {
+      size_t comma = rec_pattern.find(',', p0);
+      if (comma == std::string::npos) comma = rec_pattern.size();
+      std::string tok = rec_pattern.substr(p0, comma - p0);
+      size_t colon = tok.find(':');
+      if (colon != std::string::npos)
+        rec_seeds.push_back({atoi(tok.substr(0, colon).c_str()),
+                             tok.substr(colon + 1)});
+      p0 = comma + 1;
+    }
+  }
+  int RL = rec_seeds.empty() ? 0 : 1;  // recursion enabled flag
+  double match_s = 0, chain_s = 0, closure_s = 0, rec_s = 0;
+  i64 cells = 0, aligned_cols = 0, n_gaps = 0, n_anchors = 0, n_rec = 0;
   std::vector<uint8_t> tb; std::vector<int> H, E, F;
+  std::function<void(const uint8_t*, i64, const uint8_t*, i64, int)>
+      recurse_gap;
+  auto close_gap = [&](const uint8_t* a, i64 la, const uint8_t* b, i64 lb) {
+    if (la > 4096) la = 4096;
+    if (lb > 4096) lb = 4096;
+    if (la == 0 && lb == 0) return;
+    n_gaps++; cells += la * lb;
+    if (fork_closure)
+      aligned_cols += fork_closure_gap(argv[0], a, la, b, lb);
+    else
+      aligned_cols += gotoh(a, la, b, lb, tb, H, E, F);
+  };
+  recurse_gap = [&](const uint8_t* a, i64 la, const uint8_t* b, i64 lb,
+                    int depth) {
+    // per-gap weight like the TPU recursion: log2(avg len) clamped to
+    // [5, heavy-2]; pick the nearest table entry at or below it
+    double avg = 0.5 * (double)(la + lb);
+    int w = (int)(0.5 + log2(avg > 2 ? avg : 2.0));
+    int wmax = (int)offs.size() - 2;
+    if (w > wmax) w = wmax;
+    if (w < 5) w = 5;
+    const std::string* pat = nullptr;
+    int best = -1;
+    for (auto& [tw, tp] : rec_seeds)
+      if (tw <= w && tw > best) { best = tw; pat = &tp; }
+    if (!pat || depth >= 3 || la < 200 || lb < 200) {
+      close_gap(a, la, b, lb);
+      return;
+    }
+    auto r0 = std::chrono::steady_clock::now();
+    std::vector<int> ro;
+    for (size_t k = 0; k < pat->size(); k++)
+      if ((*pat)[k] == '1') ro.push_back((int)k);
+    std::vector<uint8_t> gav(a, a + la), gbv(b, b + lb);
+    std::vector<Entry> rsa, rsb;
+    build_sml(gav, ro, (int)pat->size(), rsa);
+    build_sml(gbv, ro, (int)pat->size(), rsb);
+    std::vector<Match> sub;
+    find_mums(gav, gbv, rsa, rsb, (int)pat->size(), sub);
+    chain(sub);
+    rec_s += secs(r0, std::chrono::steady_clock::now());
+    n_rec += (i64)sub.size();
+    if (sub.empty()) {
+      close_gap(a, la, b, lb);
+      return;
+    }
+    i64 pa = 0, pb = 0;
+    for (const Match& m : sub) {
+      recurse_gap(gav.data() + pa, m.a_left0 - pa, gbv.data() + pb,
+                  m.b_left0 - pb, depth + 1);
+      aligned_cols += m.len;
+      pa = m.a_left0 + m.len; pb = m.b_left0 + m.len;
+    }
+    recurse_gap(gav.data() + pa, la - pa, gbv.data() + pb, lb - pb, depth + 1);
+  };
   for (auto [ra, rb] : joins) {
     auto m0 = std::chrono::steady_clock::now();
     std::vector<Match> ms;
@@ -650,35 +765,38 @@ static int nway_main(int argc, char** argv) {
     chain(ms);
     auto m2 = std::chrono::steady_clock::now();
     n_anchors += (i64)ms.size();
-    for (size_t k = 1; k < ms.size(); k++) {
-      i64 ga0 = ms[k - 1].a_left0 + ms[k - 1].len;
-      i64 gb0 = ms[k - 1].b_left0 + ms[k - 1].len;
-      i64 la = ms[k].a_left0 - ga0, lb = ms[k].b_left0 - gb0;
+    // synthetic chain endpoints so head/tail gaps close too
+    std::vector<Match> walk;
+    walk.push_back({0, 0, 0, false});
+    for (const Match& m : ms) walk.push_back(m);
+    walk.push_back({(i64)G[ra].size(), (i64)G[rb].size(), 0, false});
+    for (size_t k = 1; k < walk.size(); k++) {
+      i64 ga0 = walk[k - 1].a_left0 + walk[k - 1].len;
+      i64 gb0 = walk[k - 1].b_left0 + walk[k - 1].len;
+      i64 la = walk[k].a_left0 - ga0, lb = walk[k].b_left0 - gb0;
       if (la < 0 || lb < 0) continue;
-      if (la > 4096) la = 4096;
-      if (lb > 4096) lb = 4096;
-      if (la == 0 && lb == 0) continue;
-      n_gaps++; cells += la * lb;
-      if (fork_closure)
-        aligned_cols += fork_closure_gap(argv[0], G[ra].data() + ga0, la,
-                                         G[rb].data() + gb0, lb);
+      if (RL > 0 && la >= 200 && lb >= 200)
+        recurse_gap(G[ra].data() + ga0, la, G[rb].data() + gb0, lb, 0);
       else
-        aligned_cols += gotoh(G[ra].data() + ga0, la, G[rb].data() + gb0, lb,
-                              tb, H, E, F);
+        close_gap(G[ra].data() + ga0, la, G[rb].data() + gb0, lb);
     }
     for (const Match& m : ms) aligned_cols += m.len;
     auto m3 = std::chrono::steady_clock::now();
-    match_s += secs(m0, m1); chain_s += secs(m1, m2); closure_s += secs(m2, m3);
+    match_s += secs(m0, m1); chain_s += secs(m1, m2);
+    closure_s += secs(m2, m3);
   }
+  closure_s -= rec_s;
   auto t4 = std::chrono::steady_clock::now();
   printf("{\"sml_s\": %.3f, \"dist_s\": %.3f, \"tree_s\": %.3f, "
-         "\"match_s\": %.3f, \"chain_s\": %.3f, \"closure_s\": %.3f, "
+         "\"match_s\": %.3f, \"chain_s\": %.3f, \"recursion_s\": %.3f, "
+         "\"closure_s\": %.3f, "
          "\"total_s\": %.3f, \"n_genomes\": %d, \"n_merges\": %zu, "
-         "\"n_anchors\": %lld, \"n_gaps\": %lld, \"dp_cells\": %lld, "
-         "\"aligned_cols\": %lld}\n",
-         secs(t0, t1), secs(t1, t2), secs(t2, t3), match_s, chain_s,
+         "\"n_anchors\": %lld, \"n_rec_anchors\": %lld, \"n_gaps\": %lld, "
+         "\"dp_cells\": %lld, \"aligned_cols\": %lld}\n",
+         secs(t0, t1), secs(t1, t2), secs(t2, t3), match_s, chain_s, rec_s,
          closure_s, secs(t0, t4), K, joins.size(), (long long)n_anchors,
-         (long long)n_gaps, (long long)cells, (long long)aligned_cols);
+         (long long)n_rec, (long long)n_gaps, (long long)cells,
+         (long long)aligned_cols);
   return 0;
 }
 

@@ -38,6 +38,13 @@ def measure(size: int, k: int, repeats: int) -> dict:
 
     genomes, _ = build_genomes(size, k)
     seed = get_seed(default_seed_weight(size), 0)
+    # one recursion round at a lighter seed inside >=200 bp gaps — without
+    # it the heavy default seed anchors almost nothing at >=10% divergence
+    # and the baseline would skip ~90% of the closure work (the reference
+    # recurses exactly this way, SetMinRecursionGapLength)
+    rec_table = ",".join(
+        f"{w}:{get_seed(w, 0).pattern}" for w in (5, 7, 9, 11, 13, 15, 17, 19)
+    )
     binary = build()
 
     def run_mode(extra, reps):
@@ -45,7 +52,8 @@ def measure(size: int, k: int, repeats: int) -> dict:
         for _ in range(reps):
             t0 = time.time()
             out = subprocess.run(
-                [binary, "--nway", seed.pattern] + files + extra,
+                [binary, "--nway", seed.pattern] + files
+                + ["--recursion-pattern", rec_table] + extra,
                 check=True, capture_output=True, text=True,
             )
             rec = json.loads(out.stdout)
