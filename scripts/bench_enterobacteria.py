@@ -151,6 +151,25 @@ def main(size: int, k: int, repeats: int, max_rate: float = 0.08):
         warm[len(warm) // 2 - 1] + warm[len(warm) // 2]
     ) / 2
     spread = (max(warm) - min(warm)) / median if median else 0.0
+    # measured reference-class N-way denominator (task-4 round 5):
+    # scripts/measure_baseline_nway.py writes it for the same generator
+    vs_baseline = None
+    bl_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "BASELINE_NWAY_MEASURED.json",
+    )
+    try:
+        with open(bl_path) as fh:
+            bl = json.load(fh)
+        if bl.get("genome_size") == size and bl.get("n_genomes") == k:
+            vs_baseline = {
+                "baseline_architecture_s": bl["architecture_s"],
+                "baseline_lower_bound_s": bl["lower_bound_s"],
+                "vs_architecture": round(bl["architecture_s"] / median, 2),
+                "vs_lower_bound": round(bl["lower_bound_s"] / median, 2),
+            }
+    except Exception:
+        pass
     out = {
         "config": f"progressive_{k}way_{size//1000}kbp"
         + (f"_rate{max_rate}" if max_rate != 0.08 else ""),
@@ -165,6 +184,7 @@ def main(size: int, k: int, repeats: int, max_rate: float = 0.08):
         "accuracy": acc,
         "mean_sn": round(float(np.mean([a["sn"] for a in acc])), 4),
         "mean_ppv": round(float(np.mean([a["ppv"] for a in acc])), 4),
+        "vs_baseline": vs_baseline,
         "genome_gen_s": round(gen_s, 1),
         "scoring_s": round(score_s, 1),
     }
