@@ -140,8 +140,12 @@ def _compose_counts(counts: np.ndarray, node_pos: np.ndarray) -> np.ndarray:
     Counts are ADDITIVE over members, so a merged node's profile is the sum
     of its two children's composed counts — one gather + add instead of
     re-deriving votes from every member (the per-member loop was 12 s of
-    the 4.6 Mbp headline)."""
-    out = np.zeros((len(node_pos), 5), np.uint16)
+    the 4.6 Mbp headline).
+
+    Output stays uint8: per-column counts are bounded by the clade member
+    count and seq ids are < 128 pipeline-wide, so sums never overflow —
+    the uint16 widening doubled tp_consensus memory traffic for nothing."""
+    out = np.zeros((len(node_pos), 5), np.uint8)
     nz = node_pos != 0
     idx = np.abs(node_pos[nz]) - 1
     vals = counts[idx]  # uint8 gather; stay narrow until the add
@@ -313,8 +317,12 @@ def merge_profiles(
     votes = counts[:, :4]
     rep_codes = votes.argmax(axis=1).astype(np.uint8)
     rep_codes[votes.sum(axis=1) == 0] = CODE_N
-    prof.rep = Genome.from_codes(rep_codes.astype(np.int64), name=node_name)
-    prof.counts = np.minimum(counts, 255).astype(np.uint8)
+    # direct construction: from_codes would round-trip int64 -> ASCII ->
+    # codes (three full passes over a ~5M-column rep per merge)
+    from mauvealigner_tpu.genome.sequence import decode_codes
+
+    prof.rep = Genome(decode_codes(rep_codes), name=node_name)
+    prof.counts = counts
     timing.GLOBAL.add("tp_consensus_s", time.perf_counter() - t0)
     return prof
 
