@@ -136,6 +136,43 @@ def _unaligned_blocks(regs: Sequence[np.ndarray]) -> np.ndarray:
     return aln
 
 
+def _pairwise_align_region_groups(
+    groups, subst, gap_open, gap_extend, max_len
+) -> List[np.ndarray]:
+    """Single-merge fast path of hierarchical_align_region_groups for
+    PAIRWISE groups: no per-group state dicts, int8 leaf conversions or
+    merged column-code matrices — stage the code pairs straight into the
+    bucketed batch and build each gap's boolean rows from the op string.
+    Output identical to the general path (one merge step degenerates to
+    exactly this); the general machinery cost ~8 s of the 4.6 Mbp headline
+    across ~370k node-merge gaps."""
+    results: List[Optional[np.ndarray]] = [None] * len(groups)
+    pairs, pidx = [], []
+    for k, regs in enumerate(groups):
+        a, b = regs
+        la, lb = len(a), len(b)
+        if la == 0 and lb == 0:
+            results[k] = np.zeros((2, 0), bool)
+        elif la > max_len or lb > max_len:
+            results[k] = _unaligned_blocks(regs)
+        elif la == 0 or lb == 0:
+            aln = np.zeros((2, la + lb), bool)
+            aln[0, :la] = True
+            aln[1, la:] = True
+            results[k] = aln
+        else:
+            pairs.append((a, b))
+            pidx.append(k)
+    if pairs:
+        ops_list = _batched_code_pair_align(
+            pairs, subst, gap_open, gap_extend
+        )
+        for k, ops in zip(pidx, ops_list):
+            ra, rb = dp.ops_to_gap_rows(ops)
+            results[k] = np.stack([ra, rb])
+    return results  # type: ignore[return-value]
+
+
 def hierarchical_align_region_groups(
     groups: Sequence[Sequence[np.ndarray]],
     plan: Optional[List[Tuple[NodeId, NodeId, NodeId]]] = None,
@@ -160,6 +197,10 @@ def hierarchical_align_region_groups(
     if n_groups == 0:
         return []
     n_seqs = len(groups[0])
+    if n_seqs == 2 and (plan is None or len(plan) <= 1):
+        return _pairwise_align_region_groups(
+            groups, subst, gap_open, gap_extend, max_len
+        )
     if plan is None:
         plan = chain_plan(n_seqs)
     _t0 = _time.perf_counter()

@@ -131,3 +131,36 @@ def test_batched_empty_and_absent_components(rng):
     assert _batched([anc, der], specs, seed) == _per_gap_reference(
         [anc, der], specs, seed
     )
+
+
+def test_pairwise_fast_path_matches_general(rng):
+    """The pairwise closure fast path must match the general hierarchical
+    machinery exactly (empty sides, over-cap, and normal gaps)."""
+    from mauvealigner_tpu.models import closure
+
+    groups = []
+    for _ in range(40):
+        la = int(rng.integers(0, 60))
+        lb = int(rng.integers(0, 60))
+        if rng.random() < 0.1:
+            la = 0
+        if rng.random() < 0.1:
+            lb = 0
+        groups.append([
+            rng.integers(0, 4, la).astype(np.int8),
+            rng.integers(0, 4, lb).astype(np.int8),
+        ])
+    groups.append([rng.integers(0, 4, 90).astype(np.int8),
+                   rng.integers(0, 4, 10).astype(np.int8)])  # over cap
+    fast = closure._pairwise_align_region_groups(
+        groups, closure.dp.HOXD70, -400.0, -30.0, max_len=64
+    )
+    # general path: an extra INERT plan step (both refs absent from every
+    # group's state) disables the fast-path gate without changing results
+    general = closure.hierarchical_align_region_groups(
+        [list(g) for g in groups], [("n1", 0, 1), ("nx", "absent", "gone")],
+        closure.dp.HOXD70, -400.0, -30.0, max_len=64,
+    )
+    assert len(fast) == len(general)
+    for f, g in zip(fast, general):
+        assert np.array_equal(f, g)
