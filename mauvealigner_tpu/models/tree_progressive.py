@@ -442,10 +442,22 @@ def emit_intervals(
             w = s1 - s0
             pcs = patch_cols[lo:hi]
             ins_at = pcs - s0  # insert before this local column
-            ks = np.array(
-                [sum(k for (_, _, k) in patches[int(c)]) for c in pcs],
-                np.int64,
-            )
+            # flatten every patch of this segment (column order, then list
+            # order within a column) — the per-patch python loop this
+            # replaces was ~300k tiny slice assignments at headline scale
+            g_arr, first_arr, k_arr, col_idx = [], [], [], []
+            for ci, c in enumerate(pcs):
+                for (g, first, k) in patches[int(c)]:
+                    g_arr.append(g)
+                    first_arr.append(first)
+                    k_arr.append(k)
+                    col_idx.append(ci)
+            g_arr = np.array(g_arr, np.int64)
+            first_arr = np.array(first_arr, np.int64)
+            k_arr = np.array(k_arr, np.int64)
+            col_idx = np.array(col_idx, np.int64)
+            ks = np.zeros(len(pcs), np.int64)
+            np.add.at(ks, col_idx, k_arr)
             new_w = w + int(ks.sum())
             # local col -> output col offset: +sum of insertions before it
             shift = np.zeros(w + 1, np.int64)
@@ -455,16 +467,20 @@ def emit_intervals(
             out[:, np.arange(w) + shift] = sub
             okeep = np.zeros(new_w, bool)
             okeep[np.arange(w) + shift] = keep
-            for ci, c in enumerate(pcs):
-                # insertion block sits right before the jump column's slot
-                base = int(ins_at[ci]) + int(shift[int(ins_at[ci])]) - int(ks[ci])
-                off = 0
-                for (g, first, k) in patches[int(c)]:
-                    out[g, base + off : base + off + k] = np.arange(
-                        first, first + k, dtype=np.int64
-                    )
-                    off += k
-                okeep[base : base + int(ks[ci])] = True
+            # per-column insertion block base, then per-patch start =
+            # base + cumsum of earlier same-column patch widths
+            base = ins_at + shift[ins_at] - ks
+            kcum = np.cumsum(k_arr) - k_arr
+            col_kcum_start = np.zeros(len(pcs), np.int64)
+            firsts_per_col = np.unique(col_idx, return_index=True)[1]
+            col_kcum_start[np.unique(col_idx)] = kcum[firsts_per_col]
+            p_start = base[col_idx] + (kcum - col_kcum_start[col_idx])
+            total = int(k_arr.sum())
+            intra = np.arange(total, dtype=np.int64) - np.repeat(kcum, k_arr)
+            rows = np.repeat(g_arr, k_arr)
+            cols_out = np.repeat(p_start, k_arr) + intra
+            out[rows, cols_out] = np.repeat(first_arr, k_arr) + intra
+            okeep[cols_out] = True
             sub = out[:, okeep]
         else:
             sub = sub[:, keep]
