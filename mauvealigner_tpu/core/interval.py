@@ -269,17 +269,31 @@ class IntervalList:
     # ------------------------------------------------------------------
     def add_unaligned_intervals(self) -> None:
         """Add single-sequence intervals covering unaligned regions
-        (addUnalignedIntervals, libMems fn; call site src/mauveAligner.cpp:748)."""
+        (addUnalignedIntervals, libMems fn; call site src/mauveAligner.cpp:748).
+
+        Per-interval row lengths are computed ONCE for all sequences (the
+        per-seq loop re-scanned every interval's whole aln n_seqs times),
+        and the emitted single-seq intervals share one all-True-row block
+        per sequence (nothing mutates aln in place pipeline-wide)."""
         n = self.n_seqs
+        ivs = list(self.intervals)
+        all_starts = (
+            np.stack([iv.starts for iv in ivs]) if ivs else np.zeros((0, n))
+        )
+        all_lens = (
+            np.stack([iv.seq_lengths() for iv in ivs])
+            if ivs
+            else np.zeros((0, n), np.int64)
+        )
         for seq in range(n):
             glen = len(self.genomes[seq])
             covered = np.zeros(glen + 2, dtype=np.int64)
-            for iv in self.intervals:
-                if iv.starts[seq] != 0:
-                    l = int(abs(iv.starts[seq]))
-                    r = l + int(iv.aln[seq].sum()) - 1
-                    covered[l] += 1
-                    covered[r + 1] -= 1
+            if len(ivs):
+                pres = all_starts[:, seq] != 0
+                l = np.abs(all_starts[pres, seq]).astype(np.int64)
+                r = l + all_lens[pres, seq] - 1
+                np.add.at(covered, l, 1)
+                np.add.at(covered, r + 1, -1)
             cov = np.cumsum(covered[: glen + 1])
             free = cov[1:] == 0  # positions 1..glen
             if not free.any():
@@ -287,13 +301,16 @@ class IntervalList:
             d = np.diff(np.concatenate([[0], free.view(np.int8), [0]]))
             starts_ = np.nonzero(d == 1)[0] + 1
             ends_ = np.nonzero(d == -1)[0]
-            for s, e in zip(starts_, ends_):
-                length = e - s + 1
-                st = np.zeros(n, np.int64)
-                st[seq] = s
-                aln = np.zeros((n, length), bool)
-                aln[seq] = True
-                self.intervals.append(Interval(st, aln))
+            if not len(starts_):
+                continue
+            widths = ends_ - starts_ + 1
+            st_mat = np.zeros((len(starts_), n), np.int64)
+            st_mat[:, seq] = starts_
+            block = np.zeros((n, int(widths.max())), bool)
+            block[seq] = True
+            mk = Interval._unchecked
+            for i, w in enumerate(widths.tolist()):
+                self.intervals.append(mk(st_mat[i], block[:, :w]))
 
     def projection(self, seq_indices: Sequence[int], min_cols: int = 1) -> "IntervalList":
         """Project the alignment onto a subset of sequences
